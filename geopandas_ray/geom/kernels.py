@@ -311,10 +311,21 @@ def points_in_geom(g: Geoms, row: int, px: np.ndarray, py: np.ndarray):
             interior |= i_
             boundary |= b_
         elif t == LINESTRING:
-            boundary |= _points_on_ring(g.ring_coords(g.part_ring_range(p)[0]), px, py)
-        elif t == POINT:
             c = g.ring_coords(g.part_ring_range(p)[0])
-            boundary |= (px == c[0, 0]) & (py == c[0, 1])
+            on = _points_on_ring(c, px, py)
+            closed = len(c) > 1 and np.array_equal(c[0], c[-1])
+            if closed:
+                interior |= on  # a ring has no boundary points
+            else:
+                ends = ((px == c[0, 0]) & (py == c[0, 1])) | (
+                    (px == c[-1, 0]) & (py == c[-1, 1])
+                )
+                interior |= on & ~ends
+                boundary |= on & ends
+        elif t == POINT:
+            # a point's interior is the point itself (its boundary is empty)
+            c = g.ring_coords(g.part_ring_range(p)[0])
+            interior |= (px == c[0, 0]) & (py == c[0, 1])
     interior &= ~boundary
     return interior, boundary
 

