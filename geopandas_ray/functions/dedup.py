@@ -1,0 +1,296 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, embedding-cosine.
+
+Ray-Data-first shapes (see the aggregation-at-scale pattern in the Ray
+docs): content hash in a vectorized map_batches, ONE groupby on the hash
+for exact dedup; MinHash signatures per batch -> band explode -> groupby
+(band, band_hash) -> candidate pairs -> cluster by iterative min-label
+propagation (a bounded number of groupby rounds, no driver union-find on
+the big path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    ds: ray.data.Dataset, key_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Keep one row (minimum id) per distinct key value.
+
+    Hash-partition on the key: per-batch local dedup first (combiner), then
+    one groupby on the key, per-group min-id row.
+    """
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(id_col, kind="stable").drop_duplicates(key_col, keep="first")
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(id_col, kind="stable").head(1)
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby(key_col)
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """Actor stage: text -> word-shingle set -> k minhashes -> b bands.
+
+    Permutations ((a*h + b) mod p) are generated once per actor from a fixed
+    seed; emits one row per (doc, band): [id, band, band_hash] plus the full
+    signature for verification.
+    """
+
+    def __init__(
+        self,
+        text_col="text",
+        id_col="doc_id",
+        num_perm: int = 64,
+        bands: int = 8,
+        shingle: int = 3,
+        seed: int = 42,
+    ):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 31) - 1, size=num_perm).astype(np.uint64)
+        self.b = rng.randint(0, (1 << 31) - 1, size=num_perm).astype(np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle = shingle
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _shingle_hashes(self, text: str) -> np.ndarray:
+        words = text.split()
+        k = self.shingle
+        if len(words) < k:
+            grams = [" ".join(words)] if words else []
+        else:
+            grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        if not grams:
+            return np.zeros(1, dtype=np.uint64)
+        return np.fromiter(
+            (hash_str64(g) for g in set(grams)), dtype=np.uint64, count=len(set(grams))
+        )
+
+    def signature(self, text: str) -> np.ndarray:
+        h = self._shingle_hashes(text or "")
+        # (num_perm, n_shingles) via broadcasting, min over shingles
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        texts = b.column(self.text_col).to_pylist()
+        ids = np.asarray(b.column(self.id_col))
+        n = len(texts)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = self.signature(t)
+        r = self.rows_per_band
+        band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        doc_ids = np.repeat(ids, self.bands)
+        band_hash = np.empty(n * self.bands, dtype=np.uint64)
+        for bi in range(self.bands):
+            seg = sigs[:, bi * r : (bi + 1) * r]
+            # cheap mixing of the band's signature rows
+            h = np.uint64(1469598103934665603) * np.ones(n, dtype=np.uint64)
+            for c in range(r):
+                h = h * np.uint64(1099511628211) + seg[:, c]
+            band_hash[bi::self.bands] = h
+        sig_list = pa.array(list(sigs.astype(np.int64)), type=pa.list_(pa.int64()))
+        return pa.table(
+            {
+                self.id_col: pa.array(doc_ids),
+                "band": pa.array(band_ids),
+                "band_hash": pa.array(band_hash.astype(np.int64)),
+                "signature": pa.array(
+                    [sigs[i].astype(np.int64) for i in np.repeat(np.arange(n), self.bands)],
+                    type=pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+
+def hash_str64(s: str) -> np.uint64:
+    """Deterministic FNV-1a over utf-8 bytes (python hash() is salted)."""
+    h = np.uint64(14695981039346656037)
+    for ch in s.encode("utf-8"):
+        h = (h ^ np.uint64(ch)) * np.uint64(1099511628211)
+    return h
+
+
+def minhash_candidate_pairs(
+    ds: ray.data.Dataset,
+    text_col="text",
+    id_col="doc_id",
+    num_perm=64,
+    bands=8,
+    shingle=3,
+    sim_threshold: float = 0.8,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """-> dataset of (id_a, id_b, est_jaccard) candidate near-dup pairs.
+
+    est_jaccard = fraction of agreeing minhash positions, computed inside the
+    band-bucket groupby; pairs below threshold dropped there (no extra pass).
+    """
+    banded = ds.map_batches(
+        MinHasher,
+        batch_format="pyarrow",
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, shingle=shingle
+        ),
+        concurrency=concurrency,
+    )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "est_jaccard": np.float64}
+            )
+        df = df.drop_duplicates(id_col).sort_values(id_col)
+        ids = df[id_col].to_numpy()
+        sigs = np.stack(df["signature"].to_numpy())
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            hit = np.nonzero(agree >= sim_threshold)[0]
+            for k in hit:
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + k])
+                out_j.append(agree[k])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    # a pair found in multiple bands appears multiple times: dedup
+    def pair_first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(pair_first, batch_format="pandas")
+
+
+def cluster_min_label(
+    pairs: ray.data.Dataset, ids: ray.data.Dataset, id_col="doc_id", rounds: int = 4
+) -> ray.data.Dataset:
+    """Connected components by iterative min-label propagation.
+
+    Scale-correct: each round is edge-join label updates via groupby; for
+    chains longer than 2^rounds the labels converge in further rounds
+    (duplicate clusters in practice are tiny and dense, so 4 is plenty).
+    Returns (doc_id, cluster) with cluster = min doc_id in the component.
+    """
+    edge_rows = pairs.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "node": np.concatenate([df["id_a"].to_numpy(), df["id_b"].to_numpy()]),
+                "peer": np.concatenate([df["id_b"].to_numpy(), df["id_a"].to_numpy()]),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    labels = ids.map_batches(
+        lambda df: pd.DataFrame({"node": df[id_col], "label": df[id_col]}),
+        batch_format="pandas",
+    )
+    for _ in range(rounds):
+        # candidate labels: own + min peer label
+        lab_by_peer = labels.map_batches(
+            lambda df: df.rename(columns={"node": "peer", "label": "peer_label"}),
+            batch_format="pandas",
+        )
+        # join edges with peer labels: groupby peer
+        joined = edge_rows.union(
+            lab_by_peer.map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": np.full(len(df), -1, dtype=np.int64), "peer": df["peer"], "peer_label": df["peer_label"]}
+                ),
+                batch_format="pandas",
+            )
+        )
+
+        def prop(df: pd.DataFrame) -> pd.DataFrame:
+            lab = df.loc[df["node"] == -1, "peer_label"]
+            if len(lab) == 0:
+                return pd.DataFrame({"node": [], "label": []}).astype(np.int64)
+            label = int(lab.min())
+            nodes = df.loc[df["node"] != -1, "node"]
+            return pd.DataFrame({"node": nodes.astype(np.int64), "label": label})
+
+        prop_labels = joined.groupby("peer").map_groups(prop, batch_format="pandas")
+
+        def pick_min(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": [df["node"].iloc[0]], "label": [int(df["label"].min())]})
+
+        labels = labels.union(prop_labels).groupby("node").map_groups(pick_min, batch_format="pandas")
+    return labels.map_batches(
+        lambda df: df.rename(columns={"node": id_col, "label": "cluster"}), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """Actor stage: 64-bit SimHash over word tokens."""
+
+    def __init__(self, text_col="text", out_col="simhash"):
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        texts = b.column(self.text_col).to_pylist()
+        out = np.zeros(len(texts), dtype=np.uint64)
+        bits = np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            words = (t or "").split()
+            if not words:
+                continue
+            hs = np.fromiter((hash_str64(w) for w in words), dtype=np.uint64, count=len(words))
+            bitcounts = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).sum(axis=0)
+            vote = bitcounts * 2 > len(words)
+            out[i] = np.sum(np.where(vote, np.uint64(1) << bits, np.uint64(0)))
+        return b.append_column(self.out_col, pa.array(out.astype(np.int64)))
+
+
+def with_simhash(ds: ray.data.Dataset, concurrency=(1, 8), **kw) -> ray.data.Dataset:
+    return ds.map_batches(SimHasher, batch_format="pyarrow", fn_constructor_kwargs=kw, concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification (exact, for candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Exact word n-gram Jaccard similarity of two texts."""
+
+    def grams(t):
+        w = t.split()
+        if len(w) < n:
+            return {" ".join(w)} if w else set()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    ga, gb = grams(a or ""), grams(b or "")
+    if not ga and not gb:
+        return 1.0
+    inter = len(ga & gb)
+    return inter / (len(ga) + len(gb) - inter)

@@ -1,0 +1,215 @@
+"""Similarity search over embedding columns (list<float>).
+
+- ``knn_brute``: exact cosine top-k per row against a BROADCAST query/corpus
+  matrix (ray.put once, read per actor in __init__, chunked matmul per
+  batch) - the baseline the north rule asks for.
+- ``knn_lsh``: random-hyperplane LSH bucketing as the scale path: both
+  sides keyed by sign-pattern bucket, one groupby, per-bucket exact rerank.
+  (Recall < 1 by construction; multiple rotations raise it.)
+- ``cosine_near_dup_pairs``: embedding near-duplicate pairs above a cosine
+  threshold vs the broadcast corpus.
+
+Determinism: float64 accumulation, ties broken by ascending neighbor id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _stack_embeddings(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(arr.values, dtype=np.float64)
+    offsets = np.asarray(arr.offsets)
+    dim = offsets[1] - offsets[0]
+    return flat.reshape(len(arr), int(dim))
+
+
+class _BruteKnn:
+    def __init__(self, corpus_ref, k, id_col, vec_col, exclude_self, metric):
+        tbl = ray.get(corpus_ref) if not isinstance(corpus_ref, pa.Table) else corpus_ref
+        m = _stack_embeddings(tbl.column(vec_col))
+        self.corpus_ids = np.asarray(tbl.column(id_col), dtype=np.int64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        self.corpus = m / norms[:, None]
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.exclude_self = exclude_self
+        self.metric = metric
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        q = _stack_embeddings(b.column(self.vec_col))
+        qids = np.asarray(b.column(self.id_col), dtype=np.int64)
+        qn = np.linalg.norm(q, axis=1)
+        qn[qn == 0] = 1.0
+        qs = q / qn[:, None]
+        sims = qs @ self.corpus.T  # (m, N) float64
+        if self.exclude_self:
+            self_mask = qids[:, None] == self.corpus_ids[None, :]
+            sims = np.where(self_mask, -np.inf, sims)
+        k = min(self.k, sims.shape[1])
+        # top-k with deterministic tie-break: sort by (-sim, corpus_id)
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        out_q, out_n, out_r, out_s = [], [], [], []
+        rows = np.arange(len(qids))
+        part_s = sims[rows[:, None], idx]
+        for i in range(len(qids)):
+            cand = idx[i]
+            order = np.lexsort((self.corpus_ids[cand], -part_s[i]))
+            sel = cand[order]
+            out_q.append(np.full(k, qids[i], dtype=np.int64))
+            out_n.append(self.corpus_ids[sel])
+            out_r.append(np.arange(1, k + 1, dtype=np.int64))
+            out_s.append(part_s[i][order])
+        return pa.table(
+            {
+                self.id_col: pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "rank": pa.array(np.concatenate(out_r)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def knn_brute(
+    ds: ray.data.Dataset,
+    corpus,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    concurrency=(1, 8),
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Exact cosine top-k of every ds row against the broadcast corpus."""
+    if isinstance(corpus, ray.data.Dataset):
+        from ..stages.sjoin import _materialize
+
+        corpus = _materialize(corpus)
+    ref = ray.put(corpus)
+    return ds.map_batches(
+        _BruteKnn,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(
+            corpus_ref=ref, k=k, id_col=id_col, vec_col=vec_col, exclude_self=exclude_self, metric="cosine"
+        ),
+    )
+
+
+class _CosinePairs(_BruteKnn):
+    def __init__(self, corpus_ref, threshold, id_col, vec_col):
+        super().__init__(corpus_ref, 1, id_col, vec_col, True, "cosine")
+        self.threshold = threshold
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        q = _stack_embeddings(b.column(self.vec_col))
+        qids = np.asarray(b.column(self.id_col), dtype=np.int64)
+        qn = np.linalg.norm(q, axis=1)
+        qn[qn == 0] = 1.0
+        qs = q / qn[:, None]
+        sims = qs @ self.corpus.T
+        li, ri = np.nonzero(sims >= self.threshold)
+        # emit each unordered pair once (id_a < id_b)
+        ida = qids[li]
+        idb = self.corpus_ids[ri]
+        keep = ida < idb
+        return pa.table(
+            {
+                "id_a": pa.array(ida[keep]),
+                "id_b": pa.array(idb[keep]),
+                "cosine": pa.array(sims[li[keep], ri[keep]]),
+            }
+        )
+
+
+def cosine_near_dup_pairs(
+    ds: ray.data.Dataset,
+    corpus,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    if isinstance(corpus, ray.data.Dataset):
+        from ..stages.sjoin import _materialize
+
+        corpus = _materialize(corpus)
+    ref = ray.put(corpus)
+    return ds.map_batches(
+        _CosinePairs,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(corpus_ref=ref, threshold=threshold, id_col=id_col, vec_col=vec_col),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed scale path
+# ---------------------------------------------------------------------------
+
+
+class _HyperplaneBucketer:
+    """Actor stage: sign-pattern bucket of each vector under ``nbits``
+    fixed random hyperplanes (seeded once per actor)."""
+
+    def __init__(self, vec_col, nbits, seed, dim):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(dim, nbits))
+        self.vec_col = vec_col
+        self.nbits = nbits
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        v = _stack_embeddings(b.column(self.vec_col))
+        signs = (v @ self.planes) > 0
+        bucket = np.zeros(len(v), dtype=np.int64)
+        for j in range(self.nbits):
+            bucket |= signs[:, j].astype(np.int64) << j
+        return b.append_column("bucket", pa.array(bucket))
+
+
+def knn_lsh(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Approximate self-kNN: hyperplane-bucket both sides, one groupby,
+    exact rerank within each bucket. Recall trades with nbits."""
+    bucketed = ds.map_batches(
+        _HyperplaneBucketer,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(vec_col=vec_col, nbits=nbits, seed=seed, dim=dim),
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        ids = df[id_col].to_numpy().astype(np.int64)
+        n = np.linalg.norm(v, axis=1)
+        n[n == 0] = 1.0
+        vs = v / n[:, None]
+        sims = vs @ vs.T
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, len(ids) - 1)
+        if kk <= 0:
+            return pd.DataFrame({id_col: [], "neighbor_id": [], "rank": [], "cosine": []})
+        out = []
+        for i in range(len(ids)):
+            order = np.lexsort((ids, -sims[i]))[:kk]
+            for r, j in enumerate(order, 1):
+                out.append((ids[i], ids[j], r, sims[i, j]))
+        o = pd.DataFrame(out, columns=[id_col, "neighbor_id", "rank", "cosine"])
+        return o
+
+    return bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")

@@ -1,0 +1,146 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All stages are stateless-or-actor `map_batches` transforms over the
+``documents`` table shape (doc_id, text, lang, source, n_chars). Regexes and
+tables are compiled once per actor in ``__init__`` (never per batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+_MOD = np.uint64((1 << 61) - 1)
+
+
+def with_token_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Whitespace token count + char count per row.
+
+    ``n_tokens`` matches ``len(text.split())`` == SQL
+    ``array_length(string_split_regex(trim(text), '\\s+'))`` for non-empty
+    text, 0 for empty/blank.
+    """
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("")
+        df = df.copy()
+        df["n_tokens"] = s.str.split().str.len().astype("int64")
+        df["n_chars_calc"] = s.str.len().astype("int64")
+        return df
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+class QualityScorer:
+    """Actor stage: cheap quality features (length / stopword / punct /
+    mean-token-length ratios). Tables compiled once per actor."""
+
+    STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.tok = re.compile(r"\S+")
+        self.stop = set(self.STOPWORDS)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        s = df[self.text_col].fillna("")
+        toks = s.str.split()
+        n = toks.str.len().astype("int64")
+        stop_hits = toks.map(lambda ws: sum(1 for w in ws if w in self.stop) if ws is not None else 0)
+        total_len = toks.map(lambda ws: sum(len(w) for w in ws) if ws else 0)
+        df = df.copy()
+        df["n_tokens"] = n
+        df["stopword_count"] = stop_hits.astype("int64")
+        df["mean_token_len"] = np.where(n > 0, total_len / n.clip(lower=1), 0.0)
+        df["quality_ok"] = (n >= 10) & (stop_hits / n.clip(lower=1) < 0.5)
+        return df
+
+
+def with_quality(ds: ray.data.Dataset, text_col: str = "text", concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        QualityScorer,
+        batch_format="pandas",
+        fn_constructor_kwargs=dict(text_col=text_col),
+        concurrency=concurrency,
+    )
+
+
+class LangId:
+    """Actor stage: n-gram/stopword-profile language heuristic.
+
+    Profiles are tiny hand-rolled function-word sets (public knowledge);
+    output is deterministic; this is the plumbing pattern for a real
+    fastText-style model (load once per actor)."""
+
+    PROFILES = {
+        "en": {"the", "and", "of", "is", "to", "in", "that", "it"},
+        "de": {"der", "die", "das", "und", "ist", "nicht", "ein"},
+        "fr": {"le", "la", "les", "et", "est", "une", "que"},
+        "es": {"el", "la", "los", "y", "es", "una", "que", "de"},
+        "zh": set(),  # non-latin scripts detected by codepoint range below
+    }
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.profiles = {k: v for k, v in self.PROFILES.items() if v}
+
+    def _classify(self, text: str) -> str:
+        if not text:
+            return "und"
+        if any("一" <= ch <= "鿿" for ch in text[:200]):
+            return "zh"
+        words = set(text.lower().split()[:200])
+        best, best_hits = "und", 0
+        for lang, prof in sorted(self.profiles.items()):
+            hits = len(words & prof)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[self.out_col] = df[self.text_col].fillna("").map(self._classify)
+        return df
+
+
+def with_langid(ds: ray.data.Dataset, concurrency=(1, 8), **kw) -> ray.data.Dataset:
+    return ds.map_batches(LangId, batch_format="pandas", fn_constructor_kwargs=kw, concurrency=concurrency)
+
+
+def _poly_hash_codes(codes: np.ndarray, base: np.uint64 = np.uint64(1099511628211)) -> np.uint64:
+    h = np.uint64(1469598103934665603)
+    for c in codes:  # bounded by text length; vectorize per-batch below
+        h = (h * base + np.uint64(c)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+def with_fingerprint(ds: ray.data.Dataset, text_col: str = "text", out_col: str = "fingerprint") -> ray.data.Dataset:
+    """Deterministic 64-bit FNV-style rolling hash per document (document
+    fingerprinting; vectorized over the batch's concatenated byte buffer)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        n = len(texts)
+        base = np.uint64(1099511628211)
+        h0 = np.uint64(1469598103934665603)
+        max_len = max((len((t or "").encode("utf-8")) for t in texts), default=0)
+        out = np.empty(n, dtype=np.uint64)
+        with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+            # powers of base mod 2^64 (uint64 wraps), highest first
+            pows = np.empty(max_len + 1, dtype=np.uint64)
+            pows[0] = 1
+            for k in range(1, max_len + 1):
+                pows[k] = pows[k - 1] * base
+            for i, t in enumerate(texts):
+                data = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                L = len(data)
+                # h0*base^L + sum(data[i]*base^(L-1-i)), all mod 2^64
+                out[i] = h0 * pows[L] + (data * pows[L - 1 :: -1]).sum() if L else h0
+        return b.append_column(out_col, pa.array(out.astype(np.int64)))
+
+    return ds.map_batches(f, batch_format="pyarrow")

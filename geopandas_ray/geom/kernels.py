@@ -481,6 +481,15 @@ def point_to_segments_sqdist(px, py, segs: np.ndarray) -> np.ndarray:
     for i in range(len(segs)):
         if seg_len2[i] == 0:
             d2 = (px - x0[i]) ** 2 + (py - y0[i]) ** 2
+        elif dy[i] == 0.0:
+            # axis-aligned fast paths: clamp the coordinate directly so the
+            # result is float-EXACT for integer inputs (the generic t-param
+            # form rounds the parallel component, e.g. (1/3)*3 != 1)
+            nx = np.clip(px, min(x0[i], x1[i]), max(x0[i], x1[i]))
+            d2 = (px - nx) ** 2 + (py - y0[i]) ** 2
+        elif dx[i] == 0.0:
+            ny = np.clip(py, min(y0[i], y1[i]), max(y0[i], y1[i]))
+            d2 = (px - x0[i]) ** 2 + (py - ny) ** 2
         else:
             t = np.clip(((px - x0[i]) * dx[i] + (py - y0[i]) * dy[i]) / seg_len2[i], 0, 1)
             d2 = (px - (x0[i] + t * dx[i])) ** 2 + (py - (y0[i] + t * dy[i])) ** 2
