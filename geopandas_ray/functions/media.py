@@ -65,6 +65,12 @@ class MediaDecoder:
 
 def decode_media(ds: ray.data.Dataset, payload_col="payload", decoder="fake",
                  concurrency=(1, 4), batch_size: int = 128) -> ray.data.Dataset:
+    if decoder not in ("fake",):
+        # fail fast on the driver; the actor would only surface this at the
+        # first batch (late actor-init errors are a known Ray pitfall)
+        raise NotImplementedError(
+            f"decoder={decoder!r}: real codecs are not available in this container"
+        )
     return ds.map_batches(
         MediaDecoder,
         batch_format="pyarrow",

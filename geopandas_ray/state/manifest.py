@@ -48,7 +48,8 @@ class FragmentWriter:
                 {k.encode(): v.encode() if isinstance(v, str) else v for k, v in self.schema_metadata.items()}
             )
             batch = batch.replace_schema_metadata(meta)
-        name = f"part-{self.tag}-{uuid.uuid4().hex[:12]}.parquet"
+        safe_tag = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in self.tag)[-80:]
+        name = f"part-{safe_tag}-{uuid.uuid4().hex[:12]}.parquet"
         tmp = os.path.join(self.frag_dir, "." + name + ".tmp")
         final = os.path.join(self.frag_dir, name)
         pq.write_table(batch, tmp, compression="snappy")
@@ -71,6 +72,7 @@ def write_fragments(
     rows = ds.map_batches(
         FragmentWriter,
         batch_format="pyarrow",
+        batch_size=None,  # one fragment per block, not per default-size batch
         concurrency=(1, 8),
         fn_constructor_kwargs=dict(out_dir=out_dir, tag=tag, schema_metadata=schema_metadata),
     ).take_all()

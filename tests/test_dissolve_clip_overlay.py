@@ -1,0 +1,132 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from geopandas_ray.geom import kernels as K
+from geopandas_ray.geom import wkb as W
+from geopandas_ray.stages.clip import clip, clip_rect
+from geopandas_ray.stages.dissolve import dissolve, total_bounds, union_all
+from geopandas_ray.stages.overlay import overlay
+
+
+def _areas(df):
+    return K.area(W.from_wkb(df.geometry.tolist()))
+
+
+@pytest.fixture
+def zones():
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "cat": pa.array(["A", "A", "B", "B"]),
+                "w": pa.array([1.0, 2.0, 3.0, 4.0]),
+                "geometry": W.boxes_to_wkb(
+                    [0.0, 1.0, 10.0, 20.0], [0.0, 1.0, 10.0, 20.0], [2.0, 3.0, 12.0, 22.0], [2.0, 3.0, 12.0, 22.0]
+                ),
+            }
+        )
+    )
+
+
+def test_dissolve_union_and_aggs(zones):
+    d = dissolve(zones, by="cat", aggfunc={"w": ["sum", "min", "max", "count"]}).to_pandas()
+    d = d.sort_values("cat").reset_index(drop=True)
+    a = _areas(d)
+    assert np.allclose(sorted(a), [7.0, 8.0])  # A overlaps (7), B disjoint (8)
+    assert d.w_sum.tolist() == [3.0, 7.0]
+    assert d.w_min.tolist() == [1.0, 3.0]
+    assert d.w_max.tolist() == [2.0, 4.0]
+    assert d.w_count.tolist() == [2, 2]
+
+
+def test_dissolve_points_dedup():
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 1]),
+                "geometry": W.points_to_wkb([0.0, 0.0, 1.0], [0.0, 0.0, 1.0]),
+            }
+        )
+    )
+    d = dissolve(pts, by="k").to_pandas()
+    g = W.from_wkb(d.geometry.tolist())
+    assert K.count_geometries(g)[0] == 2  # coincident points merged
+
+
+def test_dissolve_global_and_union_all(zones):
+    g = dissolve(zones, by=None).to_pandas()
+    assert len(g) == 1
+    assert np.isclose(_areas(g)[0], 15.0)
+    w = union_all(zones)
+    assert np.isclose(K.area(W.from_wkb([w]))[0], 15.0)
+    assert np.allclose(total_bounds(zones), [0, 0, 22, 22])
+
+
+def test_dissolve_dropna():
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a", None, "a"]),
+                "geometry": W.points_to_wkb([0.0, 1.0, 2.0], [0.0, 1.0, 2.0]),
+            }
+        )
+    )
+    d = dissolve(ds, by="k", dropna=True).to_pandas()
+    assert d.k.tolist() == ["a"]
+
+
+def test_clip_line():
+    import struct
+
+    line = struct.pack("<BII", 1, 2, 2) + np.array([-5.0, 5.0, 15.0, 5.0]).astype("<f8").tobytes()
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array([0]), "geometry": pa.array([line], type=pa.large_binary())})
+    )
+    c = clip_rect(ds, 0, 0, 10, 10).to_pandas()
+    g = W.from_wkb(c.geometry.tolist())
+    assert np.isclose(K.length(g)[0], 10.0)
+
+
+def test_clip_drops_outside():
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"id": pa.array([0, 1]), "geometry": W.points_to_wkb([5.0, 50.0], [5.0, 50.0])}
+        )
+    )
+    assert clip_rect(ds, 0, 0, 10, 10).to_pandas().id.tolist() == [0]
+
+
+def test_overlay_golden_2x2():
+    """The reference docstring example (tools/overlay.py:131-165)."""
+    df1 = ray.data.from_arrow(
+        pa.table(
+            {"col1": pa.array([1, 2]), "geometry": W.boxes_to_wkb([0.0, 2.0], [0.0, 2.0], [2.0, 4.0], [2.0, 4.0])}
+        )
+    )
+    df2 = pa.table(
+        {"col2": pa.array([1, 2]), "geometry": W.boxes_to_wkb([1.0, 3.0], [1.0, 3.0], [3.0, 5.0], [3.0, 5.0])}
+    )
+    expect = {
+        "intersection": (3, 3.0),
+        "difference": (2, 5.0),
+        "union": (7, 13.0),
+        "identity": (5, 8.0),
+        "symmetric_difference": (4, 10.0),
+    }
+    for how, (nrows, area) in expect.items():
+        df = overlay(df1, df2, how).to_pandas()
+        assert len(df) == nrows, how
+        assert np.isclose(_areas(df).sum(), area), how
+
+
+def test_overlay_attrs_nulls():
+    df1 = ray.data.from_arrow(
+        pa.table({"col1": pa.array([1]), "geometry": W.boxes_to_wkb([0.0], [0.0], [2.0], [2.0])})
+    )
+    df2 = pa.table(
+        {"col2": pa.array([9]), "geometry": W.boxes_to_wkb([10.0], [10.0], [12.0], [12.0])}
+    )
+    u = overlay(df1, df2, "union").to_pandas()
+    assert len(u) == 2
+    assert u.col1.isna().sum() == 1 and u.col2.isna().sum() == 1

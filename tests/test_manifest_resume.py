@@ -1,0 +1,92 @@
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from geopandas_ray.state.manifest import (
+    load_manifest,
+    pending_inputs,
+    run_resumable,
+    write_fragments,
+)
+
+
+@pytest.fixture
+def inputs(tmp_path):
+    files = []
+    for i in range(3):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(
+            pa.table({"doc_id": pa.array(np.arange(i * 10, i * 10 + 10, dtype=np.int64))}), p
+        )
+        files.append(p)
+    return files
+
+
+def test_write_fragments_and_manifest(tmp_path):
+    out = str(tmp_path / "out")
+    ds = ray.data.from_arrow(pa.table({"a": pa.array([1, 2, 3], type=pa.int64())}))
+    rows = write_fragments(ds, out, tag="t0")
+    assert sum(r["rows"] for r in rows) == 3
+    man = load_manifest(out)
+    assert len(man) == len(rows)
+    for r in man:
+        assert os.path.exists(r["output"])
+        assert not os.path.basename(r["output"]).startswith(".")
+    # fragments read back
+    back = ray.data.read_parquet(os.path.join(out, "fragments")).to_pandas()
+    assert sorted(back.a) == [1, 2, 3]
+
+
+def test_resume_skips_completed(inputs, tmp_path):
+    out = str(tmp_path / "out")
+
+    def pipeline(ds):
+        return ds.map_batches(lambda b: b, batch_format="pyarrow")
+
+    s1 = run_resumable(inputs, out, pipeline)
+    assert s1["processed"] == 3 and s1["skipped"] == 0 and s1["rows"] == 30
+    s2 = run_resumable(inputs, out, pipeline)
+    assert s2["processed"] == 0 and s2["skipped"] == 3
+    # partial manifest -> only missing inputs rerun
+    man = load_manifest(out)
+    keep = [r for r in man if r["input_fragment"] != inputs[1]]
+    with open(os.path.join(out, "manifest.jsonl"), "w") as f:
+        for r in keep:
+            f.write(json.dumps(r) + "\n")
+    assert pending_inputs(inputs, out) == [inputs[1]]
+    s3 = run_resumable(inputs, out, pipeline)
+    assert s3["processed"] == 1 and s3["rows"] == 10
+
+
+def test_geoparquet_metadata_roundtrip(tmp_path):
+    from geopandas_ray.geom.wkb import points_to_wkb
+    from geopandas_ray.sources.geoparquet import (
+        parse_geo_metadata,
+        read_geoparquet,
+        write_geoparquet,
+    )
+
+    out = str(tmp_path / "geo")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "geometry": points_to_wkb([1.0, 50.0, 90.0], [1.0, 50.0, 90.0]),
+            }
+        )
+    )
+    write_geoparquet(ds, out, crs="EPSG:4326", write_covering_bbox=True)
+    frag_dir = os.path.join(out, "fragments")
+    f = [os.path.join(frag_dir, p) for p in os.listdir(frag_dir)][0]
+    meta = parse_geo_metadata(pq.read_schema(f))
+    assert meta["primary_column"] == "geometry"
+    assert meta["columns"]["geometry"]["encoding"] == "WKB"
+    assert meta["columns"]["geometry"]["crs"] == "EPSG:4326"
+    # bbox pushdown read
+    got = read_geoparquet(frag_dir, bbox=(0, 0, 10, 10)).to_pandas()
+    assert got.doc_id.tolist() == [0]

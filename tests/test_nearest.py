@@ -1,0 +1,74 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from geopandas_ray.geom import wkb as W
+from geopandas_ray.stages.nearest import sjoin_nearest
+
+
+def test_ties_all_returned():
+    left = ray.data.from_arrow(
+        pa.table({"pid": pa.array([0]), "geometry": W.points_to_wkb([0.0], [0.0])})
+    )
+    right = pa.table(
+        {"rid": pa.array([0, 1, 2]), "geometry": W.points_to_wkb([-1.0, 1.0, 5.0], [0.0, 0.0, 0.0])}
+    )
+    j = sjoin_nearest(left, right, distance_col="d", right_index="rid").to_pandas()
+    assert sorted(j.rid) == [0, 1]
+    assert np.allclose(j.d, 1.0)
+
+
+def test_brute_force_oracle(rng):
+    n, m = 300, 80
+    px = rng.uniform(0, 1000, n)
+    py = rng.uniform(0, 1000, n)
+    qx = rng.uniform(0, 1000, m)
+    qy = rng.uniform(0, 1000, m)
+    left = ray.data.from_arrow(
+        pa.table({"pid": pa.array(np.arange(n)), "geometry": W.points_to_wkb(px, py)})
+    )
+    right = pa.table({"rid": pa.array(np.arange(m)), "geometry": W.points_to_wkb(qx, qy)})
+    j = sjoin_nearest(left, right, right_index="rid").to_pandas()
+    d2 = (px[:, None] - qx[None, :]) ** 2 + (py[:, None] - qy[None, :]) ** 2
+    expected = d2.argmin(axis=1)
+    got = j.set_index("pid").rid
+    assert len(j) == n  # random floats: no ties
+    assert np.array_equal(got.loc[np.arange(n)].to_numpy(), expected)
+
+
+def test_max_distance_and_how_left(rng):
+    left = ray.data.from_arrow(
+        pa.table({"pid": pa.array([0, 1]), "geometry": W.points_to_wkb([0.0, 500.0], [0.0, 500.0])})
+    )
+    right = pa.table({"rid": pa.array([7]), "geometry": W.points_to_wkb([1.0], [0.0])})
+    inner = sjoin_nearest(left, right, max_distance=5.0, right_index="rid").to_pandas()
+    assert inner.pid.tolist() == [0]
+    outer = sjoin_nearest(left, right, max_distance=5.0, how="left", right_index="rid").to_pandas()
+    assert len(outer) == 2 and outer[outer.pid == 1].rid.isna().all()
+
+
+def test_exclusive():
+    left = ray.data.from_arrow(
+        pa.table({"pid": pa.array([0]), "geometry": W.points_to_wkb([3.0], [3.0])})
+    )
+    right = pa.table(
+        {"rid": pa.array([0, 1]), "geometry": W.points_to_wkb([3.0, 6.0], [3.0, 7.0])}
+    )
+    j = sjoin_nearest(left, right, exclusive=True, distance_col="d", right_index="rid").to_pandas()
+    assert j.rid.tolist() == [1] and np.isclose(j.d[0], 5.0)
+
+
+def test_nearest_to_polygons():
+    left = ray.data.from_arrow(
+        pa.table({"pid": pa.array([0, 1]), "geometry": W.points_to_wkb([5.0, 30.0], [5.0, 5.0])})
+    )
+    right = pa.table(
+        {
+            "rid": pa.array([0, 1]),
+            "geometry": W.boxes_to_wkb([0.0, 20.0], [0.0, 0.0], [10.0, 25.0], [10.0, 10.0]),
+        }
+    )
+    j = sjoin_nearest(left, right, distance_col="d", right_index="rid").to_pandas().sort_values("pid")
+    assert j.rid.tolist() == [0, 1]
+    assert np.allclose(j.d, [0.0, 5.0])  # inside -> 0; 30 to box edge 25 -> 5

@@ -1,0 +1,185 @@
+"""sjoin conformance: F3 micro-fixtures (reference test_sjoin.py row sets),
+randomized brute-force oracle, broadcast/shuffle parity, span invariance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from geopandas_ray.geom import wkb as W
+from geopandas_ray.stages.sjoin import sjoin, sjoin_shuffle
+
+
+@pytest.fixture
+def micro_left():
+    return pa.table(
+        {
+            "pid": pa.array([0, 1, 2]),
+            "value": pa.array([1, 2, 3]),
+            "geometry": W.points_to_wkb([0.0, 1.0, 2.0], [0.0, 1.0, 2.0]),
+        }
+    )
+
+
+@pytest.fixture
+def micro_right():
+    return pa.table(
+        {
+            "zid": pa.array([10, 20]),
+            "attr": pa.array(["A", "B"]),
+            "geometry": W.boxes_to_wkb([0.0, 1.0], [0.0, 1.0], [1.0, 2.0], [1.0, 2.0]),
+        }
+    )
+
+
+def test_micro_inner(micro_left, micro_right):
+    j = sjoin(ray.data.from_arrow(micro_left), micro_right, right_index="zid").to_pandas()
+    assert sorted(zip(j.pid, j.index_right)) == [(0, 10), (1, 10), (1, 20), (2, 20)]
+    # left geometry kept, right's dropped
+    assert "geometry" in j.columns
+
+
+def test_micro_left_outer(micro_left):
+    far = pa.table(
+        {"zid": pa.array([9]), "geometry": W.boxes_to_wkb([50.0], [50.0], [60.0], [60.0])}
+    )
+    j = sjoin(ray.data.from_arrow(micro_left), far, how="left", right_index="zid").to_pandas()
+    assert len(j) == 3 and j.zid.isna().all()
+
+
+def test_empty_right_left_join(micro_left):
+    empty = pa.table(
+        {"zid": pa.array([], type=pa.int64()), "geometry": pa.array([], type=pa.large_binary())}
+    )
+    j = sjoin(ray.data.from_arrow(micro_left), empty, how="left", right_index="zid").to_pandas()
+    assert len(j) == 3 and j.index_right.isna().all()
+
+
+def test_suffix_rules(micro_left):
+    right = pa.table(
+        {
+            "value": pa.array([7, 8]),  # collides with left's `value`
+            "geometry": W.boxes_to_wkb([0.0, 1.0], [0.0, 1.0], [1.0, 2.0], [1.0, 2.0]),
+        }
+    )
+    j = sjoin(ray.data.from_arrow(micro_left), right).to_pandas()
+    assert "value_left" in j.columns and "value_right" in j.columns
+
+
+def test_reserved_index_column_raises(micro_left, micro_right):
+    bad = micro_left.append_column("index_right", pa.array([0, 0, 0]))
+    with pytest.raises(ValueError, match="index_right"):
+        sjoin(ray.data.from_arrow(bad), micro_right)
+
+
+def _random_layers(rng, n_pts=400, n_zones=60):
+    px = rng.uniform(0, 1000, n_pts)
+    py = rng.uniform(0, 1000, n_pts)
+    left = pa.table(
+        {"pid": pa.array(np.arange(n_pts)), "geometry": W.points_to_wkb(px, py)}
+    )
+    zx = rng.uniform(0, 900, n_zones)
+    zy = rng.uniform(0, 900, n_zones)
+    w = rng.uniform(10, 120, n_zones)
+    h = rng.uniform(10, 120, n_zones)
+    right = pa.table(
+        {"zid": pa.array(np.arange(n_zones)), "geometry": W.boxes_to_wkb(zx, zy, zx + w, zy + h)}
+    )
+    expected = set()
+    for i in range(n_pts):
+        for j in range(n_zones):
+            if zx[j] <= px[i] <= zx[j] + w[j] and zy[j] <= py[i] <= zy[j] + h[j]:
+                expected.add((i, j))
+    return left, right, expected
+
+
+def test_brute_force_oracle_broadcast(rng):
+    left, right, expected = _random_layers(rng)
+    j = sjoin(ray.data.from_arrow(left), right, right_index="zid").to_pandas()
+    assert set(zip(j.pid, j.zid)) == expected
+    assert len(j) == len(expected)  # no dup pairs
+
+
+@pytest.mark.parametrize("salt", [1, 3])
+def test_brute_force_oracle_shuffle(rng, salt):
+    left, right, expected = _random_layers(rng)
+    j = sjoin_shuffle(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), res=5, salt=salt
+    ).to_pandas()
+    assert set(zip(j.pid, j.zid)) == expected
+    assert len(j) == len(expected)
+
+
+def test_polygon_polygon_shuffle_no_dups(rng):
+    n = 40
+    ax = rng.uniform(0, 800, n)
+    ay = rng.uniform(0, 800, n)
+    a = pa.table(
+        {"aid": pa.array(np.arange(n)), "geometry": W.boxes_to_wkb(ax, ay, ax + 150, ay + 150)}
+    )
+    bx = rng.uniform(0, 800, n)
+    by = rng.uniform(0, 800, n)
+    b = pa.table(
+        {"bid": pa.array(np.arange(n)), "geometry": W.boxes_to_wkb(bx, by, bx + 150, by + 150)}
+    )
+    expected = {
+        (i, j)
+        for i in range(n)
+        for j in range(n)
+        if ax[i] <= bx[j] + 150 and ax[i] + 150 >= bx[j] and ay[i] <= by[j] + 150 and ay[i] + 150 >= by[j]
+    }
+    got = sjoin_shuffle(
+        ray.data.from_arrow(a), ray.data.from_arrow(b), res=4
+    ).to_pandas()
+    assert len(got) == len(expected)
+    assert set(zip(got.aid, got.bid)) == expected
+
+
+def test_span_sequence_invariance(rng):
+    """BASELINE input_hint: (kind, text, media_ref, offset) span sequences
+    ride through the spatial join untouched."""
+    n = 50
+    spans_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    spans = [
+        [
+            {
+                "kind": ["text", "image", "audio"][j % 3],
+                "text": f"doc-{i}-s{j}" if j % 3 == 0 else "",
+                "media_ref": f"ref://doc-{i}/{j}" if j % 3 else "",
+                "offset": j,
+            }
+            for j in range(1 + i % 5)
+        ]
+        for i in range(n)
+    ]
+    px = rng.uniform(0, 100, n)
+    py = rng.uniform(0, 100, n)
+    left = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n)),
+            "spans": pa.array(spans, type=spans_type),
+            "geometry": W.points_to_wkb(px, py),
+        }
+    )
+    right = pa.table(
+        {"zid": pa.array([0, 1]), "geometry": W.boxes_to_wkb([0.0, 50.0], [0.0, 0.0], [50.0, 100.0], [100.0, 100.0])}
+    )
+    j = sjoin(ray.data.from_arrow(left), right, how="left", right_index="zid").to_pandas()
+    orig = {i: spans[i] for i in range(n)}
+    for _, row in j.iterrows():
+        got = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]
+        ]
+        want = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in orig[row["doc_id"]]
+        ]
+        assert got == want

@@ -1,0 +1,83 @@
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geopandas_ray.geom import wkb as W
+from geopandas_ray.geom import kernels as K
+
+
+def test_point_roundtrip_vectorized():
+    x = np.array([0.0, 1.5, -3.25, 1e9])
+    y = np.array([2.0, -1.0, 7.5, -1e-9])
+    arr = W.points_to_wkb(x, y)
+    g = W.from_wkb(arr)
+    assert g.all_points
+    assert np.array_equal(g.coords, np.column_stack([x, y]))
+    assert W.to_wkb(g).to_pylist() == arr.to_pylist()
+
+
+def test_box_roundtrip_and_fallback_parser():
+    arr = W.boxes_to_wkb([0.0, 10.0], [0.0, 10.0], [5.0, 20.0], [4.0, 30.0])
+    g = W.from_wkb(arr)
+    assert list(g.row_types) == [W.POLYGON, W.POLYGON]
+    g2 = W.from_wkb(W.to_wkb(g))
+    assert np.array_equal(g.coords, g2.coords)
+
+
+def test_polygon_with_hole_roundtrip():
+    g = W._poly_geoms([[[(0, 0), (10, 0), (10, 10), (0, 10)], [(2, 2), (4, 2), (4, 4), (2, 4)]]])
+    g2 = W.from_wkb(W.to_wkb(g))
+    assert np.isclose(K.area(g2)[0], 96.0)
+    r0, r1 = g2.part_ring_range(0)
+    assert r1 - r0 == 2
+
+
+def test_missing_and_empty_distinct():
+    empty_poly = struct.pack("<BII", 1, 3, 0)
+    vals = [None, empty_poly, W.points_to_wkb([1.0], [2.0])[0].as_py()]
+    g = W.from_wkb(vals)
+    assert list(g.is_missing) == [True, False, False]
+    assert list(g.is_empty) == [False, True, False]
+    # roundtrip preserves the distinction
+    g2 = W.from_wkb(W.to_wkb(g))
+    assert list(g2.is_missing) == [True, False, False]
+    assert list(g2.is_empty) == [False, True, False]
+
+
+def test_multi_geometries():
+    mp = struct.pack("<BII", 1, 4, 2) + struct.pack("<BI2d", 1, 1, 5.0, 6.0) + struct.pack(
+        "<BI2d", 1, 1, 7.0, 8.0
+    )
+    mls = (
+        struct.pack("<BII", 1, 5, 1)
+        + struct.pack("<BII", 1, 2, 2)
+        + np.array([0.0, 0.0, 3.0, 4.0]).astype("<f8").tobytes()
+    )
+    g = W.from_wkb([mp, mls])
+    assert list(g.row_types) == [W.MULTIPOINT, W.MULTILINESTRING]
+    assert list(K.count_geometries(g)) == [2, 1]
+    assert np.isclose(K.length(g)[1], 5.0)
+    back = W.from_wkb(W.to_wkb(g))
+    assert list(back.row_types) == [W.MULTIPOINT, W.MULTILINESTRING]
+
+
+def test_big_endian_point():
+    be = struct.pack(">BI2d", 0, 1, 3.0, 4.0)
+    g = W.from_wkb([be])
+    assert np.array_equal(g.coords, [[3.0, 4.0]])
+
+
+def test_z_coordinate_dropped():
+    # planar engine: Z parsed but dropped (reference base.py:93-95)
+    pz = struct.pack("<BI3d", 1, 1001, 1.0, 2.0, 9.0)
+    g = W.from_wkb([pz])
+    assert np.array_equal(g.coords, [[1.0, 2.0]])
+
+
+def test_take():
+    arr = W.points_to_wkb([0.0, 1.0, 2.0], [0.0, 1.0, 2.0])
+    g = W.from_wkb(arr)
+    t = g.take([2, 0, 2])
+    assert np.array_equal(t.coords, [[2, 2], [0, 0], [2, 2]])
