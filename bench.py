@@ -1,0 +1,188 @@
+"""Benchmark harness - headline pipelines over $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "rows": {...}}
+
+--scaling: runs the headline twice in FRESH processes (num_cpus=8 then 32)
+on the same input and reports both throughputs + scaling efficiency
+(the sandbox substitute for the N vs 4N node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "100"))  # 5k docs -> 500k
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data
+
+    from geopandas_ray.pipelines.datasets import doc_points, zone_dataset, zone_table
+    from geopandas_ray.pipelines.flagship import flagship
+
+    # warm the page cache (untimed)
+    for t in ("documents", "part", "lineitem", "embeddings"):
+        ray.data.read_parquet(f"{SF_DIR}/{t}.parquet").count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        rows[name] = int(n)
+        return dt
+
+    # headline: flagship shuffle sjoin + tiling over replicated docs
+    n_docs = REPLICATE * ray.data.read_parquet(f"{SF_DIR}/documents.parquet").count()
+
+    def run_flagship():
+        return flagship(SF_DIR, mode="shuffle", res=5, replicate=REPLICATE, batch_size=32768).count()
+
+    headline = timed("flagship_shuffle_tiling", run_flagship)
+
+    def run_broadcast():
+        from geopandas_ray.stages.sjoin import sjoin
+
+        pts = doc_points(SF_DIR, replicate=REPLICATE)
+        return sjoin(pts, zone_table(SF_DIR), batch_size=32768).count()
+
+    timed("sjoin_broadcast", run_broadcast)
+
+    def run_nearest():
+        from geopandas_ray.geom.kernels import bounds as kb
+        from geopandas_ray.geom.wkb import from_wkb, points_to_wkb
+        import pyarrow as pa
+
+        from geopandas_ray.stages.nearest import sjoin_nearest
+
+        zt = zone_table(SF_DIR)
+        zb = kb(from_wkb(zt.column("geometry")))
+        cents = pa.table(
+            {
+                "zone_key": zt.column("zone_key"),
+                "geometry": points_to_wkb((zb[:, 0] + zb[:, 2]) / 2.0, (zb[:, 1] + zb[:, 3]) / 2.0),
+            }
+        )
+        pts = doc_points(SF_DIR, replicate=max(1, REPLICATE // 10))
+        return sjoin_nearest(pts, cents, batch_size=8192).count()
+
+    timed("sjoin_nearest", run_nearest)
+
+    def run_dissolve():
+        from geopandas_ray.stages.dissolve import dissolve
+
+        return dissolve(zone_dataset(SF_DIR), by="category", aggfunc={"weight": ["sum", "count"]}).count()
+
+    timed("dissolve_zones", run_dissolve)
+
+    def run_knn():
+        from geopandas_ray.functions.knn import knn_brute
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+        import pyarrow.parquet as pq
+
+        corpus = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+        return knn_brute(ds, corpus, k=5).count()
+
+    timed("knn_brute", run_knn)
+
+    def run_minhash():
+        from geopandas_ray.functions.dedup import minhash_candidate_pairs
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        return minhash_candidate_pairs(ds, sim_threshold=0.5).count()
+
+    timed("minhash_dedup", run_minhash)
+
+    def run_q1():
+        from ray.data.aggregate import Count, Sum
+
+        ds = ray.data.read_parquet(
+            f"{SF_DIR}/lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+        )
+        return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n")
+        ).count()
+
+    timed("q1_lineitem", run_q1)
+
+    result = {
+        "metric": "flagship sjoin+tiling wall seconds (docs/sec in docs_per_sec)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+        "rows": rows,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency 8->32 cpus (flagship)",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "docs_per_sec_8": r_lo["docs_per_sec"],
+                "docs_per_sec_32": r_hi["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -165,6 +165,13 @@ class RectRegion:
     def is_empty(self) -> bool:
         return len(self.rects) == 0
 
+    def normalized(self) -> "RectRegion":
+        """Merge possibly-overlapping rects into disjoint maximal rects in a
+        single grid pass."""
+        if len(self.rects) <= 1:
+            return self
+        return _grid_boolean([self], lambda m: m[0])
+
 
 def _grid_boolean(regions: list[RectRegion], op) -> RectRegion:
     """Evaluate a boolean ``op`` over regions on their shared coordinate grid.
@@ -197,27 +204,34 @@ def _grid_boolean(regions: list[RectRegion], op) -> RectRegion:
 
 
 def _mask_to_rects(mask: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
-    """Greedy merge of a cell mask into maximal rectangles (rows then stacks)."""
+    """Cell mask -> disjoint rectangles, vectorized.
+
+    Horizontal runs are found with one diff over the padded mask (no Python
+    per-cell loop); vertical merging then folds row-adjacent runs with the
+    same column span (loop is O(#runs), not O(#cells))."""
     ny, nx = mask.shape
+    padded = np.zeros((ny, nx + 2), dtype=np.int8)
+    padded[:, 1 : nx + 1] = mask
+    d = np.diff(padded, axis=1)
+    rows_s, cols_s = np.nonzero(d == 1)  # run starts (row-major order)
+    rows_e, cols_e = np.nonzero(d == -1)  # run ends, pairs up with starts
+    if len(rows_s) == 0:
+        return np.empty((0, 4))
+    # vertical merge: runs sorted by (col span, row); row-adjacent identical
+    # spans merge into taller rects
+    order = np.lexsort((rows_s, cols_e, cols_s))
+    sc, ec, rr = cols_s[order], cols_e[order], rows_s[order]
     rects = []
-    used = np.zeros_like(mask)
-    for j in range(ny):
-        i = 0
-        while i < nx:
-            if mask[j, i] and not used[j, i]:
-                # horizontal run
-                i2 = i
-                while i2 + 1 < nx and mask[j, i2 + 1] and not used[j, i2 + 1]:
-                    i2 += 1
-                # extend down while the whole run is present
-                j2 = j
-                while j2 + 1 < ny and mask[j2 + 1, i : i2 + 1].all() and not used[j2 + 1, i : i2 + 1].any():
-                    j2 += 1
-                used[j : j2 + 1, i : i2 + 1] = True
-                rects.append((xs[i], ys[j], xs[i2 + 1], ys[j2 + 1]))
-                i = i2 + 1
-            else:
-                i += 1
+    k = 0
+    n = len(sc)
+    while k < n:
+        j = k
+        while (
+            j + 1 < n and sc[j + 1] == sc[k] and ec[j + 1] == ec[k] and rr[j + 1] == rr[j] + 1
+        ):
+            j += 1
+        rects.append((xs[sc[k]], ys[rr[k]], xs[ec[k]], ys[rr[j] + 1]))
+        k = j + 1
     return np.asarray(rects, dtype=np.float64).reshape(-1, 4)
 
 

@@ -95,20 +95,21 @@ class BBoxTree:
             qi, li = np.nonzero(ov)
             if len(qi) == 0:
                 continue
-            # expand members of each candidate leaf
+            # expand members of each candidate leaf (single repeat + arange)
             starts = self.leaf_offsets[li]
-            ends = self.leaf_offsets[li + 1]
-            counts = ends - starts
+            counts = self.leaf_offsets[li + 1] - starts
+            total = int(counts.sum())
+            offs = np.empty(len(counts), dtype=np.int64)
+            offs[0] = 0
+            np.cumsum(counts[:-1], out=offs[1:])
+            member = np.arange(total, dtype=np.int64) + np.repeat(starts - offs, counts)
             pair_q = np.repeat(qi, counts)
-            offs = np.concatenate([[0], np.cumsum(counts)])
-            member = np.arange(offs[-1], dtype=np.int64) - offs[np.repeat(np.arange(len(qi)), counts)] + np.repeat(starts, counts)
             ib = self.item_bounds[member]
-            qq = q[pair_q]
             hit = (
-                (qq[:, 0] <= ib[:, 2])
-                & (qq[:, 2] >= ib[:, 0])
-                & (qq[:, 1] <= ib[:, 3])
-                & (qq[:, 3] >= ib[:, 1])
+                (q[pair_q, 0] <= ib[:, 2])
+                & (q[pair_q, 2] >= ib[:, 0])
+                & (q[pair_q, 1] <= ib[:, 3])
+                & (q[pair_q, 3] >= ib[:, 1])
             )
             out_q.append(pair_q[hit] + s)
             out_t.append(self.item_ids[member[hit]])

@@ -440,12 +440,23 @@ def geom_within_geom(ga: Geoms, ia: int, gb: Geoms, ib: int) -> bool:
         return bool(inter.all() if ta == POINT else ((inter | bound).all() and inter.any()))
     px, py = _row_points(ga, ia)
     inter, bound = points_in_geom(gb, ib, px, py)
-    if not (inter | bound).all() or not inter.any():
+    if not (inter | bound).all():
         return False
     # no proper boundary crossings
     sa = _segments_of_row(ga, ia)
     sb = _segments_of_row(gb, ib)
-    return not _proper_cross(sa, sb)
+    if _proper_cross(sa, sb):
+        return False
+    if inter.any():
+        return True
+    # every vertex sits on b's boundary (e.g. equal rects, shared edges):
+    # within still holds if a's interior meets b's interior - probe a
+    # representative interior point (centroid; exact for convex a)
+    cx, cy = centroid(ga.take([ia]))
+    if np.isnan(cx[0]):
+        return False
+    i2, _ = points_in_geom(gb, ib, np.array([cx[0]]), np.array([cy[0]]))
+    return bool(i2[0])
 
 
 def _proper_cross(a: np.ndarray, b: np.ndarray) -> bool:

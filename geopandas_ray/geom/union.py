@@ -88,9 +88,9 @@ def union_rows(g: Geoms, rows=None) -> bytes | None:
         out_geoms.append(gl)
     if poly_parts:
         if all_rect and rect_regions:
-            reg = rect_regions[0]
-            for rr in rect_regions[1:]:
-                reg = region_union(reg, rr)
+            # one coordinate-grid pass over ALL rects (not pairwise folds)
+            all_rects = np.concatenate([rr.rects for rr in rect_regions])
+            reg = RectRegion.from_rects(all_rects).normalized()
             r = reg.rects
             out_geoms.append(box_geoms(r[:, 0], r[:, 1], r[:, 2], r[:, 3]))
         else:

@@ -31,6 +31,120 @@ def decode_geoms(batch: pa.Table, col: str = "geometry") -> Geoms:
     return from_wkb(batch.column(col))
 
 
+def bbox_equiv_mask(g: Geoms) -> np.ndarray:
+    """Rows whose geometry IS its bounding box: single Points and
+    axis-aligned single-ring rectangle Polygons.
+
+    For such rows every supported predicate evaluates from bounds alone,
+    which turns the per-pair loop into pure vectorized math - the dominant
+    case in the tiling/zone workloads (points vs rectangular zones/tiles).
+    """
+    n = len(g)
+    out = np.zeros(n, dtype=bool)
+    ok = ~(g.is_missing | g.is_empty)
+    out |= (g.row_types == POINT) & ok
+    # candidate rect rows: single part, polygon, single 5-coord ring
+    nparts = g.row_offsets[1:] - g.row_offsets[:-1]
+    cand = ok & (g.row_types == 3) & (nparts == 1)
+    if cand.any():
+        p_idx = g.row_offsets[:-1].copy()
+        idx = np.nonzero(cand)[0]
+        p = p_idx[idx]
+        single_ring = (g.part_offsets[p + 1] - g.part_offsets[p]) == 1
+        idx = idx[single_ring]
+        p = p[single_ring]
+        r = g.part_offsets[p]
+        c0 = g.ring_offsets[r]
+        five = (g.ring_offsets[r + 1] - c0) == 5
+        idx = idx[five]
+        c0 = c0[five]
+        if len(idx):
+            gather = c0[:, None] + np.arange(5)[None, :]
+            cx = g.coords[:, 0][gather]
+            cy = g.coords[:, 1][gather]
+            minx, maxx = cx.min(axis=1), cx.max(axis=1)
+            miny, maxy = cy.min(axis=1), cy.max(axis=1)
+            on_corner = ((cx == minx[:, None]) | (cx == maxx[:, None])) & (
+                (cy == miny[:, None]) | (cy == maxy[:, None])
+            )
+            closed = (cx[:, 0] == cx[:, 4]) & (cy[:, 0] == cy[:, 4])
+            # consecutive vertices differ in exactly one axis (proper ring)
+            step_x = cx[:, 1:] != cx[:, :-1]
+            step_y = cy[:, 1:] != cy[:, :-1]
+            proper = (step_x ^ step_y).all(axis=1)
+            nondeg = (maxx > minx) & (maxy > miny)
+            is_rect = on_corner.all(axis=1) & closed & proper & nondeg
+            out[idx[is_rect]] = True
+    return out
+
+
+def eval_pairs_bbox(
+    pred: str | None,
+    lb: np.ndarray,
+    l_is_point: np.ndarray,
+    rb: np.ndarray,
+    distance: float | None,
+) -> np.ndarray:
+    """Vectorized predicates for bbox-equivalent pair arrays.
+
+    lb/rb: (k,4) bounds of the left/right element of each pair.
+    l_is_point: (k,) whether the left element is a point (degenerate box) -
+    needed because `within` excludes boundary contact for points.
+    """
+    ox = np.minimum(lb[:, 2], rb[:, 2]) - np.maximum(lb[:, 0], rb[:, 0])
+    oy = np.minimum(lb[:, 3], rb[:, 3]) - np.maximum(lb[:, 1], rb[:, 1])
+    overlap = (ox >= 0) & (oy >= 0)
+    if pred in (None, "intersects"):
+        return overlap
+    if pred == "dwithin":
+        dx = np.maximum(np.maximum(rb[:, 0] - lb[:, 2], lb[:, 0] - rb[:, 2]), 0.0)
+        dy = np.maximum(np.maximum(rb[:, 1] - lb[:, 3], lb[:, 1] - rb[:, 3]), 0.0)
+        return dx * dx + dy * dy <= float(distance) ** 2
+    inside_closed = (
+        (lb[:, 0] >= rb[:, 0]) & (lb[:, 2] <= rb[:, 2]) & (lb[:, 1] >= rb[:, 1]) & (lb[:, 3] <= rb[:, 3])
+    )
+    inside_strict = (
+        (lb[:, 0] > rb[:, 0]) & (lb[:, 2] < rb[:, 2]) & (lb[:, 1] > rb[:, 1]) & (lb[:, 3] < rb[:, 3])
+    )
+    contains_closed = (
+        (rb[:, 0] >= lb[:, 0]) & (rb[:, 2] <= lb[:, 2]) & (rb[:, 1] >= lb[:, 1]) & (rb[:, 3] <= lb[:, 3])
+    )
+    contains_strict = (
+        (rb[:, 0] > lb[:, 0]) & (rb[:, 2] < lb[:, 2]) & (rb[:, 1] > lb[:, 1]) & (rb[:, 3] < lb[:, 3])
+    )
+    r_is_point = (rb[:, 0] == rb[:, 2]) & (rb[:, 1] == rb[:, 3])
+    equal_pts = (
+        l_is_point & r_is_point & (lb[:, 0] == rb[:, 0]) & (lb[:, 1] == rb[:, 1])
+    )
+    if pred == "within":
+        # a point on the boundary of r is NOT within; a rect sharing an edge
+        # is; a point within an equal point is
+        return np.where(l_is_point, inside_strict | equal_pts, inside_closed)
+    if pred == "covered_by":
+        return inside_closed
+    if pred == "contains":
+        return np.where(r_is_point, contains_strict | equal_pts, contains_closed)
+    if pred == "covers":
+        return contains_closed
+    if pred == "contains_properly":
+        return np.where(r_is_point, contains_strict | equal_pts, contains_strict)
+    if pred == "touches":
+        # touches = intersects but interiors disjoint; a degenerate box (a
+        # point) has zero overlap width by construction, so its interior
+        # test is strict containment instead of zero-width overlap
+        interiors = np.where(
+            l_is_point & r_is_point,
+            equal_pts,  # two points intersect only via their interiors
+            np.where(
+                l_is_point,
+                inside_strict,
+                np.where(r_is_point, contains_strict, (ox > 0) & (oy > 0)),
+            ),
+        )
+        return overlap & ~interiors
+    raise ValueError(f"unsupported predicate {pred!r}")
+
+
 def _point_vs_geom_mask(
     pred: str,
     px: np.ndarray,
@@ -57,6 +171,9 @@ def _point_vs_geom_mask(
             return boundary
         if pred in ("contains", "contains_properly", "covers"):
             # a point can only contain/cover a geometry that is an equal point
+            if int(g.row_types[row]) == POINT and not (g.is_empty[row] or g.is_missing[row]):
+                c = g.ring_coords(g.part_ring_range(int(g.row_offsets[row]))[0])
+                return (px == c[0, 0]) & (py == c[0, 1])
             return np.zeros(len(px), dtype=bool)
     else:
         # geom <pred> point
@@ -69,6 +186,10 @@ def _point_vs_geom_mask(
         if pred == "touches":
             return boundary
         if pred in ("within", "covered_by"):
+            # geom within/covered_by a point: only an equal point qualifies
+            if int(g.row_types[row]) == POINT and not (g.is_empty[row] or g.is_missing[row]):
+                c = g.ring_coords(g.part_ring_range(int(g.row_offsets[row]))[0])
+                return (px == c[0, 0]) & (py == c[0, 1])
             return np.zeros(len(px), dtype=bool)
     raise ValueError(f"unsupported predicate {pred!r}")
 
@@ -76,8 +197,11 @@ def _point_vs_geom_mask(
 def _pair_predicate(pred: str, lg: Geoms, i: int, rg: Geoms, j: int, distance) -> bool:
     """General (non-point-batch) pairwise predicate."""
     if pred == "dwithin":
+        # distance 0 the moment anything intersects (vertex checks alone
+        # miss boundary crossings where no vertex is near the other shape)
+        if K.geom_intersects_geom(lg, i, rg, j):
+            return True
         px, py = K._row_points(lg, i)
-        # lower bound: vertex-to-geom distance; exact for point/segment pairs
         d2 = K.points_to_geom_sqdist(rg, j, px, py)
         if (d2 <= float(distance) ** 2).any():
             return True
@@ -88,8 +212,16 @@ def _pair_predicate(pred: str, lg: Geoms, i: int, rg: Geoms, j: int, distance) -
         return K.geom_intersects_geom(lg, i, rg, j)
     if pred == "within":
         return K.geom_within_geom(lg, i, rg, j)
-    if pred == "contains" or pred == "contains_properly":
+    if pred == "contains":
         return K.geom_within_geom(rg, j, lg, i)
+    if pred == "contains_properly":
+        # no boundary contact at all: every vertex of r strictly interior to
+        # l and no boundary crossing (exact for convex l)
+        qx, qy = K._row_points(rg, j)
+        inter, _ = K.points_in_geom(lg, i, qx, qy)
+        if not inter.all():
+            return False
+        return not K._proper_cross(K._segments_of_row(lg, i), K._segments_of_row(rg, j))
     if pred == "covers":
         return _covered_by(rg, j, lg, i)
     if pred == "covered_by":
@@ -124,7 +256,22 @@ def _interiors_intersect(ga: Geoms, ia: int, gb: Geoms, ib: int) -> bool:
         inter, _ = K.points_in_geom(g2, i2, px, py)
         if inter.any():
             return True
-    return False
+        # no vertex strictly inside (equal / edge-aligned shapes): probe a
+        # representative interior point (centroid; exact for convex parts)
+        cx, cy = K.centroid(g1.take([i1]))
+        if not np.isnan(cx[0]):
+            i2m, _ = K.points_in_geom(g2, i2, np.array([cx[0]]), np.array([cy[0]]))
+            if i2m[0]:
+                return True
+    # partial edge-aligned overlaps: probe the bbox-overlap midpoint (exact
+    # for axis-aligned rectangles, best-effort otherwise)
+    ba = K.bounds(ga.take([ia]))[0]
+    bb = K.bounds(gb.take([ib]))[0]
+    mx = (max(ba[0], bb[0]) + min(ba[2], bb[2])) / 2.0
+    my = (max(ba[1], bb[1]) + min(ba[3], bb[3])) / 2.0
+    pa_, _ = K.points_in_geom(ga, ia, np.array([mx]), np.array([my]))
+    pb_, _ = K.points_in_geom(gb, ib, np.array([mx]), np.array([my]))
+    return bool(pa_[0] and pb_[0])
 
 
 def eval_pairs(
@@ -134,12 +281,21 @@ def eval_pairs(
     rg: Geoms,
     ri: np.ndarray,
     distance: float | None = None,
+    l_bounds: np.ndarray | None = None,
+    r_bounds: np.ndarray | None = None,
+    l_bbox_equiv: np.ndarray | None = None,
+    r_bbox_equiv: np.ndarray | None = None,
 ) -> np.ndarray:
     """Evaluate predicate(left[li[k]], right[ri[k]]) for candidate pairs.
 
-    Vectorized fast path when the batched side is all points: pairs are
-    grouped by the geometry row and all its candidate points are tested in
-    one kernel call (the hot path: document points vs zone polygons).
+    Three tiers, fastest first:
+    1. pairs where BOTH rows are bbox-equivalent (point / axis-aligned rect):
+       one vectorized bounds computation for the whole pair array;
+    2. the batched side is all points: pairs grouped by the other row, one
+       kernel call per geometry over all its candidate points;
+    3. per-pair general kernels.
+    Callers that hold precomputed bounds / bbox-equiv masks (broadcast
+    actors) pass them in to skip recomputation per batch.
     """
     if pred not in VALID_PREDICATES:
         raise ValueError(
@@ -148,6 +304,45 @@ def eval_pairs(
     n = len(li)
     out = np.zeros(n, dtype=bool)
     if n == 0:
+        return out
+
+    # -- tier 1: bbox-equivalent pair fast path
+    if l_bbox_equiv is None:
+        l_bbox_equiv = bbox_equiv_mask(lg)
+    if r_bbox_equiv is None:
+        r_bbox_equiv = bbox_equiv_mask(rg)
+    fast = l_bbox_equiv[li] & r_bbox_equiv[ri]
+    if fast.any():
+        from ..geom import kernels as _K
+
+        if l_bounds is None:
+            l_bounds = _K.bounds(lg)
+        if r_bounds is None:
+            r_bounds = _K.bounds(rg)
+        lf, rf = li[fast], ri[fast]
+        out[fast] = eval_pairs_bbox(
+            pred,
+            l_bounds[lf],
+            (lg.row_types[lf] == POINT),
+            r_bounds[rf],
+            distance,
+        )
+        if fast.all():
+            return out
+        rest = ~fast
+        sub = eval_pairs(
+            pred,
+            lg,
+            li[rest],
+            rg,
+            ri[rest],
+            distance,
+            l_bounds=l_bounds,
+            r_bounds=r_bounds,
+            l_bbox_equiv=np.zeros(len(lg), dtype=bool),  # force slow tiers
+            r_bbox_equiv=np.zeros(len(rg), dtype=bool),
+        )
+        out[rest] = sub
         return out
     if lg.all_points:
         order = np.argsort(ri, kind="stable")

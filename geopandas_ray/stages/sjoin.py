@@ -92,9 +92,12 @@ class _BroadcastJoiner:
         partner_col,
         on_attribute,
     ):
+        from .core import bbox_equiv_mask
+
         right = ray.get(right_ref) if not isinstance(right_ref, pa.Table) else right_ref
         self.rg = from_wkb(right.column(right_geometry))
         self.rbounds = K.bounds(self.rg)
+        self.r_bbeq = bbox_equiv_mask(self.rg)  # once per actor, not per batch
         self.tree = BBoxTree(self.rbounds)
         self.predicate = predicate
         self.distance = distance
@@ -123,13 +126,26 @@ class _BroadcastJoiner:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lg = from_wkb(batch.column(self.geometry))
         lb = K.bounds(lg)
+        qb = lb
         if self.predicate == "dwithin":
             d = float(self.distance)
-            lb = lb + np.array([-d, -d, d, d])
-        qi, ti = self.tree.query_boxes(lb)
+            qb = lb + np.array([-d, -d, d, d])
+        qi, ti = self.tree.query_boxes(qb)
         if len(qi):
-            mask = eval_pairs(self.predicate, lg, qi, self.rg, ti, self.distance)
-            li, ri = qi[mask], ti[mask]
+            from .core import bbox_equiv_mask
+
+            l_bbeq = bbox_equiv_mask(lg)
+            if self.predicate in (None, "intersects") and l_bbeq.all() and self.r_bbeq.all():
+                # the tree's closed-bbox hit test IS `intersects` for
+                # bbox-equivalent geometries: no per-pair predicate needed
+                li, ri = qi, ti
+            else:
+                mask = eval_pairs(
+                    self.predicate, lg, qi, self.rg, ti, self.distance,
+                    l_bounds=lb, r_bounds=self.rbounds,
+                    l_bbox_equiv=l_bbeq, r_bbox_equiv=self.r_bbeq,
+                )
+                li, ri = qi[mask], ti[mask]
         else:
             li = ri = np.empty(0, dtype=np.int64)
         if self.on_attribute and len(li):
@@ -329,8 +345,17 @@ def _group_join(
         tree = BBoxTree(qb)
         ri, li = tree.query_boxes(rb)
     if len(li):
-        mask = eval_pairs(predicate, lg, li, rg, ri, distance)
-        li, ri = li[mask], ri[mask]
+        from .core import bbox_equiv_mask
+
+        l_bbeq = bbox_equiv_mask(lg)
+        r_bbeq = bbox_equiv_mask(rg)
+        if not (predicate in (None, "intersects") and l_bbeq.all() and r_bbeq.all()):
+            # (bbox-equivalent intersects is already decided by the tree query)
+            mask = eval_pairs(
+                predicate, lg, li, rg, ri, distance,
+                l_bounds=lb, r_bounds=rb, l_bbox_equiv=l_bbeq, r_bbox_equiv=r_bbeq,
+            )
+            li, ri = li[mask], ri[mask]
     if len(li):
         # reference-point dedup: only the cell containing the bbox-overlap
         # reference corner emits the pair (no second shuffle needed)
