@@ -1,0 +1,237 @@
+"""Derived-geometry algorithms (pure NumPy, per-row helpers).
+
+Backing kernels for the SURVEY.md §2.2 geometry-out operators: convex hull
+(Andrew monotone chain), Douglas-Peucker simplify, rotating-calipers minimum
+rotated rectangle, Welzl minimum bounding circle, segmentize, repeated-point
+removal, line interpolation, representative points, seeded polygon point
+sampling (tools/_random.py:8-97 semantics: per-row deterministic rng).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; returns hull ring CCW, closed."""
+    pts = np.unique(points, axis=0)
+    if len(pts) == 1:
+        return pts
+    if len(pts) == 2:
+        return pts
+    # lexicographic sort (unique already sorts rows)
+    def half(iterable):
+        out = []
+        for p in iterable:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    ring = np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
+    return np.vstack([ring, ring[:1]])
+
+
+def douglas_peucker(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Iterative Douglas-Peucker polyline simplification."""
+    n = len(coords)
+    if n <= 2:
+        return coords
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = coords[b] - coords[a]
+        L2 = seg @ seg
+        rel = coords[a + 1 : b] - coords[a]
+        if L2 == 0:
+            d2 = (rel**2).sum(axis=1)
+        else:
+            t = np.clip((rel @ seg) / L2, 0, 1)
+            proj = np.outer(t, seg)
+            d2 = ((rel - proj) ** 2).sum(axis=1)
+        k = int(np.argmax(d2))
+        if d2[k] > tol * tol:
+            idx = a + 1 + k
+            keep[idx] = True
+            stack.append((a, idx))
+            stack.append((idx, b))
+    return coords[keep]
+
+
+def min_rotated_rect(points: np.ndarray) -> np.ndarray:
+    """Minimum-area oriented rectangle via rotating calipers on the hull.
+    Returns the closed 5-point ring."""
+    hull = convex_hull(points)
+    if len(hull) <= 2:
+        return hull
+    h = hull[:-1]
+    edges = np.diff(hull, axis=0)
+    angles = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2))
+    best = None
+    for a in angles:
+        c, s = np.cos(a), np.sin(a)
+        R = np.array([[c, s], [-s, c]])
+        rot = h @ R.T
+        mn = rot.min(axis=0)
+        mx = rot.max(axis=0)
+        area = np.prod(mx - mn)
+        if best is None or area < best[0]:
+            best = (area, a, mn, mx)
+    _, a, mn, mx = best
+    c, s = np.cos(a), np.sin(a)
+    Rinv = np.array([[c, -s], [s, c]])
+    corners = np.array(
+        [[mn[0], mn[1]], [mx[0], mn[1]], [mx[0], mx[1]], [mn[0], mx[1]], [mn[0], mn[1]]]
+    )
+    return corners @ Rinv.T
+
+
+def min_bounding_circle(points: np.ndarray, seed: int = 42) -> tuple[float, float, float]:
+    """Welzl's algorithm (iterative move-to-front); returns (cx, cy, r)."""
+    pts = np.unique(points, axis=0)
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(len(pts))
+    pts = pts[order]
+
+    def circle2(a, b):
+        c = (a + b) / 2.0
+        return (c[0], c[1], float(np.hypot(*(a - b)) / 2.0))
+
+    def circle3(a, b, c):
+        ax, ay = a; bx, by = b; cx, cy = c
+        d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if d == 0:
+            return None
+        ux = ((ax**2 + ay**2) * (by - cy) + (bx**2 + by**2) * (cy - ay) + (cx**2 + cy**2) * (ay - by)) / d
+        uy = ((ax**2 + ay**2) * (cx - bx) + (bx**2 + by**2) * (ax - cx) + (cx**2 + cy**2) * (bx - ax)) / d
+        r = float(np.hypot(ux - ax, uy - ay))
+        return (ux, uy, r)
+
+    def inside(circ, p, eps=1e-9):
+        return np.hypot(p[0] - circ[0], p[1] - circ[1]) <= circ[2] + eps
+
+    if len(pts) == 0:
+        return (np.nan, np.nan, np.nan)
+    if len(pts) == 1:
+        return (pts[0][0], pts[0][1], 0.0)
+    circ = circle2(pts[0], pts[1])
+    for i in range(2, len(pts)):
+        if inside(circ, pts[i]):
+            continue
+        circ = circle2(pts[i], pts[0])
+        for j in range(1, i):
+            if inside(circ, pts[j]):
+                continue
+            circ = circle2(pts[i], pts[j])
+            for k in range(j):
+                if inside(circ, pts[k]):
+                    continue
+                c3 = circle3(pts[i], pts[j], pts[k])
+                if c3 is not None:
+                    circ = c3
+    return circ
+
+
+def segmentize(coords: np.ndarray, max_len: float) -> np.ndarray:
+    """Insert vertices so no segment exceeds max_len (base.py:1711)."""
+    if len(coords) < 2:
+        return coords
+    out = [coords[:1]]
+    for i in range(len(coords) - 1):
+        a, b = coords[i], coords[i + 1]
+        d = float(np.hypot(*(b - a)))
+        k = max(1, int(np.ceil(d / max_len)))
+        if k > 1:
+            t = np.arange(1, k) / k
+            out.append(a + t[:, None] * (b - a))
+        out.append(b.reshape(1, 2))
+    return np.concatenate(out)
+
+
+def remove_repeated(coords: np.ndarray, tolerance: float = 0.0) -> np.ndarray:
+    """Drop consecutive duplicate vertices (base.py:1351)."""
+    if len(coords) < 2:
+        return coords
+    d = np.hypot(*np.diff(coords, axis=0).T)
+    keep = np.concatenate([[True], d > tolerance])
+    out = coords[keep]
+    if len(out) < 2:
+        return coords[:1]
+    return out
+
+
+def interpolate_line(coords: np.ndarray, distance: float, normalized: bool = False) -> tuple[float, float]:
+    """Point at `distance` along the polyline (base.py:5240)."""
+    seg = np.hypot(*np.diff(coords, axis=0).T)
+    total = seg.sum()
+    d = distance * total if normalized else distance
+    d = min(max(d, 0.0), total)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    i = int(np.searchsorted(cum, d, side="right") - 1)
+    i = min(i, len(seg) - 1)
+    if seg[i] == 0:
+        return tuple(coords[i])
+    t = (d - cum[i]) / seg[i]
+    p = coords[i] + t * (coords[i + 1] - coords[i])
+    return (float(p[0]), float(p[1]))
+
+
+def representative_point(g, row) -> tuple[float, float]:
+    """A point guaranteed inside the geometry (base.py:1476): centroid if
+    interior, else midpoint of an interior scanline crossing."""
+    from . import kernels as K
+
+    t = int(g.row_types[row])
+    if t in (1, 4):  # point-ish
+        px, py = K._row_points(g, row)
+        return (float(px[0]), float(py[0]))
+    if t in (2, 5):  # line: a vertex midpoint on the line
+        p0, _ = g.row_part_range(row)
+        c = g.ring_coords(g.part_ring_range(p0)[0])
+        mid = len(c) // 2
+        return (float(c[mid][0]), float(c[mid][1]))
+    cx, cy = K.centroid(g.take([row]))
+    inter, _ = K.points_in_geom(g, row, np.array([cx[0]]), np.array([cy[0]]))
+    if inter[0]:
+        return (float(cx[0]), float(cy[0]))
+    # scanline through the bbox mid-y: find interior x intervals
+    b = K.bounds(g.take([row]))[0]
+    ys = (b[1] + b[3]) / 2.0
+    xs = np.linspace(b[0], b[2], 257)[1:-1]
+    inter, bound = K.points_in_geom(g, row, xs, np.full(len(xs), ys))
+    hit = np.nonzero(inter)[0]
+    if len(hit):
+        return (float(xs[hit[len(hit) // 2]]), float(ys))
+    return (float(cx[0]), float(cy[0]))
+
+
+def sample_points_in_geom(g, row, size: int, seed: int, row_key: int) -> np.ndarray:
+    """Uniform points inside a polygon row (area-weighted across parts) by
+    seeded rejection sampling - deterministic per (seed, row_key)
+    (tools/_random.py:8-97 semantics)."""
+    from . import kernels as K
+
+    rng = np.random.RandomState((seed * 1000003 + row_key) % (2**32))
+    b = K.bounds(g.take([row]))[0]
+    if np.isnan(b).any():
+        return np.empty((0, 2))
+    out = []
+    need = size
+    for _ in range(200):  # bounded retries
+        m = max(need * 4, 16)
+        xs = rng.uniform(b[0], b[2], m)
+        ys = rng.uniform(b[1], b[3], m)
+        inter, bound = K.points_in_geom(g, row, xs, ys)
+        ok = np.nonzero(inter | bound)[0][:need]
+        if len(ok):
+            out.append(np.column_stack([xs[ok], ys[ok]]))
+            need -= len(ok)
+        if need <= 0:
+            break
+    return np.concatenate(out) if out else np.empty((0, 2))

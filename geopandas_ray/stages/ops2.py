@@ -1,0 +1,282 @@
+"""Second tranche of unary geometry operators (SURVEY.md §2.2), each one
+stateless ``map_batches``. Cites into reference geopandas/base.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..geom import algorithms as A
+from ..geom import kernels as K
+from ..geom.wkb import (
+    LINESTRING,
+    POINT,
+    POLYGON,
+    Geoms,
+    from_wkb,
+    points_to_wkb,
+    to_wkb,
+)
+from .clip import _parts_to_wkb
+
+
+def _map_rows_geometry(ds, fn, geometry="geometry", out=None):
+    """Helper: per-row geometry -> wkb-or-None transform as map_batches."""
+    out = out or geometry
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        vals = [fn(g, i) if g.row_types[i] != 0 else None for i in range(len(g))]
+        arr = pa.array(vals, type=pa.large_binary())
+        if out in b.column_names:
+            return b.set_column(b.column_names.index(out), out, arr)
+        return b.append_column(out, arr)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _row_to_rings(g: Geoms, i: int):
+    p0, p1 = g.row_part_range(i)
+    for p in range(p0, p1):
+        r0, r1 = g.part_ring_range(p)
+        yield int(g.part_types[p]), [g.ring_coords(r) for r in range(r0, r1)]
+
+
+def with_convex_hull(ds, geometry="geometry", out="convex_hull"):
+    """base.py:862"""
+
+    def fn(g, i):
+        px, py = K._row_points(g, i)
+        if len(px) == 0:
+            return None
+        hull = A.convex_hull(np.column_stack([px, py]))
+        if len(hull) == 1:
+            return _parts_to_wkb([(POINT, [hull])])
+        if len(hull) == 2:
+            return _parts_to_wkb([(LINESTRING, [hull])])
+        return _parts_to_wkb([(POLYGON, [hull])])
+
+    return _map_rows_geometry(ds, fn, geometry, out)
+
+
+def with_boundary(ds, geometry="geometry", out="boundary"):
+    """base.py:729 - polygon -> rings as (Multi)LineString; line -> end
+    MultiPoint; point -> empty."""
+
+    def fn(g, i):
+        parts = []
+        for t, rings in _row_to_rings(g, i):
+            if t == POLYGON:
+                for ring in rings:
+                    parts.append((LINESTRING, [ring]))
+            elif t == LINESTRING:
+                c = rings[0]
+                if len(c) and not np.array_equal(c[0], c[-1]):
+                    parts.append((POINT, [c[:1]]))
+                    parts.append((POINT, [c[-1:]]))
+        if not parts:
+            import struct
+
+            return struct.pack("<BII", 1, 7, 0)  # GEOMETRYCOLLECTION EMPTY
+        return _parts_to_wkb(parts)
+
+    return _map_rows_geometry(ds, fn, geometry, out)
+
+
+def simplify(ds, tolerance: float, geometry="geometry"):
+    """base.py:4874 (Douglas-Peucker, preserve_topology not needed for our
+    per-ring scope)."""
+
+    def fn(g, i):
+        parts = []
+        for t, rings in _row_to_rings(g, i):
+            if t == POINT:
+                parts.append((t, rings))
+            else:
+                parts.append((t, [A.douglas_peucker(r, tolerance) for r in rings]))
+        return _parts_to_wkb(parts) if parts else None
+
+    return _map_rows_geometry(ds, fn, geometry)
+
+
+def segmentize(ds, max_segment_length: float, geometry="geometry"):
+    """base.py:1711"""
+
+    def fn(g, i):
+        parts = []
+        for t, rings in _row_to_rings(g, i):
+            if t == POINT:
+                parts.append((t, rings))
+            else:
+                parts.append((t, [A.segmentize(r, max_segment_length) for r in rings]))
+        return _parts_to_wkb(parts) if parts else None
+
+    return _map_rows_geometry(ds, fn, geometry)
+
+
+def remove_repeated_points(ds, tolerance: float = 0.0, geometry="geometry"):
+    """base.py:1351"""
+
+    def fn(g, i):
+        parts = []
+        for t, rings in _row_to_rings(g, i):
+            if t == POINT:
+                parts.append((t, rings))
+            else:
+                parts.append((t, [A.remove_repeated(r, tolerance) for r in rings]))
+        return _parts_to_wkb(parts) if parts else None
+
+    return _map_rows_geometry(ds, fn, geometry)
+
+
+def reverse(ds, geometry="geometry"):
+    """base.py:1679 - reverse coordinate order of every ring/line."""
+
+    def fn(g, i):
+        parts = []
+        for t, rings in _row_to_rings(g, i):
+            parts.append((t, [r[::-1] for r in rings]))
+        return _parts_to_wkb(parts) if parts else None
+
+    return _map_rows_geometry(ds, fn, geometry)
+
+
+def with_min_rotated_rect(ds, geometry="geometry", out="min_rotated_rect"):
+    """base.py:1156"""
+
+    def fn(g, i):
+        px, py = K._row_points(g, i)
+        if len(px) == 0:
+            return None
+        ring = A.min_rotated_rect(np.column_stack([px, py]))
+        if len(ring) <= 2:
+            return _parts_to_wkb([(POINT, [ring[:1]])] if len(ring) == 1 else [(LINESTRING, [ring])])
+        return _parts_to_wkb([(POLYGON, [ring])])
+
+    return _map_rows_geometry(ds, fn, geometry, out)
+
+
+def with_min_bounding_circle(ds, geometry="geometry"):
+    """base.py:1509/:1542 - emits center x/y + radius columns (the circle
+    polygon itself is an approximation artifact; radius is the testable
+    value, minimum_bounding_radius)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        n = len(g)
+        cx = np.full(n, np.nan)
+        cy = np.full(n, np.nan)
+        r = np.full(n, np.nan)
+        for i in range(n):
+            if g.row_types[i] == 0:
+                continue
+            px, py = K._row_points(g, i)
+            if len(px) == 0:
+                continue
+            cx[i], cy[i], r[i] = A.min_bounding_circle(np.column_stack([px, py]))
+        b = b.append_column("mbc_x", pa.array(cx))
+        b = b.append_column("mbc_y", pa.array(cy))
+        b = b.append_column("minimum_bounding_radius", pa.array(r))
+        return b
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def with_representative_point(ds, geometry="geometry", out="representative_point"):
+    """base.py:1476"""
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        n = len(g)
+        xs = np.full(n, np.nan)
+        ys = np.full(n, np.nan)
+        for i in range(n):
+            if g.row_types[i] == 0 or g.is_empty[i]:
+                continue
+            xs[i], ys[i] = A.representative_point(g, i)
+        return b.append_column(out, points_to_wkb(xs, ys))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def interpolate(ds, distance: float, normalized: bool = False, geometry="geometry", out="interpolated"):
+    """base.py:5240 - point at distance along each line row."""
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        n = len(g)
+        xs = np.full(n, np.nan)
+        ys = np.full(n, np.nan)
+        for i in range(n):
+            if g.row_types[i] not in (LINESTRING, 5):
+                continue
+            p0, _ = g.row_part_range(i)
+            c = g.ring_coords(g.part_ring_range(p0)[0])
+            xs[i], ys[i] = A.interpolate_line(c, distance, normalized)
+        return b.append_column(out, points_to_wkb(xs, ys))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sample_points(ds, size: int, seed: int = 42, geometry="geometry", key_col=None, out="sampled_points"):
+    """base.py:5652 / tools/_random.py - per-row deterministic sampling;
+    rng keyed by (seed, key_col value or row position) so results are
+    stable under re-execution (Ray retry determinism, SURVEY.md §4.2)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        keys = (
+            np.asarray(b.column(key_col), dtype=np.int64)
+            if key_col
+            else np.arange(len(g), dtype=np.int64)
+        )
+        vals = []
+        for i in range(len(g)):
+            if g.row_types[i] == 0:
+                vals.append(None)
+                continue
+            pts = A.sample_points_in_geom(g, i, size, seed, int(keys[i]))
+            if len(pts) == 0:
+                vals.append(None)
+            else:
+                vals.append(_parts_to_wkb([(POINT, [p.reshape(1, 2)]) for p in pts]))
+        return b.append_column(out, pa.array(vals, type=pa.large_binary()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def with_is_valid(ds, geometry="geometry", out="is_valid"):
+    """base.py:210 - scope: ring closure + >=4 ring points + nonzero area
+    (full OGC validity needs GEOS; documented subset)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        n = len(g)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if g.row_types[i] == 0:
+                continue
+            valid = True
+            for t, rings in _row_to_rings(g, i):
+                if t == POLYGON:
+                    for r in rings:
+                        if len(r) < 4 or not np.array_equal(r[0], r[-1]):
+                            valid = False
+                elif t == LINESTRING and len(rings[0]) < 2:
+                    valid = False
+            ok[i] = valid
+        return b.append_column(out, pa.array(ok))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def collect(values_wkb: list[bytes]) -> bytes:
+    """tools/util.py:10 - combine geometries into one Multi/Collection."""
+    g = from_wkb([v for v in values_wkb if v is not None])
+    parts = []
+    for i in range(len(g)):
+        for t, rings in _row_to_rings(g, i):
+            parts.append((t, rings))
+    return _parts_to_wkb(parts)

@@ -1,0 +1,261 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from geopandas_ray.geom import algorithms as A
+from geopandas_ray.geom import kernels as K
+from geopandas_ray.geom import wkb as W
+from geopandas_ray.geom.wkt import from_wkt, to_wkt
+from geopandas_ray.sources.geojson import from_features, geo_dict_to_wkb, to_json_column
+from geopandas_ray.stages.binary import (
+    binary_difference,
+    binary_distance,
+    binary_intersection,
+    binary_predicate,
+    binary_union,
+)
+from geopandas_ray.stages.ops2 import (
+    collect,
+    interpolate,
+    remove_repeated_points,
+    reverse,
+    sample_points,
+    segmentize,
+    simplify,
+    with_boundary,
+    with_convex_hull,
+    with_is_valid,
+    with_min_bounding_circle,
+    with_min_rotated_rect,
+    with_representative_point,
+)
+
+
+# ---------------------------------------------------------------- WKT
+
+
+@pytest.mark.parametrize(
+    "wkt",
+    [
+        "POINT (1 2)",
+        "LINESTRING (0 0, 3 4, 3 10)",
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+        "MULTIPOINT (1 2, 3 4)",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))",
+        "POINT EMPTY",
+    ],
+)
+def test_wkt_roundtrip(wkt):
+    g = from_wkt([wkt])
+    back = to_wkt(g)[0]
+    g2 = from_wkt(back)
+    assert list(g.row_types) == list(g2.row_types)
+    assert np.allclose(g.coords, g2.coords)
+
+
+def test_wkt_to_wkb_consistency():
+    g = from_wkt(["POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", None])
+    assert np.isclose(K.area(g)[0], 100.0)
+    assert g.is_missing[1]
+    g2 = W.from_wkb(W.to_wkb(g))
+    assert to_wkt(g2)[0] == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+
+
+# ---------------------------------------------------------------- algorithms
+
+
+def test_convex_hull(rng):
+    pts = rng.uniform(0, 100, (200, 2))
+    hull = A.convex_hull(pts)
+    # all points inside or on hull
+    g = W._poly_geoms([[hull]])
+    inter, bound = K.points_in_geom(g, 0, pts[:, 0], pts[:, 1])
+    assert (inter | bound).all()
+
+
+def test_douglas_peucker():
+    line = np.array([[0, 0], [1, 0.001], [2, -0.001], [3, 0], [3, 5]], dtype=float)
+    simp = A.douglas_peucker(line, 0.01)
+    assert np.array_equal(simp, np.array([[0, 0], [3, 0], [3, 5]], dtype=float))
+
+
+def test_min_rotated_rect():
+    # 45-degree line of points with width
+    pts = np.array([[0, 0], [1, 1], [2, 2], [3, 3], [0.5, -0.5], [3.5, 2.5]])
+    ring = A.min_rotated_rect(pts)
+    g = W._poly_geoms([[ring]])
+    a = K.area(g)[0]
+    assert a < 6.1  # axis-aligned bbox would be 3.5*3.5=12.25
+    # rotated corners are inexact: containment up to epsilon distance
+    d2 = K.points_to_geom_sqdist(g, 0, pts[:, 0], pts[:, 1])
+    assert (d2 < 1e-18).all()
+
+
+def test_min_bounding_circle():
+    pts = np.array([[0.0, 0.0], [2.0, 0.0], [1.0, 1.0]])
+    cx, cy, r = A.min_bounding_circle(pts)
+    assert np.isclose(cx, 1.0) and np.isclose(cy, 0.0) and np.isclose(r, 1.0)
+
+
+def test_segmentize_interpolate():
+    c = np.array([[0.0, 0.0], [10.0, 0.0]])
+    s = A.segmentize(c, 3.0)
+    assert len(s) == 5 and np.isclose(np.hypot(*np.diff(s, axis=0).T).max(), 2.5)
+    assert A.interpolate_line(c, 4.0) == (4.0, 0.0)
+    assert A.interpolate_line(c, 0.5, normalized=True) == (5.0, 0.0)
+
+
+# ---------------------------------------------------------------- stages
+
+
+@pytest.fixture
+def poly_ds():
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([0], type=pa.int64()),
+                "geometry": W.boxes_to_wkb([0.0], [0.0], [10.0], [10.0]),
+            }
+        )
+    )
+
+
+def test_boundary_and_hull_stage(poly_ds):
+    b = with_boundary(poly_ds).to_pandas()
+    gb = W.from_wkb(b.boundary.tolist())
+    assert np.isclose(K.length(gb)[0], 40.0)
+    h = with_convex_hull(poly_ds).to_pandas()
+    gh = W.from_wkb(h.convex_hull.tolist())
+    assert np.isclose(K.area(gh)[0], 100.0)
+
+
+def test_simplify_segmentize_reverse_stage():
+    import struct
+
+    line = struct.pack("<BII", 1, 2, 3) + np.array([0.0, 0.0, 5.0, 0.001, 10.0, 0.0]).astype("<f8").tobytes()
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array([0], type=pa.int64()), "geometry": pa.array([line], type=pa.large_binary())})
+    )
+    s = simplify(ds, 0.01).to_pandas()
+    assert K.count_coordinates(W.from_wkb(s.geometry.tolist()))[0] == 2
+    seg = segmentize(ds, 2.0).to_pandas()
+    assert K.count_coordinates(W.from_wkb(seg.geometry.tolist()))[0] > 5
+    rev = reverse(ds).to_pandas()
+    gr = W.from_wkb(rev.geometry.tolist())
+    assert np.allclose(gr.coords[0], [10.0, 0.0])
+
+
+def test_remove_repeated_stage():
+    import struct
+
+    line = struct.pack("<BII", 1, 2, 4) + np.array([0.0, 0.0, 0.0, 0.0, 5.0, 5.0, 5.0, 5.0]).astype("<f8").tobytes()
+    ds = ray.data.from_arrow(
+        pa.table({"geometry": pa.array([line], type=pa.large_binary())})
+    )
+    out = remove_repeated_points(ds).to_pandas()
+    assert K.count_coordinates(W.from_wkb(out.geometry.tolist()))[0] == 2
+
+
+def test_representative_point_inside():
+    # C-shaped polygon whose centroid is outside
+    ring = [(0, 0), (10, 0), (10, 2), (2, 2), (2, 8), (10, 8), (10, 10), (0, 10)]
+    g = W._poly_geoms([[ring]])
+    ds = ray.data.from_arrow(pa.table({"geometry": W.to_wkb(g)}))
+    r = with_representative_point(ds).to_pandas()
+    gp = W.from_wkb(r.representative_point.tolist())
+    x, y = gp.coords[0]
+    inter, bound = K.points_in_geom(g, 0, np.array([x]), np.array([y]))
+    assert inter[0] or bound[0]
+
+
+def test_min_circle_and_rect_stage(poly_ds):
+    c = with_min_bounding_circle(poly_ds).to_pandas()
+    assert np.isclose(c.minimum_bounding_radius[0], np.sqrt(50.0))
+    r = with_min_rotated_rect(poly_ds).to_pandas()
+    assert np.isclose(K.area(W.from_wkb(r.min_rotated_rect.tolist()))[0], 100.0)
+
+
+def test_sample_points_deterministic(poly_ds):
+    a = sample_points(poly_ds, 20, seed=7).to_pandas()
+    b = sample_points(poly_ds, 20, seed=7).to_pandas()
+    assert a.sampled_points.tolist() == b.sampled_points.tolist()
+    g = W.from_wkb(a.sampled_points.tolist())
+    assert K.count_geometries(g)[0] == 20
+    assert (g.coords >= 0).all() and (g.coords <= 10).all()
+
+
+def test_is_valid(poly_ds):
+    v = with_is_valid(poly_ds).to_pandas()
+    assert v.is_valid.all()
+
+
+def test_collect():
+    w = collect(W.points_to_wkb([1.0, 2.0], [1.0, 2.0]).to_pylist())
+    g = W.from_wkb([w])
+    assert g.row_types[0] == 4 and K.count_geometries(g)[0] == 2
+
+
+# ---------------------------------------------------------------- binary ops
+
+
+def test_binary_predicate_and_distance():
+    t = pa.table(
+        {
+            "geometry": W.points_to_wkb([1.0, 50.0], [1.0, 50.0]),
+            "geom2": W.boxes_to_wkb([0.0, 0.0], [0.0, 0.0], [10.0, 10.0], [10.0, 10.0]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    p = binary_predicate(ds, "within", "geom2").to_pandas()
+    assert p.within.tolist() == [True, False]
+    d = binary_distance(ds, "geom2").to_pandas()
+    assert np.allclose(d.distance, [0.0, np.hypot(40, 40)])
+    # broadcast scalar other
+    p2 = binary_predicate(ds, "intersects", W.boxes_to_wkb([0.0], [0.0], [2.0], [2.0])[0].as_py()).to_pandas()
+    assert p2.intersects.tolist() == [True, False]
+
+
+def test_binary_set_ops():
+    t = pa.table(
+        {
+            "geometry": W.boxes_to_wkb([0.0], [0.0], [4.0], [4.0]),
+            "geom2": W.boxes_to_wkb([2.0], [2.0], [6.0], [6.0]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    i = binary_intersection(ds, "geom2").to_pandas()
+    assert np.isclose(K.area(W.from_wkb(i.intersection.tolist()))[0], 4.0)
+    d = binary_difference(ds, "geom2").to_pandas()
+    assert np.isclose(K.area(W.from_wkb(d.difference.tolist()))[0], 12.0)
+    u = binary_union(ds, "geom2").to_pandas()
+    assert np.isclose(K.area(W.from_wkb(u.union.tolist()))[0], 28.0)
+
+
+# ---------------------------------------------------------------- geojson
+
+
+def test_geojson_roundtrip():
+    feats = [
+        {"type": "Feature", "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}, "properties": {"name": "a"}},
+        {
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]]},
+            "properties": {"name": "b"},
+        },
+    ]
+    t = from_features(feats)
+    assert t.column_names == ["name", "geometry"]
+    g = W.from_wkb(t.column("geometry"))
+    assert np.isclose(K.area(g)[1], 16.0)
+    ds = ray.data.from_arrow(t)
+    j = to_json_column(ds).to_pandas()
+    import json
+
+    back = [json.loads(s) for s in j.feature_json]
+    assert back[0]["geometry"]["type"] == "Point"
+    assert back[0]["properties"]["name"] == "a"
+    assert back[1]["geometry"]["coordinates"][0][1] == [4.0, 0.0]
