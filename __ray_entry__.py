@@ -286,6 +286,164 @@ def q_flagship_tiles(sf_dir):
     return _select(f, ["doc_id", "zone_key", "tile_id"])
 
 
+def q_touches(sf_dir):
+    from geopandas_ray.pipelines.datasets import doc_points, zone_table
+    from geopandas_ray.stages.sjoin import sjoin
+
+    j = sjoin(doc_points(sf_dir), zone_table(sf_dir), how="inner", predicate="touches")
+    return _select(j, ["doc_id", "zone_key"])
+
+
+def q_contains_join(sf_dir):
+    # zones contains points: broadcast the POINTS side, zones stream as left
+    import ray.data
+
+    from geopandas_ray.pipelines.datasets import doc_points, zone_dataset, zone_table
+    from geopandas_ray.stages.sjoin import sjoin, _materialize
+
+    pts_tbl = _materialize(doc_points(sf_dir))
+    j = sjoin(zone_dataset(sf_dir), pts_tbl, how="inner", predicate="contains")
+    return _select(j, ["doc_id", "zone_key"])
+
+
+def q_boundary_length(sf_dir):
+    from geopandas_ray.pipelines.datasets import zone_dataset
+    from geopandas_ray.stages.ops import with_length
+    from geopandas_ray.stages.ops2 import with_boundary
+
+    b = with_boundary(zone_dataset(sf_dir))
+    out = with_length(b, geometry="boundary", out="boundary_len")
+    return _select(out, ["zone_key", "boundary_len"])
+
+
+def q_segmentize_counts(sf_dir):
+    from geopandas_ray.pipelines.datasets import zone_dataset
+    from geopandas_ray.stages.ops import with_counts
+    from geopandas_ray.stages.ops2 import segmentize
+
+    s = segmentize(zone_dataset(sf_dir), 7.0)
+    return _select(with_counts(s), ["zone_key", "count_coordinates"])
+
+
+def q_wkt_roundtrip(sf_dir):
+    import pyarrow as pa
+
+    from geopandas_ray.geom.wkt import from_wkt, to_wkt
+    from geopandas_ray.geom.wkb import to_wkb
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.ops import with_xy
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        from geopandas_ray.geom.wkb import from_wkb
+
+        g = from_wkb(b.column("geometry"))
+        texts = to_wkt(g, rounding_precision=9)
+        g2 = from_wkt(texts)
+        idx = b.column_names.index("geometry")
+        return b.set_column(idx, "geometry", to_wkb(g2))
+
+    ds = doc_points(sf_dir).map_batches(roundtrip, batch_format="pyarrow")
+    return _select(with_xy(ds), ["doc_id", "x", "y"])
+
+
+def q_representative_point(sf_dir):
+    from geopandas_ray.pipelines.datasets import zone_dataset
+    from geopandas_ray.stages.ops import with_xy
+    from geopandas_ray.stages.ops2 import with_representative_point
+
+    r = with_representative_point(zone_dataset(sf_dir))
+    r = with_xy(r, geometry="representative_point")
+    r = _rename(r, {"x": "rx", "y": "ry"})
+    return _select(r, ["zone_key", "rx", "ry"])
+
+
+def q_min_circle(sf_dir):
+    # float tie-breaking of Welzl vs closed-form: rows-only check
+    from geopandas_ray.pipelines.datasets import zone_dataset
+    from geopandas_ray.stages.ops2 import with_min_bounding_circle
+
+    c = with_min_bounding_circle(zone_dataset(sf_dir))
+    return _select(c, ["zone_key", "minimum_bounding_radius"])
+
+
+def q_sample_points(sf_dir):
+    # seeded rng not SQL-reproducible: rows-only check
+    from geopandas_ray.pipelines.datasets import zone_dataset
+    from geopandas_ray.stages.ops import with_counts
+    from geopandas_ray.stages.ops2 import sample_points
+
+    s = sample_points(zone_dataset(sf_dir), 5, seed=42, key_col="zone_key", out="geometry2")
+    s = with_counts(s, geometry="geometry2")
+    return _select(s, ["zone_key", "count_geometries"])
+
+
+def q_sessions(sf_dir):
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="stable")
+        gap = df["ts"].astype("int64").diff() / 1e6
+        n_sessions = int(1 + (gap > 1800).sum())
+        return pd.DataFrame({"user_id": [df.user_id.iloc[0]], "n_sessions": [n_sessions]})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def q_asof_join(sf_dir):
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from geopandas_ray.stages.merge import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+
+    def dedup_orders(df: pd.DataFrame) -> pd.DataFrame:
+        # unique (custkey, date): keep max orderkey so ties are deterministic
+        return (
+            df.groupby(["o_custkey", "o_orderdate"], as_index=False)
+            .agg(o_orderkey=("o_orderkey", "max"))
+        )
+
+    orders_d = orders.map_batches(dedup_orders, batch_format="pandas")
+    orders_d = orders_d.groupby(["o_custkey", "o_orderdate"]).map_groups(
+        lambda df: df.sort_values("o_orderkey").tail(1), batch_format="pandas"
+    )
+    orders_d = orders_d.map_batches(
+        lambda df: df.rename(columns={"o_custkey": "user_id"}), batch_format="pandas"
+    )
+    j = asof_join(ev, orders_d, key="user_id", left_ts="ts", right_ts="o_orderdate")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderkey"].notna()]
+        return pd.DataFrame(
+            {"event_id": df.event_id.astype("int64"), "o_orderkey": df.o_orderkey.astype("int64")}
+        )
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
+def q_hash_join_counts(sf_dir):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from geopandas_ray.stages.merge import hash_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda df: df.rename(columns={"c_custkey": "o_custkey"}), batch_format="pandas"
+    )
+    j = hash_join(orders, cust, on="o_custkey", how="inner")
+    return j.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+
+
 # ---- relational / streaming-shaped -----------------------------------------
 
 
@@ -490,6 +648,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "translate": q_translate,
         "hilbert_topk": q_hilbert_topk,
         "flagship_tiles": q_flagship_tiles,
+        "touches_join": q_touches,
+        "contains_join": q_contains_join,
+        "boundary_length": q_boundary_length,
+        "segmentize_counts": q_segmentize_counts,
+        "wkt_roundtrip": q_wkt_roundtrip,
+        "representative_point": q_representative_point,
+        "min_circle": q_min_circle,
+        "sample_points": q_sample_points,
+        "sessions": q_sessions,
+        "asof_join": q_asof_join,
+        "hash_join_counts": q_hash_join_counts,
         "q1_lineitem": q_q1_lineitem,
         "top_orders": q_top_orders,
         "events_hourly": q_events_hourly,
@@ -607,6 +776,41 @@ def oracle_sql() -> dict[str, str]:
         "flagship_tiles": (
             f"{W} SELECT p.doc_id, z.zone_key, {tile_id.replace('px', 'p.px').replace('py', 'p.py')} AS tile_id "
             f"FROM pts p {pip_join}"
+        ),
+        "touches_join": (
+            f"{W} SELECT p.doc_id, z.zone_key FROM pts p JOIN zones z ON "
+            "(((p.px = z.zminx OR p.px = z.zmaxx) AND p.py BETWEEN z.zminy AND z.zmaxy) OR "
+            "((p.py = z.zminy OR p.py = z.zmaxy) AND p.px BETWEEN z.zminx AND z.zmaxx))"
+        ),
+        "contains_join": (
+            f"{W} SELECT p.doc_id, z.zone_key FROM pts p JOIN zones z ON "
+            "p.px > z.zminx AND p.px < z.zmaxx AND p.py > z.zminy AND p.py < z.zmaxy"
+        ),
+        "boundary_length": (
+            f"{W} SELECT zone_key, CAST(2*((zmaxx-zminx)+(zmaxy-zminy)) AS DOUBLE) AS boundary_len FROM zones"
+        ),
+        "segmentize_counts": (
+            f"{W} SELECT zone_key, CAST(2*ceil((zmaxx-zminx)/7.0) + 2*ceil((zmaxy-zminy)/7.0) + 1 AS BIGINT) "
+            "AS count_coordinates FROM zones"
+        ),
+        "wkt_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        "representative_point": (
+            f"{W} SELECT zone_key, (zminx+zmaxx)/2.0 AS rx, (zminy+zmaxy)/2.0 AS ry FROM zones"
+        ),
+        "sessions": (
+            "SELECT user_id, CAST(1 + SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "
+            "FROM (SELECT user_id, epoch(ts) - lag(epoch(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) GROUP BY user_id"
+        ),
+        "asof_join": (
+            "WITH od AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey "
+            "FROM orders GROUP BY o_custkey, o_orderdate) "
+            "SELECT e.event_id, o.o_orderkey FROM events e ASOF JOIN od o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "hash_join_counts": (
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
         ),
         "q1_lineitem": (
             "SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, "

@@ -1,0 +1,165 @@
+"""Attribute joins: hash equi-join, as-of join, concat semantics.
+
+- ``hash_join``: the portable partitioned hash join from the Ray guide -
+  tag both sides, one groupby on the key, pandas merge per group. For a
+  small right side use ``broadcast_join`` (ray.put + per-batch map) - no
+  shuffle at all.
+- ``asof_join``: merge each left row to the latest right row with
+  right_ts <= left_ts within the same key - sort both sides inside the
+  key group and ``pd.merge_asof`` (the as-of pattern from the Ray guide).
+- CRS/metadata rules for merges follow the reference (tests/test_merge.py:
+  26-46: result keeps the left frame's geometry column + CRS).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+_SIDE = "__mside"
+
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    right: pa.Table,
+    on: str,
+    how: str = "inner",
+    rsuffix: str = "_right",
+) -> ray.data.Dataset:
+    """Map-side join against a broadcast right table (dimension lookup)."""
+    right_ref = ray.put(right)
+
+    class _Joiner:
+        def __init__(self):
+            t = ray.get(right_ref)
+            self.rdf = t.to_pandas()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.rdf, on=on, how="left" if how == "left" else "inner",
+                            suffixes=("", rsuffix))
+
+    return left.map_batches(_Joiner, batch_format="pandas", concurrency=(1, 8))
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    how: str = "inner",
+    lsuffix: str = "",
+    rsuffix: str = "_right",
+) -> ray.data.Dataset:
+    """Partitioned hash join: union with side tags -> groupby(on) ->
+    per-group pandas merge. Works at any size; one shuffle."""
+    lcols = left.schema().names
+    rcols = right.schema().names
+
+    def tag(side):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df[_SIDE] = side
+            return df
+
+        return f
+
+    lt = left.map_batches(tag(0), batch_format="pandas")
+    rt = right.map_batches(tag(1), batch_format="pandas")
+
+    # pad to a common schema for union
+    def pad(cols_missing, types):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for c in cols_missing:
+                df[c] = None
+            return df
+
+        return f
+
+    l_missing = [c for c in rcols if c not in lcols]
+    r_missing = [c for c in lcols if c not in rcols]
+    lt = lt.map_batches(pad(l_missing, None), batch_format="pandas")
+    rt = rt.map_batches(pad(r_missing, None), batch_format="pandas")
+
+    overlap = [c for c in lcols if c in rcols and c != on]
+
+    def join_group(df: pd.DataFrame) -> pd.DataFrame:
+        ldf = df[df[_SIDE] == 0][[c for c in lcols]]
+        rdf = df[df[_SIDE] == 1][[c for c in rcols]]
+        out = ldf.merge(rdf, on=on, how=how, suffixes=(lsuffix or "", rsuffix))
+        return out
+
+    return lt.union(rt).groupby(on).map_groups(join_group, batch_format="pandas")
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> ray.data.Dataset:
+    """As-of join per key: each left row gets the nearest right row at or
+    before (backward) / after (forward) its timestamp. One groupby(key)
+    shuffle; pd.merge_asof inside each key group."""
+    lcols = left.schema().names
+    rcols = right.schema().names
+
+    def tag(side, ts_col):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df[_SIDE] = side
+            df["__ts"] = df[ts_col]
+            return df
+
+        return f
+
+    lt = left.map_batches(tag(0, left_ts), batch_format="pandas")
+    rt = right.map_batches(tag(1, right_ts), batch_format="pandas")
+
+    def pad(missing):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for c in missing:
+                df[c] = None
+            return df
+
+        return f
+
+    lt = lt.map_batches(pad([c for c in rcols if c not in lcols]), batch_format="pandas")
+    rt = rt.map_batches(pad([c for c in lcols if c not in rcols]), batch_format="pandas")
+
+    def join_group(df: pd.DataFrame) -> pd.DataFrame:
+        ldf = df[df[_SIDE] == 0][lcols].sort_values(left_ts, kind="stable")
+        rdf = df[df[_SIDE] == 1][[c for c in rcols if c != key]].sort_values(
+            right_ts, kind="stable"
+        )
+        if len(ldf) == 0:
+            return ldf
+        if len(rdf) == 0:
+            out = ldf.copy()
+            for c in rcols:
+                if c != key:
+                    out[c] = None
+            return out
+        out = pd.merge_asof(
+            ldf, rdf, left_on=left_ts, right_on=right_ts, direction=direction
+        )
+        return out
+
+    return lt.union(rt).groupby(key).map_groups(join_group, batch_format="pandas")
+
+
+def concat_rows(datasets: list[ray.data.Dataset], crs_list=None) -> ray.data.Dataset:
+    """axis=0 concat with the reference's CRS conflict rule
+    (tests/test_merge.py:64-104): all non-None CRS must match or ValueError."""
+    crs_set = {c for c in (crs_list or []) if c is not None}
+    if len(crs_set) > 1:
+        raise ValueError(f"Cannot determine common CRS for concatenation inputs, got {sorted(crs_set)}")
+    out = datasets[0]
+    for d in datasets[1:]:
+        out = out.union(d)
+    return out
