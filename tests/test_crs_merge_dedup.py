@@ -1,0 +1,110 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from geopandas_ray.crs import (
+    check_crs,
+    crs_mismatch_error,
+    estimate_utm_zone,
+    register_transform,
+    to_crs,
+)
+from geopandas_ray.functions.geom_dedup import (
+    drop_duplicate_geometries,
+    geometry_value_counts,
+)
+from geopandas_ray.geom import wkb as W
+from geopandas_ray.stages.merge import asof_join, broadcast_join, hash_join
+
+
+def test_check_crs():
+    assert check_crs(None, "EPSG:4326")
+    assert check_crs("EPSG:4326", "EPSG:4326")
+    assert not check_crs("EPSG:4326", "EPSG:3857")
+    assert "CRS mismatch" in str(crs_mismatch_error("a", "b"))
+
+
+def test_to_crs_linear_roundtrip():
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array([0], type=pa.int64()), "geometry": W.points_to_wkb([500000.0], [4000000.0])})
+    )
+    km = to_crs(ds, "EPSG:32600", "EPSG:32600+km").to_pandas()
+    g = W.from_wkb(km.geometry.tolist())
+    assert np.allclose(g.coords[0], [500.0, 4000.0])
+    with pytest.raises(NotImplementedError):
+        to_crs(ds, "EPSG:1", "EPSG:2")
+    register_transform("EPSG:1", "EPSG:2", lambda x, y: (x + 1, y))
+    out = to_crs(ds, "EPSG:1", "EPSG:2").to_pandas()
+    assert np.allclose(W.from_wkb(out.geometry.tolist()).coords[0], [500001.0, 4000000.0])
+
+
+def test_estimate_utm_zone():
+    assert estimate_utm_zone((-3.0, 40.0, -3.0, 40.0)) == "EPSG:32630"  # Madrid-ish
+    assert estimate_utm_zone((151.0, -33.0, 151.0, -33.0)) == "EPSG:32756"  # Sydney
+
+
+def test_geometry_dedup_and_value_counts():
+    wkb = W.points_to_wkb([1.0, 2.0, 1.0, 3.0, 1.0], [1.0, 2.0, 1.0, 3.0, 1.0])
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array([4, 1, 0, 2, 3], type=pa.int64()), "geometry": wkb})
+    )
+    d = drop_duplicate_geometries(ds, id_col="id").to_pandas()
+    assert len(d) == 3
+    # (1,1) appears as ids 4,0,3 -> keeps min id 0
+    g = W.from_wkb(d.geometry.tolist())
+    row11 = d[(g.coords[:, 0] == 1.0)]
+    assert row11.id.tolist() == [0]
+    vc = geometry_value_counts(ds).to_pandas()
+    assert sorted(vc["count"]) == [1, 1, 3]
+
+
+def test_hash_join_matches_pandas(rng):
+    left = pd.DataFrame({"k": rng.randint(0, 20, 200), "v": np.arange(200)})
+    right = pd.DataFrame({"k": np.arange(15), "w": np.arange(15) * 10})
+    lds = ray.data.from_pandas(left)
+    rds = ray.data.from_pandas(right)
+    got = hash_join(lds, rds, on="k").to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    want = left.merge(right, on="k").sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns].astype(want.dtypes.to_dict()), want)
+
+
+def test_broadcast_join(rng):
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]}))
+    right = pa.table({"k": pa.array([1, 3], type=pa.int64()), "name": pa.array(["a", "c"])})
+    j = broadcast_join(left, right, on="k").to_pandas().sort_values("k")
+    assert j.k.tolist() == [1, 3] and j.name.tolist() == ["a", "c"]
+
+
+def test_asof_join_matches_pandas():
+    ev = pd.DataFrame(
+        {
+            "key": [1, 1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                ["2020-01-01 10:00", "2020-01-01 11:00", "2020-01-02 00:00", "2020-01-01 00:00", "2020-01-05 00:00"]
+            ),
+            "eid": [0, 1, 2, 3, 4],
+        }
+    )
+    quotes = pd.DataFrame(
+        {
+            "key": [1, 1, 2],
+            "qts": pd.to_datetime(["2020-01-01 09:00", "2020-01-01 10:30", "2020-01-03 00:00"]),
+            "price": [100.0, 200.0, 300.0],
+        }
+    )
+    got = (
+        asof_join(
+            ray.data.from_pandas(ev),
+            ray.data.from_pandas(quotes),
+            key="key",
+            left_ts="ts",
+            right_ts="qts",
+        )
+        .to_pandas()
+        .sort_values("eid")
+    )
+    assert got.price.tolist()[:3] == [100.0, 200.0, 200.0]
+    assert np.isnan(got.price.tolist()[3])
+    assert got.price.tolist()[4] == 300.0
