@@ -15,6 +15,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..util import default_pool
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -143,7 +145,7 @@ def minhash_candidate_pairs(
     bands=8,
     shingle=3,
     sim_threshold: float = 0.8,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     """-> dataset of (id_a, id_b, est_jaccard) candidate near-dup pairs.
 
@@ -156,7 +158,7 @@ def minhash_candidate_pairs(
         fn_constructor_kwargs=dict(
             text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, shingle=shingle
         ),
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -271,8 +273,8 @@ class SimHasher:
         return b.append_column(self.out_col, pa.array(out.astype(np.int64)))
 
 
-def with_simhash(ds: ray.data.Dataset, concurrency=(1, 8), **kw) -> ray.data.Dataset:
-    return ds.map_batches(SimHasher, batch_format="pyarrow", fn_constructor_kwargs=kw, concurrency=concurrency)
+def with_simhash(ds: ray.data.Dataset, concurrency=None, **kw) -> ray.data.Dataset:
+    return ds.map_batches(SimHasher, batch_format="pyarrow", fn_constructor_kwargs=kw, concurrency=default_pool(concurrency))
 
 
 # ---------------------------------------------------------------------------

@@ -19,6 +19,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..util import default_pool
+
 
 def _stack_embeddings(col) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -83,7 +85,7 @@ def knn_brute(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 4096,
 ) -> ray.data.Dataset:
     """Exact cosine top-k of every ds row against the broadcast corpus."""
@@ -96,7 +98,7 @@ def knn_brute(
         _BruteKnn,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
         fn_constructor_kwargs=dict(
             corpus_ref=ref, k=k, id_col=id_col, vec_col=vec_col, exclude_self=exclude_self, metric="cosine"
         ),
@@ -135,7 +137,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     if isinstance(corpus, ray.data.Dataset):
         from ..stages.sjoin import _materialize
@@ -145,7 +147,7 @@ def cosine_near_dup_pairs(
     return ds.map_batches(
         _CosinePairs,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
         fn_constructor_kwargs=dict(corpus_ref=ref, threshold=threshold, id_col=id_col, vec_col=vec_col),
     )
 
@@ -182,14 +184,14 @@ def knn_lsh(
     nbits: int = 6,
     dim: int = 64,
     seed: int = 42,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     """Approximate self-kNN: hyperplane-bucket both sides, one groupby,
     exact rerank within each bucket. Recall trades with nbits."""
     bucketed = ds.map_batches(
         _HyperplaneBucketer,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
         fn_constructor_kwargs=dict(vec_col=vec_col, nbits=nbits, seed=seed, dim=dim),
     )
 

@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from ..util import default_pool
+
 
 def _payload_stat(payload: bytes | None) -> tuple[int, float]:
     if not payload:
@@ -64,7 +66,7 @@ class MediaDecoder:
 
 
 def decode_media(ds: ray.data.Dataset, payload_col="payload", decoder="fake",
-                 concurrency=(1, 4), batch_size: int = 128) -> ray.data.Dataset:
+                 concurrency=None, batch_size: int = 128) -> ray.data.Dataset:
     if decoder not in ("fake",):
         # fail fast on the driver; the actor would only surface this at the
         # first batch (late actor-init errors are a known Ray pitfall)
@@ -75,7 +77,7 @@ def decode_media(ds: ray.data.Dataset, payload_col="payload", decoder="fake",
         MediaDecoder,
         batch_format="pyarrow",
         batch_size=batch_size,  # small: payloads are big binaries
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
         fn_constructor_kwargs=dict(payload_col=payload_col, decoder=decoder),
     )
 
@@ -109,12 +111,12 @@ class FrameSampler:
         return out.drop_columns([self.payload_col])
 
 
-def sample_frames(ds: ray.data.Dataset, concurrency=(1, 4), batch_size: int = 64, **kw) -> ray.data.Dataset:
+def sample_frames(ds: ray.data.Dataset, concurrency=None, batch_size: int = 64, **kw) -> ray.data.Dataset:
     return ds.map_batches(
         FrameSampler,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
         fn_constructor_kwargs=kw,
     )
 

@@ -12,6 +12,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..util import default_pool
+
 _MOD = np.uint64((1 << 61) - 1)
 
 
@@ -60,12 +62,12 @@ class QualityScorer:
         return df
 
 
-def with_quality(ds: ray.data.Dataset, text_col: str = "text", concurrency=(1, 8)) -> ray.data.Dataset:
+def with_quality(ds: ray.data.Dataset, text_col: str = "text", concurrency=None) -> ray.data.Dataset:
     return ds.map_batches(
         QualityScorer,
         batch_format="pandas",
         fn_constructor_kwargs=dict(text_col=text_col),
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )
 
 
@@ -108,8 +110,8 @@ class LangId:
         return df
 
 
-def with_langid(ds: ray.data.Dataset, concurrency=(1, 8), **kw) -> ray.data.Dataset:
-    return ds.map_batches(LangId, batch_format="pandas", fn_constructor_kwargs=kw, concurrency=concurrency)
+def with_langid(ds: ray.data.Dataset, concurrency=None, **kw) -> ray.data.Dataset:
+    return ds.map_batches(LangId, batch_format="pandas", fn_constructor_kwargs=kw, concurrency=default_pool(concurrency))
 
 
 def _poly_hash_codes(codes: np.ndarray, base: np.uint64 = np.uint64(1099511628211)) -> np.uint64:

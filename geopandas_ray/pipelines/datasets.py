@@ -76,6 +76,16 @@ def doc_points(sf_dir: str, columns=("doc_id",), replicate: int = 1) -> ray.data
             return pa.concat_tables(parts)
 
         ds = ds.map_batches(expand, batch_format="pyarrow")
+        # the tiny synthetic corpus is ONE parquet file -> one block -> one
+        # task for the whole expanded table AND (worse) the downstream
+        # groupby inherits that partition count; split so every later stage
+        # (indexer, shuffle, join, tiling) actually fans out. A 100TB corpus
+        # has thousands of fragments and never needs this.
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        ds = ds.repartition(min(max(4 * cpus, 32), 512))
     return ds.map_batches(_derive_points, batch_format="pyarrow")
 
 

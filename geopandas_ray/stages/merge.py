@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+
+from ..util import default_pool
 import ray.data
 
 _SIDE = "__mside"
@@ -41,7 +43,7 @@ def broadcast_join(
             return df.merge(self.rdf, on=on, how="left" if how == "left" else "inner",
                             suffixes=("", rsuffix))
 
-    return left.map_batches(_Joiner, batch_format="pandas", concurrency=(1, 8))
+    return left.map_batches(_Joiner, batch_format="pandas", concurrency=default_pool())
 
 
 def hash_join(

@@ -27,6 +27,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from ..util import default_pool
+
 from ..geom import kernels as K
 from ..geom.index import BBoxTree
 from ..geom.wkb import from_wkb
@@ -230,7 +232,7 @@ def sjoin_nearest(
         _NearestJoiner,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or (1, 8),
+        concurrency=default_pool(concurrency),
         fn_constructor_kwargs=dict(
             right_ref=right_ref,
             max_distance=max_distance,

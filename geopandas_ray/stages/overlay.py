@@ -30,6 +30,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from ..util import default_pool
+
 from ..geom import kernels as K
 from ..geom.clip import (
     RectRegion,
@@ -259,7 +261,7 @@ def overlay(
         _OverlayLegs,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or (1, 8),
+        concurrency=default_pool(concurrency),
         fn_constructor_kwargs=dict(
             right_ref=right_ref,
             how=how,

@@ -39,6 +39,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+
+from ..util import default_pool
 import ray.data
 
 from ..geom import kernels as K
@@ -166,14 +168,24 @@ class _BroadcastJoiner:
                 ri = np.concatenate([ri, np.full(len(miss), -1, dtype=np.int64)])
                 order = np.lexsort((ri, li))
                 li, ri = li[order], ri[order]
-        left_part = _rename(batch, self.lmap).take(pa.array(li))
-        ri_arr = pa.array(ri)
-        null_mask = pc.equal(ri_arr, -1)
-        right_part = self.right_attrs.take(pc.if_else(null_mask, pa.nulls(len(ri), pa.int64()), ri_arr))
-        cols = {name: left_part.column(name) for name in left_part.column_names}
-        for name in right_part.column_names:
-            cols[name] = right_part.column(name)
-        return pa.table(cols)
+        # chunked output assembly (large single allocations collapse this
+        # host's memory throughput under high concurrency)
+        renamed = _rename(batch, self.lmap)
+        pieces = []
+        CH = 400_000
+        for s in range(0, max(len(li), 1), CH):
+            li_c = pa.array(li[s : s + CH])
+            ri_c = pa.array(ri[s : s + CH])
+            left_part = renamed.take(li_c)
+            null_mask = pc.equal(ri_c, -1)
+            right_part = self.right_attrs.take(
+                pc.if_else(null_mask, pa.nulls(len(ri_c), pa.int64()), ri_c)
+            )
+            cols = {name: left_part.column(name) for name in left_part.column_names}
+            for name in right_part.column_names:
+                cols[name] = right_part.column(name)
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
 
 
 def _rename(t: pa.Table, m: dict) -> pa.Table:
@@ -219,7 +231,7 @@ def sjoin(
         _BroadcastJoiner,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or (1, 8),
+        concurrency=default_pool(concurrency),
         fn_constructor_kwargs=dict(
             right_ref=right_ref,
             predicate=predicate,
@@ -370,17 +382,30 @@ def _group_join(
     return _take_join_output(lt, rt, lgeom_col, rgeom_col, li, ri)
 
 
-def _take_join_output(lt, rt, lgeom_col, rgeom_col, li, ri):
+def _take_join_output(lt, rt, lgeom_col, rgeom_col, li, ri, chunk: int = 400_000):
     """Assemble stripped-name output rows; right geometry is dropped
-    (inner/left sjoin keeps left geometry, tools/sjoin.py:265-329)."""
+    (inner/left sjoin keeps left geometry, tools/sjoin.py:265-329).
+
+    Output is built in ~16MB chunks: one giant take() allocates
+    hundreds of MB per task, and concurrent large allocations collapse this
+    host's memory throughput (measured 10x); chunked takes land as a
+    zero-copy chunked Arrow table."""
     lcols = [c for c in lt.column_names if c.startswith(_L)]
     rcols = [c for c in rt.column_names if c.startswith(_R) and c != rgeom_col]
-    lpart = lt.select(lcols).take(pa.array(li, type=pa.int64()))
-    rpart = rt.select(rcols).take(pa.array(ri, type=pa.int64()))
-    cols = {c[len(_L) :]: lpart.column(c) for c in lcols}
-    for c in rcols:
-        cols[c[len(_R) :]] = rpart.column(c)
-    return pa.table(cols)
+    lsel = lt.select(lcols)
+    rsel = rt.select(rcols)
+    pieces = []
+    n = len(li)
+    for s in range(0, max(n, 1), chunk):
+        li_c = pa.array(li[s : s + chunk], type=pa.int64())
+        ri_c = pa.array(ri[s : s + chunk], type=pa.int64())
+        lpart = lsel.take(li_c)
+        rpart = rsel.take(ri_c)
+        cols = {c[len(_L) :]: lpart.column(c) for c in lcols}
+        for c in rcols:
+            cols[c[len(_R) :]] = rpart.column(c)
+        pieces.append(pa.table(cols))
+    return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
 
 
 def sjoin_shuffle(
@@ -397,13 +422,25 @@ def sjoin_shuffle(
     rsuffix: str = "right",
     indexer_concurrency=None,
     batch_size: int = 8192,
+    shuffle_partitions: int | None = None,
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Cell-partitioned inner sjoin for two large sides (one groupby shuffle).
 
     Column collisions are suffixed like the broadcast path; the right
     geometry column is emitted as ``geometry_right`` when names collide.
+
+    ``left_columns``/``right_columns`` prune the payload BEFORE the shuffle
+    (the semi-join pushdown of SURVEY.md §7.3): a join with a 200x fanout
+    re-materializes every carried byte per output pair, so narrow inputs
+    directly multiply throughput. Geometry is always kept.
     """
     right_geometry = right_geometry or geometry
+    if left_columns is not None:
+        left = left.select_columns(sorted(set(left_columns) | {geometry}))
+    if right_columns is not None:
+        right = right.select_columns(sorted(set(right_columns) | {right_geometry}))
     lschema = left.schema()
     rschema = right.schema()
     lmap, rmap = suffixed_columns(lschema.names, rschema.names, lsuffix, rsuffix, geometry)
@@ -423,42 +460,45 @@ def sjoin_shuffle(
     rnames = [(_R + rmap[n], rtypes[n]) for n in rschema.names]
     out_names = control + lnames + rnames
 
-    def renamed_indexer(side, prefix, m, geom):
-        return dict(
-            geometry=geom,
-            res=res,
-            domain=domain,
-            side=side,
-            salt=salt,
-            prefix=prefix,
-            out_schema_names=out_names,
+    # the cell indexer's state is pure constants (res/domain/schema), so it
+    # runs as STATELESS TASKS, not an actor pool: elastic scheduling, no
+    # actor startup/teardown churn (measured: pool churn inverted scaling -
+    # 8 cpus beat 32). The broadcast joiner keeps its actor pool because its
+    # state (the STR tree) is genuinely expensive per-worker.
+    def make_indexer(side, rename_map, geom):
+        idx = _CellIndexer(
+            geometry=geom, res=res, domain=domain, side=side, salt=salt,
+            prefix=_L if side == 0 else _R, out_schema_names=out_names,
         )
 
-    class _LeftIndexer(_CellIndexer):
-        def __call__(self, batch):
-            batch = _rename(batch, lmap)
-            return super().__call__(batch)
+        def f(batch: pa.Table) -> pa.Table:
+            return idx(_rename(batch, rename_map))
 
-    class _RightIndexer(_CellIndexer):
-        def __call__(self, batch):
-            batch = _rename(batch, rmap)
-            return super().__call__(batch)
+        return f
 
     lkeyed = left.map_batches(
-        _LeftIndexer,
+        make_indexer(0, lmap, lmap[geometry]),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=indexer_concurrency or (1, 8),
-        fn_constructor_kwargs=renamed_indexer(0, _L, lmap, lmap[geometry]),
     )
     rkeyed = right.map_batches(
-        _RightIndexer,
+        make_indexer(1, rmap, rmap[right_geometry]),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=indexer_concurrency or (1, 8),
-        fn_constructor_kwargs=renamed_indexer(1, _R, rmap, rmap[right_geometry]),
     )
     both = lkeyed.union(rkeyed)
+    # Ray's sort-based groupby emits one output partition per INPUT BLOCK;
+    # with few/large input blocks the whole cell-local join would run in a
+    # handful of tasks (measured: 2-16 tasks for a 106M-row join). Split to
+    # ~4 blocks per CPU so the join actually fans out.
+    if shuffle_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        shuffle_partitions = min(max(4 * cpus, 64), 512)
+    if shuffle_partitions:
+        both = both.repartition(shuffle_partitions)
     lgeom_col = _L + lmap[geometry]
     rgeom_col = _R + rmap[right_geometry]
     return both.groupby(["cell", "__salt"]).map_groups(

@@ -29,6 +29,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
+from ..util import default_pool
+
 
 class FragmentWriter:
     """map_batches sink stage: writes each batch as one parquet fragment
@@ -73,7 +75,7 @@ def write_fragments(
         FragmentWriter,
         batch_format="pyarrow",
         batch_size=None,  # one fragment per block, not per default-size batch
-        concurrency=(1, 8),
+        concurrency=default_pool(),
         fn_constructor_kwargs=dict(out_dir=out_dir, tag=tag, schema_metadata=schema_metadata),
     ).take_all()
     append_manifest(out_dir, rows)

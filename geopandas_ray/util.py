@@ -1,0 +1,22 @@
+"""Small shared runtime helpers."""
+
+from __future__ import annotations
+
+
+def default_pool(concurrency=None) -> tuple[int, int]:
+    """Actor-pool size that scales with the cluster instead of a fixed cap.
+
+    A hardcoded (1, 8) pool caps every stateful stage at 8 actors and
+    destroys scaling beyond 8 CPUs (measured: 0.40 efficiency 8->32).
+    Default: autoscale up to the cluster's CPU count (stages share the node;
+    Ray's streaming executor balances pools via backpressure).
+    """
+    if concurrency is not None:
+        return concurrency
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return (1, max(2, cpus))
