@@ -88,7 +88,21 @@ def _single_convex_ring(g: Geoms, row: int) -> np.ndarray | None:
 
 
 def pair_intersection_wkb(lg: Geoms, i: int, rg: Geoms, j: int) -> bytes | None:
-    """Pairwise polygon intersection geometry as WKB (None if empty)."""
+    """Pairwise intersection geometry as WKB (None if empty)."""
+    # point-layer cases (reference benchmarks overlay 1000 pts x 10 polys)
+    if int(lg.row_types[i]) in (1, 4):
+        px, py = K._row_points(lg, i)
+        inter, bound = K.points_in_geom(rg, j, px, py)
+        hit = inter | bound
+        if not hit.any():
+            return None
+        from .clip import _parts_to_wkb
+
+        return _parts_to_wkb(
+            [(1, [np.array([[px[k], py[k]]])]) for k in np.nonzero(hit)[0]]
+        )
+    if int(rg.row_types[j]) in (1, 4):
+        return pair_intersection_wkb(rg, j, lg, i)
     lr = geom_rects(lg, i)
     rr = geom_rects(rg, j)
     if lr is not None and rr is not None:
@@ -121,6 +135,21 @@ def pair_difference_wkb(lg: Geoms, i: int, partner_wkbs: list[bytes]) -> bytes |
         from ..geom.wkb import to_wkb as _tw
 
         return _tw(lg.take([i]))[0].as_py()
+    # point-layer difference: keep points hit by NO partner
+    if int(lg.row_types[i]) in (1, 4):
+        px, py = K._row_points(lg, i)
+        pg = from_wkb(partner_wkbs)
+        covered = np.zeros(len(px), dtype=bool)
+        for k in range(len(pg)):
+            inter, bound = K.points_in_geom(pg, k, px, py)
+            covered |= inter | bound
+        if covered.all():
+            return None
+        from .clip import _parts_to_wkb
+
+        return _parts_to_wkb(
+            [(1, [np.array([[px[k], py[k]]])]) for k in np.nonzero(~covered)[0]]
+        )
     lr = geom_rects(lg, i)
     pg = from_wkb(partner_wkbs)
     regions = [geom_rects(pg, k) for k in range(len(pg))]
@@ -256,6 +285,12 @@ def overlay(
     # identity = intersection + difference(df1, df2) only (overlay.py:159-165)
     if how == "identity":
         need_diff2 = False
+    # df1's dimensionality drives keep_geom_type (reference overlay.py:106)
+    if keep_geom_type is False:
+        target_dim = 2
+    else:
+        first = df1.limit(1).take_all()
+        target_dim = _layer_dim(first[0][geometry] if first else None)
     right_ref = ray.put(rt)
     legs = df1.map_batches(
         _OverlayLegs,
@@ -289,7 +324,7 @@ def overlay(
     main = legs.map_batches(filter_legs, batch_format="pyarrow")
 
     if not need_diff2:
-        return _strip_aux(main)
+        return _keep_geom_type(_strip_aux(main), keep_geom_type, target_dim)
 
     # reverse difference leg: df2 row minus union of df1 partners
     pair_cols = legs.map_batches(
@@ -351,7 +386,66 @@ def overlay(
             ordered[new] = rev_tbl_cols[new]
     ordered["geometry"] = rev_tbl_cols["geometry"]
     rev_ds = ray.data.from_arrow(pa.table(ordered))
-    return _strip_aux(main).union(rev_ds)
+    return _keep_geom_type(_strip_aux(main).union(rev_ds), keep_geom_type, target_dim)
+
+
+def _keep_geom_type(ds: ray.data.Dataset, keep: bool | None, target_dim: int) -> ray.data.Dataset:
+    """keep_geom_type filter (overlay.py:106-110, tests/test_overlay.py:587-707):
+    keep only parts of df1's dimensionality (``target_dim``: 0 point,
+    1 line, 2 polygon), exploding GeometryCollections; None defaults to
+    True. Multi/single both count as matching dimension."""
+    if keep is False:
+        return ds
+    from ..geom.wkb import LINESTRING, POINT, POLYGON
+
+    want_type = {0: POINT, 1: LINESTRING, 2: POLYGON}[target_dim]
+
+    def f(b: pa.Table) -> pa.Table:
+        from ..geom.wkb import from_wkb
+
+        g = from_wkb(b.column("geometry"))
+        vals = []
+        keep_rows = np.zeros(len(g), dtype=bool)
+        for i in range(len(g)):
+            if g.row_types[i] == 0:
+                vals.append(None)
+                continue
+            p0, p1 = g.row_part_range(i)
+            match = [p for p in range(p0, p1) if g.part_types[p] == want_type]
+            if not match:
+                vals.append(None)
+                continue
+            keep_rows[i] = True
+            if len(match) == p1 - p0:
+                vals.append(b.column("geometry")[i].as_py())
+            else:
+                # drop other-dimension parts from mixed collections
+                from .clip import _parts_to_wkb
+
+                parts = []
+                for p in match:
+                    r0, r1 = g.part_ring_range(p)
+                    parts.append((int(want_type), [g.ring_coords(r) for r in range(r0, r1)]))
+                vals.append(_parts_to_wkb(parts))
+        idx = b.column_names.index("geometry")
+        b = b.set_column(idx, "geometry", pa.array(vals, type=pa.large_binary()))
+        return b.filter(pa.array(keep_rows))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _layer_dim(wkb_scalar: bytes | None) -> int:
+    from ..geom.wkb import from_wkb
+
+    if wkb_scalar is None:
+        return 2
+    g = from_wkb([wkb_scalar])
+    t = int(g.row_types[0])
+    if t in (1, 4):
+        return 0
+    if t in (2, 5):
+        return 1
+    return 2
 
 
 def _type_of(ds: ray.data.Dataset, col: str):

@@ -130,3 +130,36 @@ def test_overlay_attrs_nulls():
     u = overlay(df1, df2, "union").to_pandas()
     assert len(u) == 2
     assert u.col1.isna().sum() == 1 and u.col2.isna().sum() == 1
+
+
+def test_overlay_points_layer():
+    """Point-layer overlay (reference benchmarks/overlay.py:63-70 shape):
+    keep_geom_type filters to the POINT dimension of df1."""
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "pid": pa.array([0, 1, 2], type=pa.int64()),
+                "geometry": W.points_to_wkb([1.0, 5.0, 50.0], [1.0, 5.0, 50.0]),
+            }
+        )
+    )
+    polys = pa.table(
+        {"zid": pa.array([0], type=pa.int64()), "geometry": W.boxes_to_wkb([0.0], [0.0], [10.0], [10.0])}
+    )
+    inter = overlay(pts, polys, "intersection").to_pandas()
+    assert sorted(inter.pid) == [0, 1]
+    g = W.from_wkb(inter.geometry.tolist())
+    assert all(t == 1 for t in g.row_types)
+    diff = overlay(pts, polys, "difference").to_pandas()
+    assert diff.pid.tolist() == [2]
+
+
+def test_overlay_keep_geom_type_false_keeps_all():
+    df1 = ray.data.from_arrow(
+        pa.table({"a": pa.array([1], type=pa.int64()), "geometry": W.boxes_to_wkb([0.0], [0.0], [2.0], [2.0])})
+    )
+    df2 = pa.table(
+        {"b": pa.array([1], type=pa.int64()), "geometry": W.boxes_to_wkb([1.0], [1.0], [3.0], [3.0])}
+    )
+    on = overlay(df1, df2, "intersection", keep_geom_type=False).to_pandas()
+    assert len(on) == 1
