@@ -377,6 +377,37 @@ def q_sample_points(sf_dir):
     return _select(s, ["zone_key", "count_geometries"])
 
 
+def q_overlay_points_intersection(sf_dir):
+    from geopandas_ray.pipelines.datasets import doc_points, zone_table
+    from geopandas_ray.stages.overlay import overlay
+
+    o = overlay(doc_points(sf_dir), zone_table(sf_dir), "intersection")
+    return _select(o, ["doc_id", "zone_key"])
+
+
+def q_overlay_points_difference(sf_dir):
+    from geopandas_ray.pipelines.datasets import doc_points, zone_table
+    from geopandas_ray.stages.overlay import overlay
+
+    o = overlay(doc_points(sf_dir), zone_table(sf_dir), "difference")
+    return _select(o, ["doc_id"])
+
+
+def q_clip_two_rect_mask(sf_dir):
+    from geopandas_ray.geom.wkb import boxes_to_wkb
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.clip import clip
+    from geopandas_ray.stages.ops import with_xy
+
+    mask = pa.table(
+        {
+            "geometry": boxes_to_wkb([100.0, 600.0], [100.0, 500.0], [400.0, 900.0], [400.0, 800.0])
+        }
+    )
+    c = clip(doc_points(sf_dir), mask)
+    return _select(with_xy(c), ["doc_id", "x", "y"])
+
+
 def q_sessions(sf_dir):
     import pandas as pd
     import ray.data
@@ -656,6 +687,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "representative_point": q_representative_point,
         "min_circle": q_min_circle,
         "sample_points": q_sample_points,
+        "overlay_points_intersection": q_overlay_points_intersection,
+        "overlay_points_difference": q_overlay_points_difference,
+        "clip_two_rect_mask": q_clip_two_rect_mask,
         "sessions": q_sessions,
         "asof_join": q_asof_join,
         "hash_join_counts": q_hash_join_counts,
@@ -796,6 +830,16 @@ def oracle_sql() -> dict[str, str]:
         "wkt_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "representative_point": (
             f"{W} SELECT zone_key, (zminx+zmaxx)/2.0 AS rx, (zminy+zmaxy)/2.0 AS ry FROM zones"
+        ),
+        "overlay_points_intersection": f"{W} SELECT p.doc_id, z.zone_key FROM pts p {pip_join}",
+        "overlay_points_difference": (
+            f"{W} SELECT p.doc_id FROM pts p WHERE NOT EXISTS (SELECT 1 FROM zones z WHERE "
+            "p.px >= z.zminx AND p.px <= z.zmaxx AND p.py >= z.zminy AND p.py <= z.zmaxy)"
+        ),
+        "clip_two_rect_mask": (
+            f"{W} SELECT doc_id, px AS x, py AS y FROM pts WHERE "
+            "(px BETWEEN 100 AND 400 AND py BETWEEN 100 AND 400) OR "
+            "(px BETWEEN 600 AND 900 AND py BETWEEN 500 AND 800)"
         ),
         "sessions": (
             "SELECT user_id, CAST(1 + SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "
