@@ -93,6 +93,7 @@ class _BroadcastJoiner:
         right_index,
         partner_col,
         on_attribute,
+        keep_geom: str = "left",
     ):
         from .core import bbox_equiv_mask
 
@@ -105,10 +106,12 @@ class _BroadcastJoiner:
         self.distance = distance
         self.how = how
         self.geometry = geometry
+        self.keep_geom = keep_geom
         self.lmap = lmap
         self.rmap = rmap
         self.on_attribute = on_attribute or []
-        # right payload: renamed attrs (geometry dropped) + partner index col
+        # right payload: renamed attrs + partner index col; right geometry
+        # included (as "geometry") only when the result keeps the right side
         if right_index is not None:
             idx_vals = right.column(right_index)
         else:
@@ -116,6 +119,8 @@ class _BroadcastJoiner:
         cols = {}
         for name in right.column_names:
             if name == right_geometry:
+                if keep_geom == "right":
+                    cols["geometry"] = right.column(name)
                 continue
             cols[rmap.get(name, name)] = right.column(name)
         cols[partner_col] = idx_vals
@@ -171,6 +176,8 @@ class _BroadcastJoiner:
         # chunked output assembly (large single allocations collapse this
         # host's memory throughput under high concurrency)
         renamed = _rename(batch, self.lmap)
+        if self.keep_geom == "right":
+            renamed = renamed.drop_columns([self.lmap.get(self.geometry, self.geometry)])
         pieces = []
         CH = 400_000
         for s in range(0, max(len(li), 1), CH):
@@ -244,17 +251,36 @@ def sjoin(
             right_index=right_index,
             partner_col=partner_col,
             on_attribute=on_attribute,
+            keep_geom="right" if how == "right" else "left",
         ),
     )
     if how != "right":
         return joined
-    # how='right': keep right geometry and all right rows.
-    # inner pass above kept left geometry; rebuild: swap partner bookkeeping.
-    raise NotImplementedError(
-        "how='right' broadcast path: call sjoin with sides swapped and "
-        "how='left' (result keeps the geometry of the kept side); the "
-        "symmetric wrapper lands with the shuffle path"
-    )
+    # how='right': result keeps RIGHT geometry and every right row
+    # (tools/sjoin.py:265-329). The pair stream above replaced left geometry
+    # with the right side's (keep_geom='right' below); only the matched-id
+    # set (bounded by the small broadcast table) aggregates on the driver to
+    # pad unmatched right rows with null left attributes.
+    matched_vals = {r[partner_col] for r in joined.select_columns([partner_col]).take_all()}
+    if right_index is not None:
+        all_idx = rt.column(right_index).to_pylist()
+    else:
+        all_idx = list(range(rt.num_rows))
+    miss = [i for i, v in enumerate(all_idx) if v not in matched_vals]
+    if not miss:
+        return joined
+    mpart = _rename(rt, {**rmap, right_geometry: "geometry"}).take(pa.array(miss, type=pa.int64()))
+    sch = joined.schema()
+    types = dict(zip(sch.names, sch.types))
+    cols = {}
+    for name in sch.names:
+        if name in mpart.column_names:
+            cols[name] = mpart.column(name)
+        elif name == partner_col:
+            cols[name] = pa.array([all_idx[i] for i in miss])
+        else:
+            cols[name] = pa.nulls(len(miss), types[name])
+    return joined.union(ray.data.from_arrow(pa.table(cols).select(sch.names)))
 
 
 # ---------------------------------------------------------------------------

@@ -183,3 +183,24 @@ def test_span_sequence_invariance(rng):
             (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in orig[row["doc_id"]]
         ]
         assert got == want
+
+
+def test_how_right(micro_left, micro_right):
+    far = pa.table(
+        {
+            "zid": pa.array([10, 20, 99]),
+            "attr": pa.array(["A", "B", "C"]),
+            "geometry": W.boxes_to_wkb([0.0, 1.0, 50.0], [0.0, 1.0, 50.0], [1.0, 2.0, 60.0], [1.0, 2.0, 60.0]),
+        }
+    )
+    j = sjoin(ray.data.from_arrow(micro_left), far, how="right", right_index="zid").to_pandas()
+    # pairs: (0,10),(1,10),(1,20),(2,20) + unmatched zone 99 -> 5 rows
+    assert len(j) == 5
+    unmatched = j[j.zid == 99]
+    assert len(unmatched) == 1 and unmatched.pid.isna().all()
+    # result keeps RIGHT geometry: zone 10's geometry is the unit box
+    g = W.from_wkb(j[j.zid == 10].geometry.tolist())
+    from geopandas_ray.geom import kernels as K
+
+    assert (K.area(g) == 1.0).all()
+    assert set(j[j.pid.notna()].pid) == {0, 1, 2}
