@@ -280,3 +280,110 @@ def collect(values_wkb: list[bytes]) -> bytes:
         for t, rings in _row_to_rings(g, i):
             parts.append((t, rings))
     return _parts_to_wkb(parts)
+
+
+def buffer(ds, distance: float, quad_segs: int = 16, geometry="geometry"):
+    """base.py:4806 - scope: POINT rows -> circle polygon approximated with
+    4*quad_segs segments (shapely's buffer discretization); zero/negative
+    distance on points -> empty. Polygon/line buffering needs full offset
+    curves (GEOS) - round-2+; raises for those inputs."""
+    if distance <= 0:
+        import struct
+
+        empty = struct.pack("<BII", 1, 3, 0)
+
+        def f_empty(b: pa.Table) -> pa.Table:
+            idx = b.column_names.index(geometry)
+            return b.set_column(
+                idx, geometry, pa.array([empty] * len(b), type=pa.large_binary())
+            )
+
+        return ds.map_batches(f_empty, batch_format="pyarrow")
+
+    ang = np.linspace(0.0, 2 * np.pi, 4 * quad_segs, endpoint=False)
+    unit = np.column_stack([np.cos(ang), np.sin(ang)])
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        if not g.all_points:
+            raise NotImplementedError(
+                "buffer implemented for point rows in-sandbox (circle polygons); "
+                "polygon/line offsetting needs GEOS (cluster path)"
+            )
+        vals = []
+        ci = g.ring_offsets[g.part_offsets[g.row_offsets[:-1]]]
+        for i in range(len(g)):
+            if g.row_types[i] == 0:
+                vals.append(None)
+                continue
+            if g.is_empty[i]:
+                vals.append(None)
+                continue
+            c = g.coords[ci[i]]
+            ring = c[None, :] + distance * unit
+            ring = np.vstack([ring, ring[:1]])
+            vals.append(_parts_to_wkb([(POLYGON, [ring])]))
+        idx = b.column_names.index(geometry)
+        return b.set_column(idx, geometry, pa.array(vals, type=pa.large_binary()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def set_precision(ds, grid_size: float, geometry="geometry"):
+    """base.py:1389 - snap every coordinate to the grid (round-half-even,
+    matching GEOS's default precision model)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        g.coords = np.round(g.coords / grid_size) * grid_size
+        idx = b.column_names.index(geometry)
+        return b.set_column(idx, geometry, to_wkb(g))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def normalize(ds, geometry="geometry"):
+    """base.py:1608 - canonical form: polygon shells CCW, holes CW, rings
+    start at their lexicographically smallest vertex; linestrings oriented
+    so the smaller endpoint comes first."""
+
+    def canon_ring(ring: np.ndarray, want_ccw: bool) -> np.ndarray:
+        r = ring[:-1]
+        x, y = ring[:, 0], ring[:, 1]
+        signed = (x[:-1] * y[1:] - x[1:] * y[:-1]).sum()
+        if (signed > 0) != want_ccw:
+            r = r[::-1]
+        # rotate to start at the smallest (x, y) vertex
+        k = np.lexsort((r[:, 1], r[:, 0]))[0]
+        r = np.roll(r, -k, axis=0)
+        return np.vstack([r, r[:1]])
+
+    def fn(g, i):
+        parts = []
+        for t, rings in _row_to_rings(g, i):
+            if t == POLYGON:
+                new_rings = [canon_ring(rings[0], want_ccw=True)]
+                new_rings += [canon_ring(r, want_ccw=False) for r in rings[1:]]
+                parts.append((t, new_rings))
+            elif t == LINESTRING:
+                c = rings[0]
+                if tuple(c[-1]) < tuple(c[0]):
+                    c = c[::-1]
+                parts.append((t, [c]))
+            else:
+                parts.append((t, rings))
+        return _parts_to_wkb(parts) if parts else None
+
+    return _map_rows_geometry(ds, fn, geometry)
+
+
+def force_2d(ds, geometry="geometry"):
+    """base.py:1791 - the engine is planar (Z dropped at WKB decode), so
+    this is a WKB-normalizing identity pass."""
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        idx = b.column_names.index(geometry)
+        return b.set_column(idx, geometry, to_wkb(g))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -259,3 +259,52 @@ def test_geojson_roundtrip():
     assert back[0]["geometry"]["type"] == "Point"
     assert back[0]["properties"]["name"] == "a"
     assert back[1]["geometry"]["coordinates"][0][1] == [4.0, 0.0]
+
+
+def test_buffer_points():
+    from geopandas_ray.stages.ops2 import buffer
+
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array([0], type=pa.int64()), "geometry": W.points_to_wkb([10.0], [10.0])})
+    )
+    b = buffer(ds, 5.0, quad_segs=16).to_pandas()
+    g = W.from_wkb(b.geometry.tolist())
+    a = K.area(g)[0]
+    # inscribed 64-gon area = pi*r^2 * sinc correction; within 0.2% of circle
+    assert abs(a - np.pi * 25) / (np.pi * 25) < 0.002
+    bb = K.bounds(g)[0]
+    assert np.allclose(bb, [5, 5, 15, 15])
+    with pytest.raises(Exception):
+        buffer(
+            ray.data.from_arrow(
+                pa.table({"geometry": W.boxes_to_wkb([0.0], [0.0], [1.0], [1.0])})
+            ),
+            1.0,
+        ).to_pandas()
+
+
+def test_set_precision_normalize_force2d():
+    from geopandas_ray.stages.ops2 import force_2d, normalize, set_precision
+
+    g = W._poly_geoms([[[(0.26, 0.74), (10.12, 0.4), (10.3, 9.8), (0.1, 10.04)]]])
+    ds = ray.data.from_arrow(pa.table({"geometry": W.to_wkb(g)}))
+    p = set_precision(ds, 0.5).to_pandas()
+    gp = W.from_wkb(p.geometry.tolist())
+    assert np.all(np.mod(gp.coords * 2, 1) == 0)  # on the 0.5 grid
+
+    # normalize: CW shell ring becomes CCW starting at min vertex
+    cw_ring = [(0, 0), (0, 10), (10, 10), (10, 0)]
+    g2 = W._poly_geoms([[cw_ring]])
+    ds2 = ray.data.from_arrow(pa.table({"geometry": W.to_wkb(g2)}))
+    n1 = normalize(ds2).to_pandas()
+    gn = W.from_wkb(n1.geometry.tolist())
+    ring = gn.ring_coords(0)
+    x, y = ring[:, 0], ring[:, 1]
+    assert (x[:-1] * y[1:] - x[1:] * y[:-1]).sum() > 0  # CCW
+    assert tuple(ring[0]) == (0.0, 0.0)  # starts at min vertex
+    # idempotent
+    n2 = normalize(ray.data.from_arrow(pa.table({"geometry": W.to_wkb(gn)}))).to_pandas()
+    assert n2.geometry.tolist() == n1.geometry.tolist()
+
+    f = force_2d(ds2).to_pandas()
+    assert np.isclose(K.area(W.from_wkb(f.geometry.tolist()))[0], 100.0)
