@@ -150,6 +150,31 @@ def q_sjoin_nearest(sf_dir):
     return _select(j, ["doc_id", "zone_key"])
 
 
+def q_sjoin_nearest_shuffle(sf_dir):
+    import ray.data
+
+    from geopandas_ray.geom.kernels import bounds as kb
+    from geopandas_ray.geom.wkb import from_wkb, points_to_wkb
+    from geopandas_ray.pipelines.datasets import DOMAIN, doc_points, zone_table
+    from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+    zt = zone_table(sf_dir)
+    zb = kb(from_wkb(zt.column("geometry")))
+    cents = ray.data.from_arrow(
+        pa.table(
+            {
+                "zone_key": zt.column("zone_key"),
+                "geometry": points_to_wkb((zb[:, 0] + zb[:, 2]) / 2.0, (zb[:, 1] + zb[:, 3]) / 2.0),
+            }
+        )
+    )
+    j = sjoin_nearest_shuffle(
+        doc_points(sf_dir), cents, max_distance=100.0, res=5, domain=DOMAIN,
+        left_id="doc_id", right_id="zone_key",
+    )
+    return _select(j, ["doc_id", "zone_key"])
+
+
 def q_clip_rect(sf_dir):
     from geopandas_ray.pipelines.datasets import doc_points
     from geopandas_ray.stages.clip import clip_rect
@@ -665,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sjoin_shuffle_salted": q_sjoin_shuffle_salted,
         "sjoin_on_attr": q_sjoin_on_attr,
         "sjoin_nearest": q_sjoin_nearest,
+        "sjoin_nearest_shuffle": q_sjoin_nearest_shuffle,
         "clip_rect": q_clip_rect,
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
@@ -758,6 +784,13 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT p.doc_id, c.zone_key, (p.px-c.cx)*(p.px-c.cx)+(p.py-c.cy)*(p.py-c.cy) AS d2 "
             "FROM pts p CROSS JOIN cents c) "
             "SELECT doc_id, zone_key FROM d QUALIFY d2 = MIN(d2) OVER (PARTITION BY doc_id)"
+        ),
+        "sjoin_nearest_shuffle": (
+            f"{W}, cents AS (SELECT zone_key, (zminx+zmaxx)/2.0 AS cx, (zminy+zmaxy)/2.0 AS cy FROM zones), "
+            "d AS (SELECT p.doc_id, c.zone_key, (p.px-c.cx)*(p.px-c.cx)+(p.py-c.cy)*(p.py-c.cy) AS d2 "
+            "FROM pts p CROSS JOIN cents c) "
+            "SELECT doc_id, zone_key FROM d WHERE d2 <= 10000.0 "
+            "QUALIFY d2 = MIN(d2) OVER (PARTITION BY doc_id)"
         ),
         "clip_rect": (
             f"{W} SELECT doc_id, px AS x, py AS y FROM pts "

@@ -246,3 +246,148 @@ def sjoin_nearest(
             distance_col=distance_col,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# shuffle scale path (two large sides)
+# ---------------------------------------------------------------------------
+
+
+def sjoin_nearest_shuffle(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    max_distance: float,
+    res: int = 6,
+    domain=None,
+    geometry: str = "geometry",
+    right_geometry: str | None = None,
+    left_id: str = "doc_id",
+    right_id: str = "zone_key",
+    distance_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Cell-partitioned nearest join for two LARGE sides, bounded by
+    ``max_distance`` (required - it is what makes the problem local).
+
+    Plan: left rows key to their cell at ``res``; right rows replicate to
+    every cell their max_distance-dilated bbox covers. One groupby(cell)
+    shuffle; per cell, exact nearest among the replicated candidates. A
+    left row's true nearest within max_distance is guaranteed to be among
+    its cell's candidates because any right geometry within max_distance of
+    the point dilates into that cell. Ties all returned (return_all).
+
+    Unbounded nearest at scale needs iterative ring expansion - use the
+    broadcast path when one side fits in the object store, or pick a
+    generous max_distance.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..grid import DEFAULT_DOMAIN, cell_id, cells_for_bbox
+
+    domain = domain or DEFAULT_DOMAIN
+    right_geometry = right_geometry or geometry
+    d = float(max_distance)
+
+    def key_left(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        bb = K.bounds(g)
+        valid = ~np.isnan(bb).any(axis=1)
+        cx = (bb[:, 0] + bb[:, 2]) * 0.5
+        cy = (bb[:, 1] + bb[:, 3]) * 0.5
+        cells = cell_id(np.nan_to_num(cx), np.nan_to_num(cy), res, domain).astype(np.int64)
+        out = pa.table(
+            {
+                "cell": pa.array(np.where(valid, cells, -1)),
+                "__side": pa.array(np.zeros(len(g), dtype=np.int8)),
+                "__lid": b.column(left_id),
+                "__rid": pa.nulls(len(g), pa.int64()),
+                "__geom": b.column(geometry),
+            }
+        )
+        return out.filter(pa.array(valid))
+
+    def key_right(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(right_geometry))
+        bb = K.bounds(g)
+        valid = ~np.isnan(bb).any(axis=1)
+        row_idx, cells = cells_for_bbox(
+            np.where(valid, bb[:, 0] - d, 0.0),
+            np.where(valid, bb[:, 1] - d, 0.0),
+            np.where(valid, bb[:, 2] + d, 0.0),
+            np.where(valid, bb[:, 3] + d, 0.0),
+            res,
+            domain,
+        )
+        keep = valid[row_idx]
+        row_idx, cells = row_idx[keep], cells[keep]
+        taken = b.take(pa.array(row_idx))
+        return pa.table(
+            {
+                "cell": pa.array(cells.astype(np.int64)),
+                "__side": pa.array(np.ones(len(row_idx), dtype=np.int8)),
+                "__lid": pa.nulls(len(row_idx), pa.int64()),
+                "__rid": taken.column(right_id),
+                "__geom": taken.column(right_geometry),
+            }
+        )
+
+    lkeyed = left.map_batches(key_left, batch_format="pyarrow")
+    rkeyed = right.map_batches(key_right, batch_format="pyarrow")
+
+    def per_cell(b: pa.Table) -> pa.Table:
+        side = np.asarray(b.column("__side"))
+        lmask = side == 0
+        if not lmask.any() or lmask.all():
+            return pa.table(
+                {
+                    left_id: pa.array([], type=pa.int64()),
+                    right_id: pa.array([], type=pa.int64()),
+                    "distance": pa.array([], type=pa.float64()),
+                }
+            )
+        lt = b.filter(pa.array(lmask))
+        rt = b.filter(pa.array(~lmask))
+        lg = from_wkb(lt.column("__geom"))
+        rg = from_wkb(rt.column("__geom"))
+        ci = lg.ring_offsets[lg.part_offsets[lg.row_offsets[:-1]]]
+        px = lg.coords[ci, 0]
+        py = lg.coords[ci, 1]
+        lids = np.asarray(lt.column("__lid"), dtype=np.int64)
+        rids = np.asarray(rt.column("__rid"), dtype=np.int64)
+        out_l, out_r, out_d = [], [], []
+        # exact distance to every candidate (chunked over right rows)
+        best = np.full(len(px), np.inf)
+        d2s = np.empty((len(rids), len(px)))
+        for j in range(len(rids)):
+            d2s[j] = K.points_to_geom_sqdist(rg, j, px, py)
+            np.minimum(best, d2s[j], out=best)
+        dmax2 = d * d
+        for i in range(len(px)):
+            if best[i] > dmax2:
+                continue
+            ties = np.nonzero(d2s[:, i] == best[i])[0]
+            for j in sorted(set(rids[ties])):
+                out_l.append(lids[i])
+                out_r.append(j)
+                out_d.append(np.sqrt(best[i]))
+        return pa.table(
+            {
+                left_id: pa.array(out_l, type=pa.int64()),
+                right_id: pa.array(out_r, type=pa.int64()),
+                "distance": pa.array(out_d, type=pa.float64()),
+            }
+        )
+
+    out = lkeyed.union(rkeyed).groupby("cell").map_groups(per_cell, batch_format="pyarrow")
+    if distance_col is None:
+        out = out.drop_columns(["distance"]) if hasattr(out, "drop_columns") else out.map_batches(
+            lambda t: t.drop_columns(["distance"]), batch_format="pyarrow"
+        )
+    elif distance_col != "distance":
+        out = out.map_batches(
+            lambda t: t.rename_columns(
+                [distance_col if c == "distance" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    return out

@@ -72,3 +72,43 @@ def test_nearest_to_polygons():
     j = sjoin_nearest(left, right, distance_col="d", right_index="rid").to_pandas().sort_values("pid")
     assert j.rid.tolist() == [0, 1]
     assert np.allclose(j.d, [0.0, 5.0])  # inside -> 0; 30 to box edge 25 -> 5
+
+
+def test_shuffle_nearest_matches_broadcast(rng):
+    from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+    n, m = 300, 60
+    px = rng.uniform(0, 1000, n)
+    py = rng.uniform(0, 1000, n)
+    qx = rng.uniform(0, 1000, m)
+    qy = rng.uniform(0, 1000, m)
+    left = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n)), "geometry": W.points_to_wkb(px, py)})
+    )
+    right_t = pa.table({"zone_key": pa.array(np.arange(m)), "geometry": W.points_to_wkb(qx, qy)})
+    right = ray.data.from_arrow(right_t)
+    D = 200.0
+    got = sjoin_nearest_shuffle(left, right, max_distance=D, res=5, distance_col="d").to_pandas()
+    # oracle
+    d2 = (px[:, None] - qx[None, :]) ** 2 + (py[:, None] - qy[None, :]) ** 2
+    best = d2.min(axis=1)
+    expect = {
+        (i, int(d2[i].argmin())) for i in range(n) if best[i] <= D * D
+    }
+    assert set(zip(got.doc_id, got.zone_key)) == expect
+    assert np.allclose(np.sort(got.d.to_numpy()), np.sort(np.sqrt(best[best <= D * D])))
+
+
+def test_shuffle_nearest_ties():
+    from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+    left = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], type=pa.int64()), "geometry": W.points_to_wkb([512.0], [512.0])})
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {"zone_key": pa.array([1, 2], type=pa.int64()), "geometry": W.points_to_wkb([502.0, 522.0], [512.0, 512.0])}
+        )
+    )
+    got = sjoin_nearest_shuffle(left, right, max_distance=50.0, res=4).to_pandas()
+    assert sorted(got.zone_key) == [1, 2]
