@@ -148,6 +148,47 @@ def run_bench() -> dict:
 
     timed("minhash_dedup", run_minhash)
 
+    def _skew_tables():
+        import numpy as np
+        import pyarrow as pa
+
+        from geopandas_ray.geom.wkb import boxes_to_wkb, points_to_wkb
+
+        rng = np.random.RandomState(42)
+        n = 500_000
+        hot = rng.rand(n) < 0.5  # F6: half the corpus in one mega-city cell
+        px = np.where(hot, 512 + rng.uniform(-12, 12, n), rng.uniform(0, 1000, n))
+        py = np.where(hot, 512 + rng.uniform(-12, 12, n), rng.uniform(0, 1000, n))
+        pts_t = pa.table({"pid": pa.array(np.arange(n)), "geometry": points_to_wkb(px, py)})
+        nz = 2000
+        zx = rng.uniform(0, 950, nz)
+        zy = rng.uniform(0, 950, nz)
+        zw = rng.uniform(20, 60, nz)
+        zh = rng.uniform(20, 60, nz)
+        zx[:20] = 480 + rng.uniform(0, 20, 20)
+        zy[:20] = 480 + rng.uniform(0, 20, 20)
+        zones_t = pa.table(
+            {"zid": pa.array(np.arange(nz)), "geometry": boxes_to_wkb(zx, zy, zx + zw, zy + zh)}
+        )
+        return pts_t, zones_t
+
+    def run_skew(salt):
+        from geopandas_ray.stages.sjoin import sjoin_shuffle
+
+        pts_t, zones_t = _skew_tables()
+
+        def go():
+            pts = ray.data.from_arrow(pts_t).repartition(64)
+            zones = ray.data.from_arrow(zones_t)
+            return sjoin_shuffle(
+                pts, zones, predicate="intersects", res=5, salt=salt, batch_size=32768
+            ).count()
+
+        return go
+
+    timed("skew_join_unsalted", run_skew(1))
+    timed("skew_join_salt8", run_skew(8))
+
     def run_q1():
         from ray.data.aggregate import Count, Sum
 

@@ -129,8 +129,28 @@ def run_resumable(
     skipped = len(input_files) - len(todo)
     total_rows = 0
     for f in todo:
+        t0 = time.time()
         ds = rd.read_parquet(f)
         out = pipeline(ds)
         rows = write_fragments(out, out_dir, tag=f, schema_metadata=schema_metadata)
-        total_rows += sum(r["rows"] for r in rows)
+        n = sum(r["rows"] for r in rows)
+        total_rows += n
+        # per-partition lineage + stage metrics line (north rule)
+        try:
+            stats = out.stats()
+        except Exception:
+            stats = ""
+        append_manifest(
+            out_dir,
+            [
+                {
+                    "input_fragment": f + "#metrics",
+                    "output": "",
+                    "rows": n,
+                    "bytes": sum(r["bytes"] for r in rows),
+                    "wall_s": round(time.time() - t0, 3),
+                    "stage_stats": stats[-2000:] if stats else "",
+                }
+            ],
+        )
     return {"processed": len(todo), "skipped": skipped, "rows": total_rows}
