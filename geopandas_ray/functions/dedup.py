@@ -130,11 +130,13 @@ class MinHasher:
 
 
 def hash_str64(s: str) -> np.uint64:
-    """Deterministic FNV-1a over utf-8 bytes (python hash() is salted)."""
-    h = np.uint64(14695981039346656037)
-    for ch in s.encode("utf-8"):
-        h = (h ^ np.uint64(ch)) * np.uint64(1099511628211)
-    return h
+    """Deterministic 64-bit string hash at C speed (python hash() is salted;
+    a per-character Python FNV loop was the minhash bottleneck). Two zlib
+    crc32 passes (forward + salted) give 64 stable bits."""
+    import zlib
+
+    b = s.encode("utf-8")
+    return np.uint64(zlib.crc32(b)) | (np.uint64(zlib.crc32(b, 0x9E3779B9)) << np.uint64(32))
 
 
 def minhash_candidate_pairs(
@@ -179,7 +181,44 @@ def minhash_candidate_pairs(
                 out_j.append(agree[k])
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    # Per-group python over EVERY bucket is death by overhead (most buckets
+    # hold one doc). First count bucket sizes with the vectorized aggregate
+    # path, broadcast the (tiny) collision-bucket key set, filter the banded
+    # rows to those buckets, and only then run per-bucket pair generation.
+    from ray.data.aggregate import Count
+
+    counts = banded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
+    hot = counts.filter(lambda r: r["n"] >= 2).take_all()
+    hot_keys = {(r["band"], r["band_hash"]) for r in hot}
+    if not hot_keys:
+        import pyarrow as _pa
+
+        return ray.data.from_arrow(
+            _pa.table(
+                {
+                    "id_a": _pa.array([], type=_pa.int64()),
+                    "id_b": _pa.array([], type=_pa.int64()),
+                    "est_jaccard": _pa.array([], type=_pa.float64()),
+                }
+            )
+        )
+    hot_ref = ray.put(hot_keys)
+
+    class _HotFilter:
+        def __init__(self):
+            self.keys = ray.get(hot_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            mask = [
+                (b, h) in self.keys for b, h in zip(df["band"].to_numpy(), df["band_hash"].to_numpy())
+            ]
+            return df[np.asarray(mask)]
+
+    collisions = banded.map_batches(_HotFilter, batch_format="pandas", concurrency=default_pool())
+    pairs = collisions.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
     # a pair found in multiple bands appears multiple times: dedup
     def pair_first(df: pd.DataFrame) -> pd.DataFrame:
         return df.head(1)
