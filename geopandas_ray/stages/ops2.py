@@ -387,3 +387,141 @@ def force_2d(ds, geometry="geometry"):
         return b.set_column(idx, geometry, to_wkb(g))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def with_ring_flags(ds, geometry="geometry"):
+    """base.py:454 is_simple / :482 is_ring / :517 is_ccw / :558 is_closed /
+    :592 has_z - one pass, four boolean columns.
+
+    is_simple checks pairwise proper self-intersection of segments within
+    each line part (O(S^2) per row - rows are small); has_z is always False
+    (planar engine drops Z at decode)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        n = len(g)
+        is_closed = np.zeros(n, dtype=bool)
+        is_ring = np.zeros(n, dtype=bool)
+        is_ccw = np.zeros(n, dtype=bool)
+        is_simple = np.ones(n, dtype=bool)
+        for i in range(n):
+            if g.row_types[i] == 0:
+                continue
+            p0, p1 = g.row_part_range(i)
+            closed_all = p1 > p0
+            for p in range(p0, p1):
+                t = int(g.part_types[p])
+                r0, r1 = g.part_ring_range(p)
+                for r in range(r0, r1):
+                    c = g.ring_coords(r)
+                    closed = len(c) > 1 and np.array_equal(c[0], c[-1])
+                    if t == LINESTRING:
+                        closed_all &= closed
+                        # self-intersection scan (proper crossings only)
+                        segs = np.hstack([c[:-1], c[1:]])
+                        for a in range(len(segs)):
+                            nb = segs[a + 2 :] if a > 0 else segs[a + 2 : len(segs) - (1 if closed else 0)]
+                            if len(nb) and K._proper_cross(segs[a : a + 1], nb):
+                                is_simple[i] = False
+                                break
+                    elif t == POINT:
+                        closed_all = False
+            if p1 - p0 == 1 and int(g.part_types[p0]) == LINESTRING:
+                r0, _ = g.part_ring_range(p0)
+                c = g.ring_coords(r0)
+                closed = len(c) > 1 and np.array_equal(c[0], c[-1])
+                is_closed[i] = closed
+                is_ring[i] = closed and is_simple[i] and len(c) >= 4
+                if len(c) > 2:
+                    x, y = c[:, 0], c[:, 1]
+                    is_ccw[i] = (x[:-1] * y[1:] - x[1:] * y[:-1]).sum() > 0
+        b = b.append_column("is_closed", pa.array(is_closed))
+        b = b.append_column("is_ring", pa.array(is_ring))
+        b = b.append_column("is_ccw", pa.array(is_ccw))
+        b = b.append_column("is_simple", pa.array(is_simple))
+        b = b.append_column("has_z", pa.array(np.zeros(n, dtype=bool)))
+        return b
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def get_geometry(ds, index: int, geometry="geometry", out=None):
+    """base.py:672 - the index-th part of each multi-geometry (negative
+    indexes from the end; out of range -> missing)."""
+    out = out or geometry
+
+    def fn(g, i):
+        p0, p1 = g.row_part_range(i)
+        k = p1 - p0
+        idx = index if index >= 0 else k + index
+        if idx < 0 or idx >= k:
+            return None
+        p = p0 + idx
+        t = int(g.part_types[p])
+        r0, r1 = g.part_ring_range(p)
+        return _parts_to_wkb([(t, [g.ring_coords(r) for r in range(r0, r1)])])
+
+    return _map_rows_geometry(ds, fn, geometry, out)
+
+
+def with_get_precision(ds, geometry="geometry", out="precision"):
+    """base.py:622 - no precision model is attached to decoded WKB, so this
+    reports 0.0 (GEOS 'full precision'), matching arrays never passed
+    through set_precision."""
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.append_column(out, pa.array(np.zeros(len(b))))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def line_merge(ds, geometry="geometry"):
+    """base.py:1887 - stitch MultiLineString parts that share endpoints into
+    maximal chains (degree<=2 joins, like GEOS LineMerger)."""
+
+    def fn(g, i):
+        lines = []
+        others = []
+        for t, rings in _row_to_rings(g, i):
+            if t == LINESTRING:
+                lines.append(rings[0])
+            else:
+                others.append((t, rings))
+        if not lines:
+            return _parts_to_wkb(others) if others else None
+        # endpoint -> line indices
+        from collections import defaultdict
+
+        def key(pt):
+            return (float(pt[0]), float(pt[1]))
+
+        ends = defaultdict(list)
+        for k, c in enumerate(lines):
+            ends[key(c[0])].append(k)
+            ends[key(c[-1])].append(k)
+        used = [False] * len(lines)
+        merged = []
+        for k in range(len(lines)):
+            if used[k]:
+                continue
+            used[k] = True
+            chain = list(map(tuple, lines[k]))
+            # extend forward then backward while the junction has degree 2
+            for direction in (1, 0):
+                while True:
+                    endpoint = chain[-1] if direction else chain[0]
+                    cands = [j for j in ends[key(np.asarray(endpoint))] if not used[j]]
+                    if len(cands) != 1 or len(ends[key(np.asarray(endpoint))]) != 2:
+                        break
+                    j = cands[0]
+                    seg = list(map(tuple, lines[j]))
+                    if direction:
+                        chain = chain + (seg[1:] if seg[0] == endpoint else seg[::-1][1:])
+                    else:
+                        chain = (seg[:-1] if seg[-1] == endpoint else seg[::-1][:-1]) + chain
+                    used[j] = True
+            merged.append(np.asarray(chain, dtype=np.float64))
+        parts = [(LINESTRING, [m]) for m in merged] + others
+        return _parts_to_wkb(parts)
+
+    return _map_rows_geometry(ds, fn, geometry)

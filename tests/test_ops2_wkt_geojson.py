@@ -308,3 +308,67 @@ def test_set_precision_normalize_force2d():
 
     f = force_2d(ds2).to_pandas()
     assert np.isclose(K.area(W.from_wkb(f.geometry.tolist()))[0], 100.0)
+
+
+def test_ring_flags():
+    import struct
+
+    from geopandas_ray.stages.ops2 import with_ring_flags
+
+    ring_line = struct.pack("<BII", 1, 2, 5) + np.array(
+        [0.0, 0, 4, 0, 4, 4, 0, 4, 0, 0]
+    ).astype("<f8").tobytes()
+    open_line = struct.pack("<BII", 1, 2, 2) + np.array([0.0, 0, 5, 5]).astype("<f8").tobytes()
+    bowtie = struct.pack("<BII", 1, 2, 4) + np.array(
+        [0.0, 0, 4, 4, 4, 0, 0, 4]
+    ).astype("<f8").tobytes()
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([0, 1, 2], type=pa.int64()),
+                "geometry": pa.array([ring_line, open_line, bowtie], type=pa.large_binary()),
+            }
+        )
+    )
+    f = with_ring_flags(ds).to_pandas().sort_values("id")
+    assert f.is_closed.tolist() == [True, False, False]
+    assert f.is_ring.tolist() == [True, False, False]
+    assert f.is_ccw.tolist() == [True, False, False]
+    assert f.is_simple.tolist() == [True, True, False]
+    assert not f.has_z.any()
+
+
+def test_get_geometry():
+    import struct
+
+    from geopandas_ray.stages.ops2 import get_geometry
+
+    mp = struct.pack("<BII", 1, 4, 2) + struct.pack("<BI2d", 1, 1, 1.0, 2.0) + struct.pack(
+        "<BI2d", 1, 1, 3.0, 4.0
+    )
+    ds = ray.data.from_arrow(pa.table({"geometry": pa.array([mp], type=pa.large_binary())}))
+    g1 = W.from_wkb(get_geometry(ds, 1, out="part").to_pandas().part.tolist())
+    assert np.allclose(g1.coords, [[3, 4]])
+    gneg = W.from_wkb(get_geometry(ds, -2, out="part").to_pandas().part.tolist())
+    assert np.allclose(gneg.coords, [[1, 2]])
+    goob = get_geometry(ds, 5, out="part").to_pandas()
+    assert goob.part.isna().all()
+
+
+def test_line_merge():
+    import struct
+
+    from geopandas_ray.stages.ops2 import line_merge
+
+    seg = lambda pts: struct.pack("<BII", 1, 2, len(pts)) + np.asarray(pts, dtype="<f8").tobytes()
+    mls = (
+        struct.pack("<BII", 1, 5, 3)
+        + seg([(0, 0), (1, 1)])
+        + seg([(1, 1), (2, 2)])
+        + seg([(5, 5), (6, 6)])
+    )
+    ds = ray.data.from_arrow(pa.table({"geometry": pa.array([mls], type=pa.large_binary())}))
+    m = line_merge(ds).to_pandas()
+    g = W.from_wkb(m.geometry.tolist())
+    assert K.count_geometries(g)[0] == 2  # two chains
+    assert np.isclose(K.length(g)[0], np.hypot(2, 2) + np.hypot(1, 1))
