@@ -448,6 +448,15 @@ def q_sessions(sf_dir):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def q_sliding_windows(sf_dir):
+    import ray.data
+
+    from geopandas_ray.stages.window import sliding
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return sliding(ds, "user_id", "ts", window_s=7200, slide_s=3600)
+
+
 def q_asof_join(sf_dir):
     import pandas as pd
     import pyarrow.compute as pc
@@ -717,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlay_points_difference": q_overlay_points_difference,
         "clip_two_rect_mask": q_clip_two_rect_mask,
         "sessions": q_sessions,
+        "sliding_windows": q_sliding_windows,
         "asof_join": q_asof_join,
         "hash_join_counts": q_hash_join_counts,
         "q1_lineitem": q_q1_lineitem,
@@ -878,6 +888,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(1 + SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "
             "FROM (SELECT user_id, epoch(ts) - lag(epoch(ts)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) GROUP BY user_id"
+        ),
+        "sliding_windows": (
+            "SELECT user_id, CAST(floor(epoch(ts)/3600)*3600 - t.k*3600 AS BIGINT) AS window_start, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events, (SELECT unnest([0, 1]) AS k) t "
+            "WHERE floor(epoch(ts)/3600)*3600 - t.k*3600 >= 0 GROUP BY user_id, window_start"
         ),
         "asof_join": (
             "WITH od AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey "

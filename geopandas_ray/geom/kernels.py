@@ -524,3 +524,54 @@ def points_to_geom_sqdist(g: Geoms, row: int, px: np.ndarray, py: np.ndarray) ->
         inter, bound = points_in_geom(g, row, px, py)
         d2 = np.where(inter | bound, 0.0, d2)
     return d2
+
+
+def nearest_point_on_geom(g: Geoms, row: int, px: float, py: float):
+    """Nearest point of geometry ``row`` to (px, py) -> (qx, qy, d2).
+    Interior containment counts as distance 0 (the point itself)."""
+    t = int(g.row_types[row])
+    P = np.array([px]), np.array([py])
+    if t in (POLYGON, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        inter, bound = points_in_geom(g, row, *P)
+        if inter[0] or bound[0]:
+            return (px, py, 0.0)
+    if t in (POINT, MULTIPOINT):
+        gx, gy = _row_points(g, row)
+        d2 = (gx - px) ** 2 + (gy - py) ** 2
+        k = int(np.argmin(d2))
+        return (float(gx[k]), float(gy[k]), float(d2[k]))
+    segs = _segments_of_row(g, row)
+    best = (np.nan, np.nan, np.inf)
+    for x0, y0, x1, y1 in segs:
+        dx, dy = x1 - x0, y1 - y0
+        L2 = dx * dx + dy * dy
+        if L2 == 0:
+            qx, qy = x0, y0
+        elif dy == 0.0:
+            qx = min(max(px, min(x0, x1)), max(x0, x1))
+            qy = y0
+        elif dx == 0.0:
+            qx = x0
+            qy = min(max(py, min(y0, y1)), max(y0, y1))
+        else:
+            tpar = min(max(((px - x0) * dx + (py - y0) * dy) / L2, 0.0), 1.0)
+            qx, qy = x0 + tpar * dx, y0 + tpar * dy
+        d2 = (px - qx) ** 2 + (py - qy) ** 2
+        if d2 < best[2]:
+            best = (float(qx), float(qy), float(d2))
+    return best
+
+
+def hausdorff_distance_pair(ga: Geoms, ia: int, gb: Geoms, ib: int) -> float:
+    """Symmetric Hausdorff distance (reference base.py:3617).
+
+    Exact when each directed target is convex (points, segments, rects,
+    convex polygons): the sup over a convex/per-part-convex source of the
+    distance to a convex target is attained at source vertices."""
+
+    def directed(g1, i1, g2, i2):
+        px, py = _row_points(g1, i1)
+        d2 = points_to_geom_sqdist(g2, i2, px, py)
+        return float(np.sqrt(d2.max())) if len(d2) else 0.0
+
+    return max(directed(ga, ia, gb, ib), directed(gb, ib, ga, ia))

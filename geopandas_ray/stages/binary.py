@@ -156,3 +156,107 @@ def shared_paths_stub(*a, **k):
     """base.py:4574 - needs linework noding (GEOS); documented out of
     in-sandbox scope."""
     raise NotImplementedError("shared_paths requires GEOS noding (cluster path)")
+
+
+def binary_hausdorff(ds: ray.data.Dataset, other, geometry="geometry", out="hausdorff_distance"):
+    """base.py:3617 row-aligned Hausdorff distance (exact for point/segment/
+    convex operands - see kernels.hausdorff_distance_pair)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        lg, rg, ri = _two_sides(b, geometry, other)
+        n = len(lg)
+        d = np.full(n, np.nan)
+        for i in range(n):
+            j = int(ri[i])
+            if lg.is_missing[i] or rg.is_missing[j]:
+                continue
+            d[i] = K.hausdorff_distance_pair(lg, i, rg, j)
+        return b.append_column(out, pa.array(d))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def binary_shortest_line(ds: ray.data.Dataset, other, geometry="geometry", out="shortest_line"):
+    """base.py:4370 - the 2-point LineString connecting the nearest pair
+    (source point chosen among vertices; exact for point/segment/convex
+    pairs by vertex-attainment of the nearest pair)."""
+    import struct
+
+    def f(b: pa.Table) -> pa.Table:
+        lg, rg, ri = _two_sides(b, geometry, other)
+        vals = []
+        for i in range(len(lg)):
+            j = int(ri[i])
+            if lg.is_missing[i] or rg.is_missing[j]:
+                vals.append(None)
+                continue
+            if K.geom_intersects_geom(lg, i, rg, j):
+                # degenerate: zero-length line at any shared point
+                px, py = K._row_points(lg, i)
+                inter, bound = K.points_in_geom(rg, j, px, py)
+                hit = inter | bound
+                if hit.any():
+                    k = int(np.nonzero(hit)[0][0])
+                    ax, ay = float(px[k]), float(py[k])
+                else:
+                    ax, ay = float(px[0]), float(py[0])
+                vals.append(
+                    struct.pack("<BII", 1, 2, 2)
+                    + np.array([ax, ay, ax, ay], dtype="<f8").tobytes()
+                )
+                continue
+            best = None
+            # vertices of a projected onto b, and vice versa
+            px, py = K._row_points(lg, i)
+            for k in range(len(px)):
+                qx, qy, d2 = K.nearest_point_on_geom(rg, j, float(px[k]), float(py[k]))
+                if best is None or d2 < best[0]:
+                    best = (d2, float(px[k]), float(py[k]), qx, qy)
+            qx_, qy_ = K._row_points(rg, j)
+            for k in range(len(qx_)):
+                ax, ay, d2 = K.nearest_point_on_geom(lg, i, float(qx_[k]), float(qy_[k]))
+                if best is None or d2 < best[0]:
+                    best = (d2, ax, ay, float(qx_[k]), float(qy_[k]))
+            _, ax, ay, bx, by = best
+            vals.append(
+                struct.pack("<BII", 1, 2, 2) + np.array([ax, ay, bx, by], dtype="<f8").tobytes()
+            )
+        return b.append_column(out, pa.array(vals, type=pa.large_binary()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def binary_project(ds: ray.data.Dataset, other, geometry="geometry", out="project", normalized=False):
+    """base.py:5141 - arc-length position along the LINE in ``geometry`` of
+    the point nearest to the ``other`` point geometry."""
+
+    def f(b: pa.Table) -> pa.Table:
+        lg, rg, ri = _two_sides(b, geometry, other)
+        n = len(lg)
+        d = np.full(n, np.nan)
+        for i in range(n):
+            j = int(ri[i])
+            if lg.is_missing[i] or rg.is_missing[j]:
+                continue
+            if int(lg.row_types[i]) not in (2, 5):
+                continue
+            px, py = K._row_points(rg, j)
+            p0, _ = lg.row_part_range(i)
+            c = lg.ring_coords(lg.part_ring_range(p0)[0])
+            seg = np.hypot(*np.diff(c, axis=0).T)
+            cum = np.concatenate([[0.0], np.cumsum(seg)])
+            best = (np.inf, 0.0)
+            for s in range(len(c) - 1):
+                x0, y0 = c[s]
+                x1, y1 = c[s + 1]
+                dx, dy = x1 - x0, y1 - y0
+                L2 = dx * dx + dy * dy
+                t = 0.0 if L2 == 0 else min(max(((px[0] - x0) * dx + (py[0] - y0) * dy) / L2, 0.0), 1.0)
+                qx, qy = x0 + t * dx, y0 + t * dy
+                d2 = (px[0] - qx) ** 2 + (py[0] - qy) ** 2
+                if d2 < best[0]:
+                    best = (d2, cum[s] + t * seg[s])
+            d[i] = best[1] / cum[-1] if normalized and cum[-1] > 0 else best[1]
+        return b.append_column(out, pa.array(d))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -372,3 +372,40 @@ def test_line_merge():
     g = W.from_wkb(m.geometry.tolist())
     assert K.count_geometries(g)[0] == 2  # two chains
     assert np.isclose(K.length(g)[0], np.hypot(2, 2) + np.hypot(1, 1))
+
+
+def test_hausdorff_shortest_project():
+    import struct
+
+    from geopandas_ray.stages.binary import (
+        binary_hausdorff,
+        binary_project,
+        binary_shortest_line,
+    )
+
+    # two point rows vs rect column
+    t = pa.table(
+        {
+            "geometry": W.points_to_wkb([0.0, 20.0], [0.0, 5.0]),
+            "geom2": W.boxes_to_wkb([10.0, 10.0], [0.0, 0.0], [14.0, 14.0], [10.0, 10.0]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    h = binary_hausdorff(ds, "geom2").to_pandas()
+    # point (0,0) vs rect(10..14, 0..10): directed p->r = 10; r->p = dist from
+    # farthest rect vertex (14,10) to point = sqrt(296)
+    assert np.isclose(h.hausdorff_distance[0], np.sqrt(14**2 + 10**2))
+    s = binary_shortest_line(ds, "geom2").to_pandas()
+    g = W.from_wkb(s.shortest_line.tolist())
+    assert np.allclose(g.ring_coords(0), [[0, 0], [10, 0]])
+    assert np.allclose(g.ring_coords(1), [[20, 5], [14, 5]])
+
+    line = struct.pack("<BII", 1, 2, 3) + np.array([0.0, 0, 10, 0, 10, 10]).astype("<f8").tobytes()
+    t2 = pa.table(
+        {
+            "geometry": pa.array([line], type=pa.large_binary()),
+            "pt": W.points_to_wkb([12.0], [3.0]),
+        }
+    )
+    p = binary_project(ray.data.from_arrow(t2), "pt").to_pandas()
+    assert np.isclose(p.project[0], 13.0)  # 10 along x + 3 up the vertical leg
