@@ -235,3 +235,63 @@ def sample_points_in_geom(g, row, size: int, seed: int, row_key: int) -> np.ndar
         if need <= 0:
             break
     return np.concatenate(out) if out else np.empty((0, 2))
+
+
+def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
+    """Bowyer-Watson Delaunay triangulation of a point set.
+
+    Returns triangles as index triples into the UNIQUE-point array that is
+    also returned... callers should pass pre-uniqued points. O(n^2) worst
+    case - fine for per-row vertex sets (base.py:908 operates per geometry).
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return []
+    # super-triangle bounding everything
+    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    # the super-triangle must be effectively "at infinity": too close and
+    # hull-adjacent circumcircles interact with its vertices, dropping valid
+    # boundary triangles (under-triangulated hulls)
+    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 1e5
+    sp = np.array([[cx - 2 * span, cy - span], [cx + 2 * span, cy - span], [cx, cy + 2 * span]])
+    allp = np.vstack([pts, sp])
+    S = n, n + 1, n + 2
+    tris = [(S[0], S[1], S[2])]
+
+    def circum(tri):
+        ax, ay = allp[tri[0]]
+        bx, by = allp[tri[1]]
+        cx_, cy_ = allp[tri[2]]
+        d = 2 * (ax * (by - cy_) + bx * (cy_ - ay) + cx_ * (ay - by))
+        if d == 0:
+            return (0.0, 0.0, np.inf)
+        ux = ((ax**2 + ay**2) * (by - cy_) + (bx**2 + by**2) * (cy_ - ay) + (cx_**2 + cy_**2) * (ay - by)) / d
+        uy = ((ax**2 + ay**2) * (cx_ - bx) + (bx**2 + by**2) * (ax - cx_) + (cx_**2 + cy_**2) * (bx - ax)) / d
+        r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+        return (ux, uy, r2)
+
+    centers = [circum(tris[0])]
+    for p in range(n):
+        px, py = allp[p]
+        bad = []
+        for t_idx, (ux, uy, r2) in enumerate(centers):
+            if (px - ux) ** 2 + (py - uy) ** 2 <= r2 * (1 + 1e-12):
+                bad.append(t_idx)
+        # polygon hole boundary = edges of bad triangles not shared twice
+        edge_count = {}
+        for t_idx in bad:
+            a, b, c = tris[t_idx]
+            for e in ((a, b), (b, c), (c, a)):
+                k = (min(e), max(e))
+                edge_count[k] = edge_count.get(k, 0) + 1
+        boundary = [e for e, cnt in edge_count.items() if cnt == 1]
+        for t_idx in sorted(bad, reverse=True):
+            tris.pop(t_idx)
+            centers.pop(t_idx)
+        for a, b in boundary:
+            tri = (a, b, p)
+            tris.append(tri)
+            centers.append(circum(tri))
+    out = [t for t in tris if all(v < n for v in t)]
+    return out

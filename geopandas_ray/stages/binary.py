@@ -260,3 +260,102 @@ def binary_project(ds: ray.data.Dataset, other, geometry="geometry", out="projec
         return b.append_column(out, pa.array(d))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _de9im_point_rect(px, py, rb) -> str:
+    """DE-9IM for (Point, non-degenerate rect Polygon)."""
+    inside = rb[0] < px < rb[2] and rb[1] < py < rb[3]
+    on_edge = (
+        (px == rb[0] or px == rb[2]) and rb[1] <= py <= rb[3]
+    ) or ((py == rb[1] or py == rb[3]) and rb[0] <= px <= rb[2])
+    if inside:
+        return "0FFFFF212"
+    if on_edge:
+        return "F0FFFF212"
+    return "FF0FFF212"
+
+
+def _de9im_rect_rect(a, b) -> str:
+    """DE-9IM for two non-degenerate axis-aligned rects."""
+    ox = min(a[2], b[2]) - max(a[0], b[0])
+    oy = min(a[3], b[3]) - max(a[1], b[1])
+    if ox < 0 or oy < 0:
+        return "FF2FF1212"  # disjoint
+    a_in_b = a[0] >= b[0] and a[2] <= b[2] and a[1] >= b[1] and a[3] <= b[3]
+    b_in_a = b[0] >= a[0] and b[2] <= a[2] and b[1] >= a[1] and b[3] <= a[3]
+    if ox == 0 or oy == 0:
+        # boundary-only contact: point corner touch or edge segment touch
+        contact_dim = "0" if (ox == 0 and oy == 0) else "1"
+        return f"FF2F{contact_dim}1212"
+    if a == b:
+        return "2FFF1FFF2"
+    flush = a[0] == b[0] or a[2] == b[2] or a[1] == b[1] or a[3] == b[3]
+    if a_in_b:
+        # nested: shared boundary segment iff any side is flush
+        return "2FF11F212" if flush else "2FF1FF212"
+    if b_in_a:
+        return "212F11FF2" if flush else "212FF1FF2"
+    # proper area overlap: boundaries meet in crossing points (dim 0) unless
+    # an edge line is flush, which makes a shared boundary segment (dim 1)
+    flush_seg = ((a[0] in (b[0], b[2]) or a[2] in (b[0], b[2])) and oy > 0) or (
+        (a[1] in (b[1], b[3]) or a[3] in (b[1], b[3])) and ox > 0
+    )
+    return "212111212" if flush_seg else "212101212"
+
+
+def binary_relate(ds: ray.data.Dataset, other, geometry="geometry", out="relate"):
+    """base.py:4924 - DE-9IM matrix string; exact for point/rect pairs (the
+    bbox-equivalent family); other shapes raise (GEOS on cluster)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        lg, rg, ri = _two_sides(b, geometry, other)
+        lbe = bbox_equiv_mask(lg)
+        rbe = bbox_equiv_mask(rg)
+        lb = K.bounds(lg)
+        rb = K.bounds(rg)
+        vals = []
+        for i in range(len(lg)):
+            j = int(ri[i])
+            if lg.is_missing[i] or rg.is_missing[j]:
+                vals.append(None)
+                continue
+            if not (lbe[i] and rbe[j]):
+                raise NotImplementedError(
+                    "relate implemented for point/axis-rect pairs in-sandbox"
+                )
+            l_pt = lg.row_types[i] == 1
+            r_pt = rg.row_types[j] == 1
+            if l_pt and r_pt:
+                eq = lb[i, 0] == rb[j, 0] and lb[i, 1] == rb[j, 1]
+                vals.append("0FFFFFFF2" if eq else "FF0FFF0F2")
+            elif l_pt:
+                vals.append(_de9im_point_rect(lb[i, 0], lb[i, 1], rb[j]))
+            elif r_pt:
+                m = _de9im_point_rect(rb[j, 0], rb[j, 1], lb[i])
+                # transpose the matrix for the swapped orientation
+                vals.append("".join(m[k] for k in (0, 3, 6, 1, 4, 7, 2, 5, 8)))
+            else:
+                vals.append(_de9im_rect_rect(tuple(lb[i]), tuple(rb[j])))
+        return b.append_column(out, pa.array(vals, type=pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def binary_relate_pattern(ds, pattern: str, other, geometry="geometry", out="relate_pattern"):
+    """base.py:5029 - DE-9IM pattern match ('*'=any, 'T'=non-empty)."""
+    rel = binary_relate(ds, other, geometry=geometry, out="__relate")
+
+    def f(b: pa.Table) -> pa.Table:
+        vals = []
+        for m in b.column("__relate").to_pylist():
+            if m is None:
+                vals.append(None)
+                continue
+            ok = all(
+                p == "*" or (p == "T" and c in "012") or (p == c)
+                for p, c in zip(pattern, m)
+            )
+            vals.append(ok)
+        return b.drop_columns(["__relate"]).append_column(out, pa.array(vals, type=pa.bool_()))
+
+    return rel.map_batches(f, batch_format="pyarrow")

@@ -525,3 +525,24 @@ def line_merge(ds, geometry="geometry"):
         return _parts_to_wkb(parts)
 
     return _map_rows_geometry(ds, fn, geometry)
+
+
+def delaunay_triangles(ds, geometry="geometry", out="delaunay"):
+    """base.py:908 - Delaunay triangulation of each row's vertices as a
+    MultiPolygon of triangles (Bowyer-Watson, geom/algorithms.py)."""
+
+    def fn(g, i):
+        px, py = K._row_points(g, i)
+        if len(px) < 3:
+            return None
+        pts = np.unique(np.column_stack([px, py]), axis=0)
+        tris = A.delaunay(pts)
+        if not tris:
+            return None
+        parts = []
+        for a, b, c in tris:
+            ring = np.vstack([pts[a], pts[b], pts[c], pts[a]])
+            parts.append((POLYGON, [ring]))
+        return _parts_to_wkb(parts)
+
+    return _map_rows_geometry(ds, fn, geometry, out)

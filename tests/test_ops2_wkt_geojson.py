@@ -409,3 +409,70 @@ def test_hausdorff_shortest_project():
     )
     p = binary_project(ray.data.from_arrow(t2), "pt").to_pandas()
     assert np.isclose(p.project[0], 13.0)  # 10 along x + 3 up the vertical leg
+
+
+def test_relate_de9im():
+    from geopandas_ray.stages.binary import binary_relate, binary_relate_pattern
+
+    t = pa.table(
+        {
+            "geometry": W.points_to_wkb([5.0, 0.0, 50.0], [5.0, 5.0, 50.0]),
+            "geom2": W.boxes_to_wkb([0.0] * 3, [0.0] * 3, [10.0] * 3, [10.0] * 3),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    r = binary_relate(ds, "geom2").to_pandas()
+    assert r.relate.tolist() == ["0FFFFF212", "F0FFFF212", "FF0FF F212".replace(" ", "")]
+    # rect-rect cases
+    t2 = pa.table(
+        {
+            "geometry": W.boxes_to_wkb([0.0, 0.0, 0.0], [0.0, 0.0, 0.0], [4.0, 4.0, 4.0], [4.0, 4.0, 4.0]),
+            "geom2": W.boxes_to_wkb([1.0, 2.0, 4.0], [1.0, 2.0, 0.0], [3.0, 6.0, 8.0], [3.0, 6.0, 4.0]),
+        }
+    )
+    r2 = binary_relate(ray.data.from_arrow(t2), "geom2").to_pandas()
+    assert r2.relate.tolist()[0] == "212F11FF2"[:0] + "212FF1FF2"  # b strictly inside a
+    assert r2.relate.tolist()[1] == "212101212"  # proper overlap
+    assert r2.relate.tolist()[2] == "FF2F11212"  # edge touch
+    # pattern matching: intersects pattern
+    p = binary_relate_pattern(ds, "T********", "geom2").to_pandas()
+    assert p.relate_pattern.tolist() == [True, False, False]
+
+
+def test_delaunay(rng):
+    from geopandas_ray.geom.algorithms import delaunay
+    from geopandas_ray.stages.ops2 import delaunay_triangles
+
+    pts = rng.uniform(0, 100, (40, 2))
+    pts = np.unique(pts, axis=0)
+    tris = delaunay(pts)
+    assert len(tris) >= len(pts) - 2
+    # Delaunay property: no point strictly inside any circumcircle
+    for a, b, c in tris:
+        ax, ay = pts[a]; bx, by = pts[b]; cx, cy = pts[c]
+        d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        ux = ((ax**2 + ay**2) * (by - cy) + (bx**2 + by**2) * (cy - ay) + (cx**2 + cy**2) * (ay - by)) / d
+        uy = ((ax**2 + ay**2) * (cx - bx) + (bx**2 + by**2) * (ax - cx) + (cx**2 + cy**2) * (bx - ax)) / d
+        r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+        d2 = (pts[:, 0] - ux) ** 2 + (pts[:, 1] - uy) ** 2
+        assert (d2 >= r2 * (1 - 1e-9)).sum() >= len(pts) - 3
+    # total triangulated area == convex hull area
+    hull = A.convex_hull(pts)
+    hull_area = abs((hull[:-1, 0] * hull[1:, 1] - hull[1:, 0] * hull[:-1, 1]).sum() / 2)
+    tri_area = 0.0
+    for a, b, c in tris:
+        x = np.array([pts[a], pts[b], pts[c], pts[a]])
+        tri_area += abs((x[:-1, 0] * x[1:, 1] - x[1:, 0] * x[:-1, 1]).sum() / 2)
+    assert np.isclose(tri_area, hull_area)
+
+    # stage over a multipoint row
+    import struct
+
+    mp = struct.pack("<BII", 1, 4, 4) + b"".join(
+        struct.pack("<BI2d", 1, 1, float(x), float(y)) for x, y in [(0, 0), (10, 0), (0, 10), (10, 10)]
+    )
+    ds = ray.data.from_arrow(pa.table({"geometry": pa.array([mp], type=pa.large_binary())}))
+    t = delaunay_triangles(ds).to_pandas()
+    g = W.from_wkb(t.delaunay.tolist())
+    assert K.count_geometries(g)[0] == 2
+    assert np.isclose(K.area(g)[0], 100.0)
