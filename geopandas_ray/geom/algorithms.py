@@ -295,3 +295,56 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
             centers.append(circum(tri))
     out = [t for t in tris if all(v < n for v in t)]
     return out
+
+
+def voronoi_cells(points: np.ndarray, envelope: tuple[float, float, float, float]) -> list[np.ndarray]:
+    """Voronoi cell polygon per input point, clipped to ``envelope``.
+
+    Each cell is the envelope rectangle cut by the perpendicular-bisector
+    half-plane against every other point (exact, O(n^2) per row - reference
+    voronoi_polygons base.py:999 operates per geometry's vertex set).
+    Returns closed rings (possibly empty for duplicate points).
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    minx, miny, maxx, maxy = envelope
+    base = np.array(
+        [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]]
+    )
+    cells = []
+    for i in range(len(pts)):
+        ring = base
+        p = pts[i]
+        for j in range(len(pts)):
+            if j == i or len(ring) == 0:
+                continue
+            q = pts[j]
+            d = q - p
+            if d @ d == 0:
+                ring = np.empty((0, 2))
+                break
+            # keep the side closer to p: d . (x - m) <= 0, m = midpoint
+            m = (p + q) / 2.0
+            # clip ring by half-plane via the Sutherland-Hodgman inner step:
+            # inside(x) = d . (x - m) <= 0
+            out = []
+            pts_open = ring[:-1]
+            side = (pts_open - m) @ d
+            nv = len(pts_open)
+            for k in range(nv):
+                k2 = (k + 1) % nv
+                a_in = side[k] <= 0
+                b_in = side[k2] <= 0
+                if a_in:
+                    out.append(pts_open[k])
+                if a_in != b_in:
+                    denom = side[k] - side[k2]
+                    if denom != 0:
+                        t = side[k] / denom
+                        out.append(pts_open[k] + t * (pts_open[k2] - pts_open[k]))
+            if len(out) < 3:
+                ring = np.empty((0, 2))
+            else:
+                r = np.asarray(out)
+                ring = np.vstack([r, r[:1]])
+        cells.append(ring)
+    return cells

@@ -546,3 +546,26 @@ def delaunay_triangles(ds, geometry="geometry", out="delaunay"):
         return _parts_to_wkb(parts)
 
     return _map_rows_geometry(ds, fn, geometry, out)
+
+
+def voronoi_polygons(ds, extend_to=None, geometry="geometry", out="voronoi"):
+    """base.py:999 - Voronoi cells of each row's vertices as a MultiPolygon,
+    clipped to ``extend_to`` bounds (default: the row's bbox inflated 50%,
+    mirroring GEOS's default envelope expansion)."""
+
+    def fn(g, i):
+        px, py = K._row_points(g, i)
+        if len(px) < 2:
+            return None
+        pts = np.unique(np.column_stack([px, py]), axis=0)
+        if extend_to is not None:
+            env = extend_to
+        else:
+            w = max(px.max() - px.min(), 1.0)
+            h = max(py.max() - py.min(), 1.0)
+            env = (px.min() - 0.5 * w, py.min() - 0.5 * h, px.max() + 0.5 * w, py.max() + 0.5 * h)
+        cells = A.voronoi_cells(pts, env)
+        parts = [(POLYGON, [c]) for c in cells if len(c)]
+        return _parts_to_wkb(parts) if parts else None
+
+    return _map_rows_geometry(ds, fn, geometry, out)

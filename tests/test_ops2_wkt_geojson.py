@@ -476,3 +476,35 @@ def test_delaunay(rng):
     g = W.from_wkb(t.delaunay.tolist())
     assert K.count_geometries(g)[0] == 2
     assert np.isclose(K.area(g)[0], 100.0)
+
+
+def test_voronoi(rng):
+    from geopandas_ray.geom.algorithms import voronoi_cells
+    from geopandas_ray.stages.ops2 import voronoi_polygons
+
+    pts = rng.uniform(10, 90, (25, 2))
+    env = (0.0, 0.0, 100.0, 100.0)
+    cells = voronoi_cells(pts, env)
+    # cells partition the envelope: areas sum to envelope area
+    total = 0.0
+    for k, ring in enumerate(cells):
+        assert len(ring) >= 4
+        x, y = ring[:, 0], ring[:, 1]
+        a = abs((x[:-1] * y[1:] - x[1:] * y[:-1]).sum() / 2)
+        total += a
+        # the generating point lies in its own cell
+        g = W._poly_geoms([[ring]])
+        inter, bound = K.points_in_geom(g, 0, pts[k : k + 1, 0], pts[k : k + 1, 1])
+        assert inter[0] or bound[0]
+    assert np.isclose(total, 100.0 * 100.0)
+
+    import struct
+
+    mp = struct.pack("<BII", 1, 4, 3) + b"".join(
+        struct.pack("<BI2d", 1, 1, float(x), float(y)) for x, y in [(10, 10), (90, 10), (50, 90)]
+    )
+    ds = ray.data.from_arrow(pa.table({"geometry": pa.array([mp], type=pa.large_binary())}))
+    v = voronoi_polygons(ds, extend_to=(0, 0, 100, 100)).to_pandas()
+    g = W.from_wkb(v.voronoi.tolist())
+    assert K.count_geometries(g)[0] == 3
+    assert np.isclose(K.area(g)[0], 10000.0)
