@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from ..util import default_pool
+from ..util import default_pool, default_shuffle_partitions
 import ray.data
 
 _SIDE = "__mside"
@@ -93,7 +93,10 @@ def hash_join(
         out = ldf.merge(rdf, on=on, how=how, suffixes=(lsuffix or "", rsuffix))
         return out
 
-    return lt.union(rt).groupby(on).map_groups(join_group, batch_format="pandas")
+    # repartition first: Ray groupby emits one partition per input block, so
+    # a 2-block input would run the whole join in 2 tasks (CLAUDE.md invariant)
+    both = lt.union(rt).repartition(default_shuffle_partitions())
+    return both.groupby(on).map_groups(join_group, batch_format="pandas")
 
 
 def asof_join(
@@ -152,7 +155,8 @@ def asof_join(
         )
         return out
 
-    return lt.union(rt).groupby(key).map_groups(join_group, batch_format="pandas")
+    both = lt.union(rt).repartition(default_shuffle_partitions())
+    return both.groupby(key).map_groups(join_group, batch_format="pandas")
 
 
 def concat_rows(datasets: list[ray.data.Dataset], crs_list=None) -> ray.data.Dataset:

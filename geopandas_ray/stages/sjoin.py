@@ -94,6 +94,7 @@ class _BroadcastJoiner:
         partner_col,
         on_attribute,
         keep_geom: str = "left",
+        left_index: str | None = None,
     ):
         from .core import bbox_equiv_mask
 
@@ -109,6 +110,7 @@ class _BroadcastJoiner:
         self.keep_geom = keep_geom
         self.lmap = lmap
         self.rmap = rmap
+        self.left_index = left_index
         self.on_attribute = on_attribute or []
         # right payload: renamed attrs + partner index col; right geometry
         # included (as "geometry") only when the result keeps the right side
@@ -123,7 +125,13 @@ class _BroadcastJoiner:
                     cols["geometry"] = right.column(name)
                 continue
             cols[rmap.get(name, name)] = right.column(name)
-        cols[partner_col] = idx_vals
+        if keep_geom == "right":
+            # how='right': the partner column is index_LEFT (tools/sjoin.py:
+            # 174-190 - a right join carries the left frame's index); the
+            # right positional id rides along for the distributed pad step.
+            cols["__rpos"] = pa.array(np.arange(len(right), dtype=np.int64))
+        else:
+            cols[partner_col] = idx_vals
         self.right_attrs = pa.table(cols)
         self.partner_col = partner_col
         self._right_on = {
@@ -191,6 +199,15 @@ class _BroadcastJoiner:
             cols = {name: left_part.column(name) for name in left_part.column_names}
             for name in right_part.column_names:
                 cols[name] = right_part.column(name)
+            if self.keep_geom == "right":
+                # partner column = the LEFT index per reference right-join
+                # semantics; per-batch positional when no left_index column
+                # is designated (document: pass left_index for a global id)
+                if self.left_index is not None:
+                    lidx = np.asarray(batch.column(self.left_index))
+                else:
+                    lidx = np.arange(len(batch), dtype=np.int64)
+                cols[self.partner_col] = pa.array(lidx[li[s : s + CH]])
             pieces.append(pa.table(cols))
         return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
 
@@ -211,14 +228,16 @@ def sjoin(
     geometry: str = "geometry",
     right_geometry: str | None = None,
     right_index: str | None = None,
+    left_index: str | None = None,
     concurrency: int | tuple | None = None,
     batch_size: int = 8192,
 ) -> ray.data.Dataset:
     """Broadcast-path spatial join (right side must fit in the object store).
 
-    For how='right' the result keeps RIGHT geometry and every right row;
-    unmatched-right padding is assembled driver-side from the (small)
-    broadcast table after an inner pass.
+    For how='right' the result keeps RIGHT geometry and every right row and
+    emits ``index_left`` (the left partner's index - ``left_index`` column
+    values if given, else per-batch positional); unmatched-right padding is
+    bounded by the broadcast table (matched ids aggregated in-cluster).
     """
     if isinstance(on_attribute, str):
         on_attribute = [on_attribute]
@@ -232,7 +251,9 @@ def sjoin(
         lmap[c] = c
         rmap[c] = None
     rmap = {k: v for k, v in rmap.items() if v is not None}
-    partner_col = "index_right" if how in ("inner", "left") else "index_right"
+    # inner/left joins carry the right partner index; a right join carries
+    # the LEFT partner index (tools/sjoin.py:174-190 _reset_index_with_suffix)
+    partner_col = "index_left" if how == "right" else "index_right"
     right_ref = ray.put(rt)
     joined = left.map_batches(
         _BroadcastJoiner,
@@ -252,35 +273,38 @@ def sjoin(
             partner_col=partner_col,
             on_attribute=on_attribute,
             keep_geom="right" if how == "right" else "left",
+            left_index=left_index,
         ),
     )
     if how != "right":
         return joined
     # how='right': result keeps RIGHT geometry and every right row
-    # (tools/sjoin.py:265-329). The pair stream above replaced left geometry
-    # with the right side's (keep_geom='right' below); only the matched-id
-    # set (bounded by the small broadcast table) aggregates on the driver to
-    # pad unmatched right rows with null left attributes.
-    matched_vals = {r[partner_col] for r in joined.select_columns([partner_col]).take_all()}
-    if right_index is not None:
-        all_idx = rt.column(right_index).to_pylist()
-    else:
-        all_idx = list(range(rt.num_rows))
-    miss = [i for i, v in enumerate(all_idx) if v not in matched_vals]
+    # (tools/sjoin.py:265-329). The matched-id set is aggregated IN THE
+    # CLUSTER (distinct right positions <= broadcast-table rows), never the
+    # pair stream itself - a high-fanout join must not land on the driver.
+    matched_tbl = joined.select_columns(["__rpos"]).groupby("__rpos").count().take_all()
+    matched_pos = {int(r["__rpos"]) for r in matched_tbl}
+    miss = [i for i in range(rt.num_rows) if i not in matched_pos]
+
+    def _drop_rpos(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["__rpos"]) if "__rpos" in b.column_names else b
+
     if not miss:
-        return joined
+        return joined.map_batches(_drop_rpos, batch_format="pyarrow")
     mpart = _rename(rt, {**rmap, right_geometry: "geometry"}).take(pa.array(miss, type=pa.int64()))
     sch = joined.schema()
     types = dict(zip(sch.names, sch.types))
     cols = {}
     for name in sch.names:
-        if name in mpart.column_names:
+        if name == "__rpos":
+            cols[name] = pa.array(miss, type=pa.int64())
+        elif name in mpart.column_names:
             cols[name] = mpart.column(name)
-        elif name == partner_col:
-            cols[name] = pa.array([all_idx[i] for i in miss])
         else:
+            # unmatched right rows: null left attributes + null index_left
             cols[name] = pa.nulls(len(miss), types[name])
-    return joined.union(ray.data.from_arrow(pa.table(cols).select(sch.names)))
+    padded = joined.union(ray.data.from_arrow(pa.table(cols).select(sch.names)))
+    return padded.map_batches(_drop_rpos, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -298,7 +322,7 @@ class _CellIndexer:
     built once per actor (north_star: 'batched stateful actor-pool stage').
     """
 
-    def __init__(self, geometry, res, domain, side, salt, prefix, out_schema_names):
+    def __init__(self, geometry, res, domain, side, salt, prefix, out_schema_names, expand=0.0):
         self.geometry = geometry
         self.res = res
         self.domain = domain
@@ -306,16 +330,23 @@ class _CellIndexer:
         self.salt = salt
         self.prefix = prefix
         self.out_names = out_schema_names
+        # dwithin: the LEFT side's cell covering is computed from the
+        # distance-dilated bbox (matching the dilated query box the per-cell
+        # join uses), else cross-cell pairs within distance would be dropped.
+        # Raw bounds are still stored in __minx.. so the join doesn't
+        # double-expand.
+        self.expand = float(expand)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         g = from_wkb(batch.column(self.geometry))
         b = K.bounds(g)
         valid = ~np.isnan(b).any(axis=1)
+        e = self.expand
         row_idx, cells = cells_for_bbox(
-            np.where(valid, b[:, 0], 0.0),
-            np.where(valid, b[:, 1], 0.0),
-            np.where(valid, b[:, 2], 0.0),
-            np.where(valid, b[:, 3], 0.0),
+            np.where(valid, b[:, 0] - e, 0.0),
+            np.where(valid, b[:, 1] - e, 0.0),
+            np.where(valid, b[:, 2] + e, 0.0),
+            np.where(valid, b[:, 3] + e, 0.0),
             self.res,
             self.domain,
         )
@@ -495,6 +526,7 @@ def sjoin_shuffle(
         idx = _CellIndexer(
             geometry=geom, res=res, domain=domain, side=side, salt=salt,
             prefix=_L if side == 0 else _R, out_schema_names=out_names,
+            expand=(float(distance) if (predicate == "dwithin" and side == 0) else 0.0),
         )
 
         def f(batch: pa.Table) -> pa.Table:
@@ -518,11 +550,9 @@ def sjoin_shuffle(
     # handful of tasks (measured: 2-16 tasks for a 106M-row join). Split to
     # ~4 blocks per CPU so the join actually fans out.
     if shuffle_partitions is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        except Exception:
-            cpus = 8
-        shuffle_partitions = min(max(4 * cpus, 64), 512)
+        from ..util import default_shuffle_partitions
+
+        shuffle_partitions = default_shuffle_partitions()
     if shuffle_partitions:
         both = both.repartition(shuffle_partitions)
     lgeom_col = _L + lmap[geometry]

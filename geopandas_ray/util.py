@@ -20,3 +20,22 @@ def default_pool(concurrency=None) -> tuple[int, int]:
     except Exception:
         cpus = 8
     return (1, max(2, cpus))
+
+
+def default_shuffle_partitions(n: int | None = None) -> int:
+    """Partition count to repartition to BEFORE a groupby shuffle.
+
+    Ray's sort-based groupby emits one output partition per INPUT BLOCK; a
+    2-block input collapses the whole shuffle to 2 tasks (measured - see
+    CLAUDE.md invariant). ~4 blocks per CPU keeps the reduce side fanned out
+    without drowning the scheduler.
+    """
+    if n is not None:
+        return n
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return min(max(4 * cpus, 64), 512)

@@ -163,3 +163,34 @@ def test_overlay_keep_geom_type_false_keeps_all():
     )
     on = overlay(df1, df2, "intersection", keep_geom_type=False).to_pandas()
     assert len(on) == 1
+
+
+def test_overlay_union_fully_covered_df2_row():
+    # a df2 row fully covered by df1 has an EMPTY reverse difference and must
+    # not reappear with its full geometry in union output (r1 latent bug)
+    df1 = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1]),
+                "geometry": W.boxes_to_wkb([0.0], [0.0], [10.0], [10.0]),
+            }
+        )
+    )
+    df2 = pa.table(
+        {
+            "b": pa.array([1, 2]),
+            # first box inside df1's box (fully covered), second disjoint
+            "geometry": W.boxes_to_wkb([2.0, 20.0], [2.0, 20.0], [4.0, 30.0], [4.0, 30.0]),
+        }
+    )
+    out = overlay(df1, df2, "union").to_pandas()
+    g = W.from_wkb(out.geometry.tolist())
+    areas = K.area(g)
+    rows = [
+        (row.a if row.a == row.a else None, row.b if row.b == row.b else None, round(a, 6))
+        for (_, row), a in zip(out.iterrows(), areas)
+    ]
+    # expected: intersection (1,1,4), df1 diff (1,None,96), df2-unmatched (None,2,100)
+    assert (1.0, 1.0, 4.0) in rows
+    total = sorted(round(a, 6) for a in areas)
+    assert total == [4.0, 96.0, 100.0]

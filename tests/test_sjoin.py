@@ -204,3 +204,44 @@ def test_how_right(micro_left, micro_right):
 
     assert (K.area(g) == 1.0).all()
     assert set(j[j.pid.notna()].pid) == {0, 1, 2}
+
+
+def test_how_right_emits_index_left(micro_left, micro_right):
+    # right join carries the LEFT partner index (tools/sjoin.py:174-190);
+    # with left_index given, values come from that column
+    j = sjoin(
+        ray.data.from_arrow(micro_left), micro_right, how="right",
+        right_index="zid", left_index="pid",
+    ).to_pandas()
+    assert "index_left" in j.columns and "index_right" not in j.columns
+    assert "__rpos" not in j.columns
+    got = sorted(zip(j.zid, j.index_left.fillna(-1).astype(int)))
+    assert got == [(10, 0), (10, 1), (20, 1), (20, 2)]
+
+
+def test_shuffle_dwithin_cross_cell():
+    # points and boxes within distance but in DIFFERENT grid cells: the left
+    # covering must be distance-dilated or these pairs silently drop
+    # cell size at res=5 over [0,1000] is 31.25: point x=93.0 -> cell col 2,
+    # box minx=95.0 -> cell col 3; distance 2.0 <= 5.0
+    left = pa.table(
+        {
+            "pid": pa.array([0, 1]),
+            "geometry": W.points_to_wkb([93.0, 500.0], [50.0, 500.0]),
+        }
+    )
+    right = pa.table(
+        {
+            "zid": pa.array([7]),
+            "geometry": W.boxes_to_wkb([95.0], [40.0], [99.0], [60.0]),
+        }
+    )
+    j = sjoin_shuffle(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        predicate="dwithin",
+        distance=5.0,
+        res=5,
+        domain=(0.0, 0.0, 1000.0, 1000.0),
+    ).to_pandas()
+    assert sorted(zip(j.pid, j.zid)) == [(0, 7)]
