@@ -940,4 +940,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b "
             f"ON a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_TAU}"
         ),
+        # FNV-style polynomial rolling hash mod 2^64 (documents are ASCII so
+        # ascii() == byte). HUGEINT split keeps each product under 2^128:
+        # h*base mod 2^64 = (lo(h)*base + (hi(h)*base mod 2^32)*2^32) mod 2^64
+        "fingerprint": (
+            "SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT "
+            "THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fingerprint FROM ("
+            "SELECT doc_id, list_reduce(list_prepend(1469598103934665603::HUGEINT, "
+            "list_transform(generate_series(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS HUGEINT))), "
+            "(h, b) -> (((h % 4294967296::HUGEINT) * 1099511628211::HUGEINT "
+            "+ ((h // 4294967296::HUGEINT) * 1099511628211::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) "
+            "+ b) % 18446744073709551616::HUGEINT) AS h FROM documents)"
+        ),
+        # stopword-profile language heuristic: distinct hits over the first
+        # 200 lowercase tokens, alphabetically-first max (>0), CJK -> zh
+        "langid": (
+            "WITH t AS (SELECT doc_id, "
+            "list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')[1:200]) AS ws, "
+            "regexp_matches(substr(text, 1, 200), '[一-鿿]') AS zh FROM documents), "
+            "h AS (SELECT doc_id, zh, "
+            "len(list_filter(ws, x -> x IN ('das','der','die','ein','ist','nicht','und'))) AS hde, "
+            "len(list_filter(ws, x -> x IN ('and','in','is','it','of','that','the','to'))) AS hen, "
+            "len(list_filter(ws, x -> x IN ('de','el','es','la','los','que','una','y'))) AS hes, "
+            "len(list_filter(ws, x -> x IN ('est','et','la','le','les','que','une'))) AS hfr FROM t) "
+            "SELECT doc_id, CASE WHEN zh THEN 'zh' "
+            "WHEN GREATEST(hde, hen, hes, hfr) = 0 THEN 'und' "
+            "WHEN hde = GREATEST(hde, hen, hes, hfr) THEN 'de' "
+            "WHEN hen = GREATEST(hde, hen, hes, hfr) THEN 'en' "
+            "WHEN hes = GREATEST(hde, hen, hes, hfr) THEN 'es' "
+            "ELSE 'fr' END AS lang_pred FROM h"
+        ),
     }

@@ -49,16 +49,21 @@ class QualityScorer:
         self.stop = set(self.STOPWORDS)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        s = df[self.text_col].fillna("")
+        s = df[self.text_col].fillna("").reset_index(drop=True)
         toks = s.str.split()
         n = toks.str.len().astype("int64")
-        stop_hits = toks.map(lambda ws: sum(1 for w in ws if w in self.stop) if ws is not None else 0)
-        total_len = toks.map(lambda ws: sum(len(w) for w in ws) if ws else 0)
+        # vectorized over the exploded token frame (C-level isin/str.len +
+        # groupby-sum), no per-row Python lambdas on the hot text path
+        ex = toks.explode()
+        stop_hits = (
+            ex.isin(self.stop).groupby(level=0).sum().reindex(s.index, fill_value=0).astype("int64")
+        )
+        total_len = ex.str.len().groupby(level=0).sum().reindex(s.index, fill_value=0.0)
         df = df.copy()
-        df["n_tokens"] = n
-        df["stopword_count"] = stop_hits.astype("int64")
-        df["mean_token_len"] = np.where(n > 0, total_len / n.clip(lower=1), 0.0)
-        df["quality_ok"] = (n >= 10) & (stop_hits / n.clip(lower=1) < 0.5)
+        df["n_tokens"] = n.values
+        df["stopword_count"] = stop_hits.values
+        df["mean_token_len"] = np.where(n.values > 0, total_len.values / n.clip(lower=1).values, 0.0)
+        df["quality_ok"] = (n.values >= 10) & (stop_hits.values / n.clip(lower=1).values < 0.5)
         return df
 
 
@@ -89,24 +94,33 @@ class LangId:
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         self.text_col = text_col
         self.out_col = out_col
-        self.profiles = {k: v for k, v in self.PROFILES.items() if v}
-
-    def _classify(self, text: str) -> str:
-        if not text:
-            return "und"
-        if any("一" <= ch <= "鿿" for ch in text[:200]):
-            return "zh"
-        words = set(text.lower().split()[:200])
-        best, best_hits = "und", 0
-        for lang, prof in sorted(self.profiles.items()):
-            hits = len(words & prof)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best
+        self.profiles = {k: sorted(v) for k, v in sorted(self.PROFILES.items()) if v}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized: explode the first 200 lowercase tokens per row, count
+        DISTINCT profile hits per (row, lang) with C-level isin + groupby,
+        pick the alphabetically-first language with the max hit count
+        (>0, else 'und'); CJK-codepoint rows short-circuit to 'zh'."""
+        s = df[self.text_col].fillna("").reset_index(drop=True)
+        zh = s.str.slice(0, 200).str.contains("[一-鿿]", regex=True)
+        ex = s.str.lower().str.split().explode().dropna()
+        if len(ex):
+            pos = ex.groupby(level=0).cumcount()
+            ex = ex[pos < 200]
+            pairs = ex.reset_index()
+            pairs.columns = ["row", "tok"]
+            pairs = pairs.drop_duplicates()  # set() semantics per row
+        else:
+            pairs = pd.DataFrame({"row": pd.Series(dtype=np.int64), "tok": pd.Series(dtype=object)})
+        counts = pd.DataFrame(index=s.index)
+        for lang, prof in self.profiles.items():
+            hit = pairs[pairs["tok"].isin(prof)].groupby("row").size()
+            counts[lang] = hit.reindex(s.index, fill_value=0).astype("int64")
+        best = counts.idxmax(axis=1)  # first (alphabetical) max, column order = sorted langs
+        best = best.where(counts.max(axis=1) > 0, "und")
+        best = best.where(~zh, "zh")
         df = df.copy()
-        df[self.out_col] = df[self.text_col].fillna("").map(self._classify)
+        df[self.out_col] = best.values
         return df
 
 

@@ -88,10 +88,22 @@ def test_simhash_similarity(docs):
 
 
 def test_langid():
+    import pandas as pd
+
     li = LangId()
-    assert li._classify("the cat is in the house and it is warm") == "en"
-    assert li._classify("der hund ist nicht ein vogel und die katze") == "de"
-    assert li._classify("中文文本内容") == "zh"
+    df = pd.DataFrame(
+        {
+            "text": [
+                "the cat is in the house and it is warm",
+                "der hund ist nicht ein vogel und die katze",
+                "中文文本内容",
+                "",
+                "zzz qqq xxx",
+            ]
+        }
+    )
+    out = li(df)
+    assert list(out.lang_pred) == ["en", "de", "zh", "und", "und"]
 
 
 def test_knn_brute_matches_numpy(rng):
