@@ -659,6 +659,48 @@ def q_simhash(sf_dir):
     return _select(with_simhash(ds), ["doc_id", "simhash"])
 
 
+def q_geom_equals_join(sf_dir):
+    # sjoin with the geom_equals predicate: co-located document points
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.sjoin import _materialize, sjoin
+
+    rt = _materialize(doc_points(sf_dir))
+    rt = rt.rename_columns(
+        ["doc_id_2" if c == "doc_id" else c for c in rt.column_names]
+    )
+    j = sjoin(doc_points(sf_dir), rt, how="inner", predicate="geom_equals")
+    return _select(j, ["doc_id", "doc_id_2"])
+
+
+def q_intersection_all_box(sf_dir):
+    # global intersection fold over per-doc boxes anchored at the origin
+    from geopandas_ray.geom.kernels import bounds as kb
+    from geopandas_ray.geom.wkb import boxes_to_wkb, from_wkb
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.dissolve import intersection_all
+    from geopandas_ray.stages.ops import with_xy
+
+    pts = with_xy(doc_points(sf_dir))
+
+    def to_box(b: pa.Table) -> pa.Table:
+        x = np.asarray(b.column("x"))
+        y = np.asarray(b.column("y"))
+        return pa.table(
+            {
+                "geometry": boxes_to_wkb(
+                    np.zeros(len(x)), np.zeros(len(x)), 1000.0 + x, 1000.0 + y
+                )
+            }
+        )
+
+    boxes = pts.map_batches(to_box, batch_format="pyarrow")
+    w = intersection_all(boxes)
+    bb = kb(from_wkb([w]))[0]
+    return pa.table(
+        {"minx": [bb[0]], "miny": [bb[1]], "maxx": [bb[2]], "maxy": [bb[3]]}
+    )
+
+
 def q_fingerprint(sf_dir):
     import ray.data
 
@@ -743,6 +785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
+        "geom_equals_join": q_geom_equals_join,
+        "intersection_all_box": q_intersection_all_box,
     }
 
 
@@ -939,6 +983,14 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b "
             f"ON a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_TAU}"
+        ),
+        "geom_equals_join": (
+            f"{W} SELECT a.doc_id, b.doc_id AS doc_id_2 FROM pts a JOIN pts b "
+            "ON a.px = b.px AND a.py = b.py"
+        ),
+        "intersection_all_box": (
+            f"{W} SELECT CAST(0.0 AS DOUBLE) AS minx, CAST(0.0 AS DOUBLE) AS miny, "
+            "1000.0 + MIN(px) AS maxx, 1000.0 + MIN(py) AS maxy FROM pts"
         ),
         # FNV-style polynomial rolling hash mod 2^64 (documents are ASCII so
         # ascii() == byte). HUGEINT split keeps each product under 2^128:

@@ -348,3 +348,33 @@ def voronoi_cells(points: np.ndarray, envelope: tuple[float, float, float, float
                 ring = np.vstack([r, r[:1]])
         cells.append(ring)
     return cells
+
+
+def ring_self_intersects(ring: np.ndarray) -> bool:
+    """True when any two NON-ADJACENT segments of the closed ring properly
+    cross (the bowtie class of 'Ring Self-intersection'; vertex self-touches
+    are out of scope, documented subset like with_is_valid)."""
+    n = len(ring) - 1
+    if n < 4:
+        return False
+    a = np.hstack([ring[:-1], ring[1:]])
+    ax0, ay0, ax1, ay1 = a[:, 0, None], a[:, 1, None], a[:, 2, None], a[:, 3, None]
+    bx0, by0, bx1, by1 = a[None, :, 0], a[None, :, 1], a[None, :, 2], a[None, :, 3]
+
+    def orient(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    d1 = orient(ax0, ay0, ax1, ay1, bx0, by0)
+    d2 = orient(ax0, ay0, ax1, ay1, bx1, by1)
+    d3 = orient(bx0, by0, bx1, by1, ax0, ay0)
+    d4 = orient(bx0, by0, bx1, by1, ax1, ay1)
+    proper = (
+        ((d1 > 0) != (d2 > 0))
+        & ((d3 > 0) != (d4 > 0))
+        & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    )
+    i = np.arange(n)
+    adjacent = (np.abs(i[:, None] - i[None, :]) <= 1) | (
+        np.abs(i[:, None] - i[None, :]) == n - 1
+    )
+    return bool((proper & ~adjacent).any())

@@ -359,3 +359,118 @@ def binary_relate_pattern(ds, pattern: str, other, geometry="geometry", out="rel
         return b.drop_columns(["__relate"]).append_column(out, pa.array(vals, type=pa.bool_()))
 
     return rel.map_batches(f, batch_format="pyarrow")
+
+
+def binary_frechet(ds: ray.data.Dataset, other, geometry="geometry", out="frechet_distance"):
+    """Discrete Fréchet distance per row pair (base.py:3732; the discrete
+    variant over the stored vertices - densify upstream for tighter bounds).
+    Classic O(n*m) dynamic program per pair (Eiter & Mannila 1994)."""
+
+    def _frechet(a: np.ndarray, b: np.ndarray) -> float:
+        n, m = len(a), len(b)
+        if n == 0 or m == 0:
+            return np.nan
+        # pairwise point distances, then DP over the coupling lattice
+        d = np.hypot(a[:, 0, None] - b[None, :, 0], a[:, 1, None] - b[None, :, 1])
+        ca = np.empty((n, m))
+        ca[0, 0] = d[0, 0]
+        for j in range(1, m):
+            ca[0, j] = max(ca[0, j - 1], d[0, j])
+        for i in range(1, n):
+            ca[i, 0] = max(ca[i - 1, 0], d[i, 0])
+            # row-wise: ca[i,j] = max(d[i,j], min(ca[i-1,j], ca[i-1,j-1], ca[i,j-1]))
+            for j in range(1, m):
+                ca[i, j] = max(
+                    d[i, j], min(ca[i - 1, j], ca[i - 1, j - 1], ca[i, j - 1])
+                )
+        return float(ca[n - 1, m - 1])
+
+    def f(b: pa.Table) -> pa.Table:
+        lg, rg, ri = _two_sides(b, geometry, other)
+        vals = np.full(len(lg), np.nan)
+        for i in range(len(lg)):
+            j = int(ri[i])
+            if lg.row_types[i] == 0 or rg.row_types[j] == 0:
+                continue
+            ax, ay = K._row_points(lg, i)
+            bx, by = K._row_points(rg, j)
+            vals[i] = _frechet(np.column_stack([ax, ay]), np.column_stack([bx, by]))
+        return b.append_column(out, pa.array(vals))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def binary_geom_equals_exact(
+    ds: ray.data.Dataset, other, tolerance: float = 0.0, geometry="geometry", out="geom_equals_exact"
+):
+    """Structural equality within tolerance (base.py:2569): same type, same
+    part/ring structure, coordinates pairwise within tolerance in order."""
+
+    def f(b: pa.Table) -> pa.Table:
+        lg, rg, ri = _two_sides(b, geometry, other)
+        res = np.zeros(len(lg), dtype=bool)
+        for i in range(len(lg)):
+            j = int(ri[i])
+            if lg.row_types[i] != rg.row_types[j] or lg.row_types[i] == 0:
+                continue
+            lp0, lp1 = lg.row_part_range(i)
+            rp0, rp1 = rg.row_part_range(j)
+            if lp1 - lp0 != rp1 - rp0:
+                continue
+            same = True
+            for dp in range(lp1 - lp0):
+                pl, pr = lp0 + dp, rp0 + dp
+                if lg.part_types[pl] != rg.part_types[pr]:
+                    same = False
+                    break
+                lr0, lr1 = lg.part_ring_range(pl)
+                rr0, rr1 = rg.part_ring_range(pr)
+                if lr1 - lr0 != rr1 - rr0:
+                    same = False
+                    break
+                for dr in range(lr1 - lr0):
+                    ca = lg.ring_coords(lr0 + dr)
+                    cb = rg.ring_coords(rr0 + dr)
+                    if len(ca) != len(cb) or not np.all(np.abs(ca - cb) <= tolerance):
+                        same = False
+                        break
+                if not same:
+                    break
+            res[i] = same
+        return b.append_column(out, pa.array(res))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def binary_snap(ds: ray.data.Dataset, other, tolerance: float, geometry="geometry"):
+    """Snap vertices of the left geometry to the nearest VERTEX of the right
+    geometry within tolerance (base.py:4473; GEOS also inserts segment
+    points - vertex snapping is the documented in-sandbox scope)."""
+    from ..geom.wkb import to_wkb as _to_wkb
+
+    def f(b: pa.Table) -> pa.Table:
+        lg, rg, ri = _two_sides(b, geometry, other)
+        coords = lg.coords.copy()
+        for i in range(len(lg)):
+            j = int(ri[i])
+            if lg.row_types[i] == 0 or rg.row_types[j] == 0:
+                continue
+            qx, qy = K._row_points(rg, j)
+            if len(qx) == 0:
+                continue
+            c0 = lg.ring_offsets[lg.part_offsets[lg.row_offsets[i]]]
+            c1 = lg.ring_offsets[lg.part_offsets[lg.row_offsets[i + 1]]]
+            seg = coords[c0:c1]
+            if not len(seg):
+                continue
+            d2 = (seg[:, 0, None] - qx[None, :]) ** 2 + (seg[:, 1, None] - qy[None, :]) ** 2
+            k = np.argmin(d2, axis=1)
+            hit = d2[np.arange(len(seg)), k] <= tolerance * tolerance
+            seg[hit, 0] = qx[k[hit]]
+            seg[hit, 1] = qy[k[hit]]
+            coords[c0:c1] = seg
+        g2 = Geoms(coords, lg.ring_offsets, lg.part_offsets, lg.row_offsets, lg.part_types, lg.row_types)
+        idx = b.column_names.index(geometry)
+        return b.set_column(idx, geometry, _to_wkb(g2))
+
+    return ds.map_batches(f, batch_format="pyarrow")

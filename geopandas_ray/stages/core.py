@@ -24,6 +24,7 @@ VALID_PREDICATES = {
     "covered_by",
     "touches",
     "dwithin",
+    "geom_equals",
 }
 
 
@@ -128,6 +129,11 @@ def eval_pairs_bbox(
         return contains_closed
     if pred == "contains_properly":
         return np.where(r_is_point, contains_strict | equal_pts, contains_strict)
+    if pred == "geom_equals":
+        # bbox-equivalent rows ARE their bounds: spatially equal iff equal
+        # bounds AND same dimensionality (a point is not equal to a
+        # degenerate-empty rect; rects here always have positive extent)
+        return inside_closed & contains_closed & (l_is_point == r_is_point)
     if pred == "touches":
         # touches = intersects but interiors disjoint; a degenerate box (a
         # point) has zero overlap width by construction, so its interior
@@ -161,6 +167,16 @@ def _point_vs_geom_mask(
     interior, boundary = K.points_in_geom(g, row, px, py)
     if pred in (None, "intersects"):
         return interior | boundary
+    if pred == "geom_equals":
+        # a point equals a geometry only when that geometry is spatially the
+        # same single point (base.py:2391 spatial equality)
+        if int(g.row_types[row]) in (POINT, MULTIPOINT) and not (
+            g.is_empty[row] or g.is_missing[row]
+        ):
+            gx, gy = K._row_points(g, row)
+            if len(np.unique(np.column_stack([gx, gy]), axis=0)) == 1:
+                return (px == gx[0]) & (py == gy[0])
+        return np.zeros(len(px), dtype=bool)
     if not swapped:
         # point <pred> geom
         if pred == "within":
@@ -230,6 +246,10 @@ def _pair_predicate(pred: str, lg: Geoms, i: int, rg: Geoms, j: int, distance) -
         if not K.geom_intersects_geom(lg, i, rg, j):
             return False
         return not _interiors_intersect(lg, i, rg, j)
+    if pred == "geom_equals":
+        # spatial equality = mutual containment (base.py:2391); exact for
+        # the same geometry families geom_within_geom is exact for
+        return K.geom_within_geom(lg, i, rg, j) and K.geom_within_geom(rg, j, lg, i)
     raise ValueError(f"unsupported predicate {pred!r}")
 
 

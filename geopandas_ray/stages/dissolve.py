@@ -199,3 +199,45 @@ def total_bounds(ds: ray.data.Dataset, geometry: str = "geometry") -> np.ndarray
             max((p["maxy"] for p in parts if not math.isnan(p["maxy"])), default=np.nan),
         ]
     )
+
+
+def intersection_all(ds: ray.data.Dataset, geometry: str = "geometry") -> bytes | None:
+    """Global geometry intersection -> single WKB scalar (base.py:2017).
+
+    Intersection is associative, so per-block partial folds stream and the
+    driver folds the (tiny, one per block) partials. Scope: the pairwise
+    intersection kernel's (rectilinear region / convex / point layers -
+    stages/overlay.pair_intersection_wkb); missing rows are skipped like
+    union_all, an empty fold yields None.
+    """
+    import struct as _struct
+
+    from ..geom.wkb import from_wkb as _fw
+    from .overlay import pair_intersection_wkb
+
+    EMPTY = _struct.pack("<BII", 1, 7, 0)  # GEOMETRYCOLLECTION EMPTY
+
+    def fold(values: list) -> bytes | None:
+        """None inputs (missing) are skipped; an empty intersection is the
+        explicit EMPTY sentinel (kept distinct so block partials compose)."""
+        acc = None
+        seen = False
+        for w in values:
+            if w is None:
+                continue
+            if not seen:
+                acc, seen = w, True
+                continue
+            if acc == EMPTY or w == EMPTY:
+                acc = EMPTY
+                break  # empty absorbs
+            pair = _fw([acc, w])
+            acc = pair_intersection_wkb(pair, 0, pair, 1) or EMPTY
+        return acc if seen else None
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = fold(batch.column(geometry).to_pylist())
+        return pa.table({"g": pa.array([w], type=pa.large_binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return fold([r["g"] for r in parts])

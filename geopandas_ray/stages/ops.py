@@ -227,3 +227,24 @@ def scale(ds, xfact=1.0, yfact=1.0, origin=(0.0, 0.0), geometry="geometry"):
     return affine_transform(
         ds, xfact, 0, 0, yfact, ox - xfact * ox, oy - yfact * oy, geometry
     )
+
+
+def rotate(ds, angle, origin=(0.0, 0.0), use_radians=False, geometry="geometry"):
+    """base.py:5363 - rotation about explicit origin coords."""
+    theta = angle if use_radians else np.deg2rad(angle)
+    ca, sa = np.cos(theta), np.sin(theta)
+    ox, oy = origin
+    return affine_transform(
+        ds, ca, -sa, sa, ca,
+        ox - ca * ox + sa * oy, oy - sa * ox - ca * oy, geometry,
+    )
+
+
+def skew(ds, xs=0.0, ys=0.0, origin=(0.0, 0.0), use_radians=False, geometry="geometry"):
+    """base.py:5469 - shear by angles along x/y about explicit origin."""
+    tx = np.tan(xs if use_radians else np.deg2rad(xs))
+    ty = np.tan(ys if use_radians else np.deg2rad(ys))
+    ox, oy = origin
+    return affine_transform(
+        ds, 1, tx, ty, 1, -tx * oy, -ty * ox, geometry
+    )

@@ -248,8 +248,10 @@ def sample_points(ds, size: int, seed: int = 42, geometry="geometry", key_col=No
 
 
 def with_is_valid(ds, geometry="geometry", out="is_valid"):
-    """base.py:210 - scope: ring closure + >=4 ring points + nonzero area
-    (full OGC validity needs GEOS; documented subset)."""
+    """base.py:210 - scope: ring closure + >=4 ring points + proper ring
+    self-crossings (bowties); vertex self-touches need GEOS (documented
+    subset, reasons via ops3.with_is_valid_reason)."""
+    from ..geom.algorithms import ring_self_intersects
 
     def f(b: pa.Table) -> pa.Table:
         g = from_wkb(b.column(geometry))
@@ -263,6 +265,8 @@ def with_is_valid(ds, geometry="geometry", out="is_valid"):
                 if t == POLYGON:
                     for r in rings:
                         if len(r) < 4 or not np.array_equal(r[0], r[-1]):
+                            valid = False
+                        elif ring_self_intersects(r):
                             valid = False
                 elif t == LINESTRING and len(rings[0]) < 2:
                     valid = False

@@ -1,0 +1,320 @@
+"""Round-2 unary gap-fill operators (SURVEY.md §2.2, VERDICT r1 item 7).
+
+Each stage is a stateless ``map_batches`` transform over WKB geometry
+columns, CSR slices over the decoded ``Geoms`` batch - no Python-per-row
+work beyond the (small-side) polygon loops the rest of the engine already
+uses. Reference citations are to geopandas 1.0.1 files/lines.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..geom import kernels as K
+from ..geom.wkb import (
+    Geoms,
+    LINESTRING,
+    MULTIPOINT,
+    POINT,
+    POLYGON,
+    from_wkb,
+    to_wkb,
+)
+from .clip import _parts_to_wkb
+from .ops2 import _map_rows_geometry, _row_to_rings
+
+_EMPTY_GC = struct.pack("<BII", 1, 7, 0)
+
+
+def with_exterior(ds, geometry="geometry", out="exterior"):
+    """Shell ring of a Polygon as a LineString (base.py:1197); None for
+    non-polygonal rows, first part's shell for MultiPolygons (per-part
+    exteriors come via explode first, like the reference's .explode().exterior
+    idiom in tests/test_geom_methods.py)."""
+
+    def fn(g, i):
+        for t, rings in _row_to_rings(g, i):
+            if t == POLYGON and rings:
+                return _parts_to_wkb([(LINESTRING, [rings[0]])])
+        return None
+
+    return _map_rows_geometry(ds, fn, geometry, out)
+
+
+def with_interiors(ds, geometry="geometry", out="interiors"):
+    """Hole rings of a polygonal row as a MultiLineString (base.py:1311
+    returns a list of LinearRings; we carry them as one geometry column)."""
+
+    def fn(g, i):
+        holes = []
+        for t, rings in _row_to_rings(g, i):
+            if t == POLYGON:
+                holes.extend(rings[1:])
+        if not holes:
+            return struct.pack("<BII", 1, 5, 0)  # MULTILINESTRING EMPTY
+        return _parts_to_wkb([(LINESTRING, [h]) for h in holes])
+
+    return _map_rows_geometry(ds, fn, geometry, out)
+
+
+def with_count_interior_rings(ds, geometry="geometry", out="count_interior_rings"):
+    """Number of holes over all polygon parts of the row (base.py:408).
+    Vectorized: rings-per-part minus one, summed over polygon parts."""
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        n_parts = len(g.part_offsets) - 1
+        rings_per_part = g.part_offsets[1:] - g.part_offsets[:-1]
+        holes_per_part = np.where(
+            g.part_types[:n_parts] == POLYGON, np.maximum(rings_per_part - 1, 0), 0
+        )
+        # sum per row over its part range
+        out_v = np.zeros(len(g), dtype=np.int64)
+        starts = g.row_offsets[:-1]
+        nonempty = g.row_offsets[1:] > starts
+        if n_parts and nonempty.any():
+            sums = np.add.reduceat(holes_per_part, np.minimum(starts, n_parts - 1))
+            out_v[nonempty] = sums[nonempty]
+        return b.append_column(out, pa.array(out_v))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def extract_unique_points(ds, geometry="geometry", out="unique_points"):
+    """Distinct vertices in order of first occurrence, as a MultiPoint
+    (base.py:1234)."""
+
+    def fn(g, i):
+        px, py = K._row_points(g, i)
+        if len(px) == 0:
+            return struct.pack("<BII", 1, 4, 0)  # MULTIPOINT EMPTY
+        pts = np.column_stack([px, py])
+        _, first = np.unique(pts, axis=0, return_index=True)
+        keep = pts[np.sort(first)]
+        return _parts_to_wkb([(POINT, [keep[k : k + 1]]) for k in range(len(keep))])
+
+    return _map_rows_geometry(ds, fn, geometry, out)
+
+
+def with_is_valid_reason(ds, geometry="geometry", out="is_valid_reason"):
+    """GEOS-style reason strings for the invalidity classes with_is_valid
+    detects (base.py:249): 'Valid Geometry', 'Too few points in geometry
+    component', 'Self-intersection', 'Ring Self-intersection'."""
+    from ..geom.algorithms import ring_self_intersects
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        reasons: list[str | None] = []
+        for i in range(len(g)):
+            if g.row_types[i] == 0:
+                reasons.append(None)
+                continue
+            reason = "Valid Geometry"
+            for t, rings in _row_to_rings(g, i):
+                if t == POLYGON:
+                    for ring in rings:
+                        if len(ring) < 4:
+                            reason = "Too few points in geometry component"
+                            break
+                        if ring_self_intersects(ring):
+                            reason = "Ring Self-intersection"
+                            break
+                elif t == LINESTRING and len(rings[0]) < 2:
+                    reason = "Too few points in geometry component"
+                if reason != "Valid Geometry":
+                    break
+            reasons.append(reason)
+        return b.append_column(out, pa.array(reasons, type=pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def with_minimum_clearance(ds, geometry="geometry", out="minimum_clearance"):
+    """Minimum clearance (base.py:1575): the smallest distance by which a
+    vertex could move to produce an invalid geometry = min over vertices of
+    the distance to any non-adjacent segment or other vertex. Brute force
+    per row (polygon sides are the small side of every pipeline)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        vals = np.full(len(g), np.inf)
+        for i in range(len(g)):
+            if g.row_types[i] == 0 or g.is_empty[i]:
+                vals[i] = np.nan
+                continue
+            segs = K._segments_of_row(g, i)
+            px, py = K._row_points(g, i)
+            if len(segs) == 0:
+                vals[i] = np.inf  # points have no clearance constraint
+                continue
+            best = np.inf
+            for k in range(len(px)):
+                # exclude segments adjacent to this vertex
+                adj = (
+                    ((segs[:, 0] == px[k]) & (segs[:, 1] == py[k]))
+                    | ((segs[:, 2] == px[k]) & (segs[:, 3] == py[k]))
+                )
+                rest = segs[~adj]
+                if len(rest):
+                    d2 = K.point_to_segments_sqdist(
+                        np.array([px[k]]), np.array([py[k]]), rest
+                    )
+                    best = min(best, float(np.sqrt(d2[0])))
+            vals[i] = best
+        return b.append_column(out, pa.array(vals))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Z coordinate support (z / force_3d / force_2d round trip)
+# ---------------------------------------------------------------------------
+
+
+def _wkb_point_z(buf: bytes):
+    """Z of a WKB Point if it has one (geoseries.py:227 .z), else NaN."""
+    if buf is None or len(buf) < 21:
+        return np.nan
+    little = buf[0] == 1
+    (code,) = struct.unpack("<I" if little else ">I", buf[1:5])
+    has_z = bool(code & 0x80000000) or (1000 <= (code & 0xFFFF) < 2000)
+    base = code & 0x80000000 ^ code if code & 0x80000000 else code % 1000
+    if base != POINT or not has_z or len(buf) < 29:
+        return np.nan
+    (z,) = struct.unpack("<d" if little else ">d", buf[21:29])
+    return z
+
+
+def with_z(ds, geometry="geometry", out="z"):
+    """Z coordinate of Point rows (geoseries.py:227); NaN when absent."""
+
+    def f(b: pa.Table) -> pa.Table:
+        vals = [_wkb_point_z(v) for v in b.column(geometry).to_pylist()]
+        return b.append_column(out, pa.array(vals, type=pa.float64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def force_3d(ds, z: float = 0.0, geometry="geometry"):
+    """Rewrite geometry WKB with a constant Z (base.py:1824). The CSR batch
+    is 2-D internally, so this re-encodes rows with the Z flag set and the
+    given z for every coordinate."""
+
+    def _encode_z(g: Geoms, i: int) -> bytes | None:
+        if g.row_types[i] == 0:
+            return None
+        t = int(g.row_types[i])
+        p0, p1 = g.row_part_range(i)
+        parts = []
+        for p in range(p0, p1):
+            pt = int(g.part_types[p])
+            r0, r1 = g.part_ring_range(p)
+            if pt == POINT:
+                c = g.ring_coords(r0)
+                body = struct.pack("<BI", 1, 0x80000001) + struct.pack(
+                    "<3d", c[0, 0], c[0, 1], z
+                )
+            elif pt == LINESTRING:
+                c = g.ring_coords(r0)
+                body = struct.pack("<BII", 1, 0x80000002, len(c))
+                for x, y in c:
+                    body += struct.pack("<3d", x, y, z)
+            else:
+                body = struct.pack("<BII", 1, 0x80000003, r1 - r0)
+                for r in range(r0, r1):
+                    c = g.ring_coords(r)
+                    body += struct.pack("<I", len(c))
+                    for x, y in c:
+                        body += struct.pack("<3d", x, y, z)
+            parts.append(body)
+        if t in (POINT, LINESTRING, POLYGON) and len(parts) == 1:
+            return parts[0]
+        multi = {POINT: 4, LINESTRING: 5, POLYGON: 6}.get(
+            int(g.part_types[p0]) if p1 > p0 else POINT, 7
+        )
+        if t == 7:
+            multi = 7
+        return struct.pack("<BII", 1, 0x80000000 | multi, len(parts)) + b"".join(parts)
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        vals = [_encode_z(g, i) for i in range(len(g))]
+        idx = b.column_names.index(geometry)
+        return b.set_column(idx, geometry, pa.array(vals, type=pa.large_binary()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# missing-geometry handling (geoseries.py:566-656)
+# ---------------------------------------------------------------------------
+
+
+def geom_isna(ds, geometry="geometry", out="isna"):
+    """True for missing geometry (None); empties are NOT missing
+    (geoseries.py:566 isna; empty-vs-missing split per testing.py:18-46)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.append_column(out, pa.compute.is_null(b.column(geometry)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def geom_notna(ds, geometry="geometry", out="notna"):
+    def f(b: pa.Table) -> pa.Table:
+        return b.append_column(out, pa.compute.is_valid(b.column(geometry)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def geom_fillna(ds, value: bytes | None = None, geometry="geometry"):
+    """Replace missing geometry with ``value`` WKB (geoseries.py:600 fillna;
+    default = empty GeometryCollection, the reference's None -> empty rule)."""
+    fill = value if value is not None else _EMPTY_GC
+
+    def f(b: pa.Table) -> pa.Table:
+        col = b.column(geometry)
+        filled = pa.compute.fill_null(col, pa.scalar(fill, type=col.type))
+        idx = b.column_names.index(geometry)
+        return b.set_column(idx, geometry, filled)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def geom_dropna(ds, geometry="geometry"):
+    """Drop rows with missing geometry (geoseries.py:656)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.filter(pa.compute.is_valid(b.column(geometry)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# coordinate UDF (base.py:1751 transform)
+# ---------------------------------------------------------------------------
+
+
+def transform_coords(ds, fn, geometry="geometry"):
+    """Apply ``fn((C,2) ndarray) -> (C,2) ndarray`` to every coordinate of
+    every geometry, vectorized over the whole batch's coordinate buffer
+    (the reference's .transform with a vectorized callable)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        if len(g.coords):
+            new_coords = np.asarray(fn(g.coords), dtype=np.float64).reshape(-1, 2)
+            if new_coords.shape != g.coords.shape:
+                raise ValueError("transform fn must preserve coordinate count")
+            g = Geoms(
+                new_coords, g.ring_offsets, g.part_offsets, g.row_offsets,
+                g.part_types, g.row_types,
+            )
+        idx = b.column_names.index(geometry)
+        return b.set_column(idx, geometry, to_wkb(g))
+
+    return ds.map_batches(f, batch_format="pyarrow")

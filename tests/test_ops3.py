@@ -1,0 +1,170 @@
+"""Round-2 unary gap-fill + binary additions (VERDICT r1 item 7)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from geopandas_ray.geom import kernels as K
+from geopandas_ray.geom import wkb as W
+from geopandas_ray.stages.clip import _parts_to_wkb
+from geopandas_ray.stages import ops3
+from geopandas_ray.stages.binary import (
+    binary_frechet,
+    binary_geom_equals_exact,
+    binary_predicate,
+    binary_snap,
+)
+from geopandas_ray.stages.dissolve import intersection_all
+from geopandas_ray.stages.ops import rotate, skew
+from geopandas_ray.stages.ops2 import with_is_valid
+
+
+def ring(*xy):
+    return np.array(list(xy) + [xy[0]], dtype=float)
+
+
+HOLEY = _parts_to_wkb(
+    [(W.POLYGON, [ring((0, 0), (10, 0), (10, 10), (0, 10)), ring((2, 2), (4, 2), (4, 4), (2, 4))])]
+)
+SQUARE = _parts_to_wkb([(W.POLYGON, [ring((0, 0), (1, 0), (1, 1), (0, 1))])])
+BOWTIE = _parts_to_wkb([(W.POLYGON, [ring((0, 0), (1, 1), (1, 0), (0, 1))])])
+
+
+def ds_of(wkbs, **extra):
+    cols = {"id": pa.array(list(range(len(wkbs)))), **extra}
+    cols["geometry"] = pa.array(wkbs, type=pa.large_binary())
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def test_exterior_interiors_counts():
+    d = ds_of([HOLEY, SQUARE, None])
+    out = ops3.with_exterior(d, out="ext").to_pandas().sort_values("id")
+    ge = W.from_wkb([v for v in out.ext[:2]])
+    assert K.length(ge).tolist() == [40.0, 4.0]
+    assert out.ext.iloc[2] is None
+
+    out = ops3.with_interiors(d, out="ints").to_pandas().sort_values("id")
+    gi = W.from_wkb([out.ints.iloc[0]])
+    assert K.length(gi)[0] == 8.0  # 2x2 hole perimeter
+    out = ops3.with_count_interior_rings(d).to_pandas().sort_values("id")
+    assert out.count_interior_rings.tolist() == [1, 0, 0]
+
+
+def test_extract_unique_points():
+    line = _parts_to_wkb([(W.LINESTRING, [np.array([[0.0, 0], [1, 1], [0, 0], [2, 2]])])])
+    out = ops3.extract_unique_points(ds_of([line]), out="up").to_pandas()
+    g = W.from_wkb([out.up.iloc[0]])
+    px, py = K._row_points(g, 0)
+    assert list(zip(px, py)) == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_is_valid_reason_and_bowtie():
+    d = ds_of([SQUARE, BOWTIE, None])
+    out = ops3.with_is_valid_reason(d).to_pandas().sort_values("id")
+    assert out.is_valid_reason.tolist()[:2] == ["Valid Geometry", "Ring Self-intersection"]
+    assert out.is_valid_reason.iloc[2] is None
+    v = with_is_valid(d).to_pandas().sort_values("id")
+    assert v.is_valid.tolist() == [True, False, False]
+
+
+def test_minimum_clearance():
+    out = ops3.with_minimum_clearance(ds_of([SQUARE])).to_pandas()
+    assert out.minimum_clearance.iloc[0] == 1.0
+
+
+def test_z_and_force_3d():
+    pts = W.points_to_wkb([1.0, 2.0], [3.0, 4.0])
+    d = ds_of([pts[0].as_py(), pts[1].as_py()])
+    z0 = ops3.with_z(d).to_pandas().sort_values("id")
+    assert np.isnan(z0.z).all()
+    d3 = ops3.force_3d(d, z=7.5)
+    z1 = ops3.with_z(d3).to_pandas().sort_values("id")
+    assert z1.z.tolist() == [7.5, 7.5]
+    # force_2d roundtrip: decoding drops z, x/y survive
+    g = W.from_wkb([r["geometry"] for r in d3.take_all()])
+    px, py = K._row_points(g, 0)
+    assert (px[0], py[0]) in {(1.0, 3.0), (2.0, 4.0)}
+
+
+def test_isna_fillna_dropna():
+    d = ds_of([SQUARE, None])
+    assert ops3.geom_isna(d).to_pandas().sort_values("id")["isna"].tolist() == [False, True]
+    assert ops3.geom_notna(d).to_pandas().sort_values("id")["notna"].tolist() == [True, False]
+    filled = ops3.geom_fillna(d).to_pandas()
+    assert filled.geometry.notna().all()
+    g = W.from_wkb(filled.sort_values("id").geometry.tolist())
+    assert bool(g.is_empty[1]) and not bool(g.is_empty[0])
+    assert ops3.geom_dropna(d).count() == 1
+
+
+def test_transform_and_rotate_skew():
+    pts = W.points_to_wkb([1.0], [2.0])
+    d = ds_of([pts[0].as_py()])
+    t = ops3.transform_coords(d, lambda c: c * 2.0).to_pandas()
+    g = W.from_wkb(t.geometry.tolist())
+    assert K._row_points(g, 0) == (2.0, 4.0) or tuple(
+        np.concatenate(K._row_points(g, 0))
+    ) == (2.0, 4.0)
+    r = rotate(d, 90.0).to_pandas()
+    g = W.from_wkb(r.geometry.tolist())
+    px, py = K._row_points(g, 0)
+    assert abs(px[0] - (-2.0)) < 1e-12 and abs(py[0] - 1.0) < 1e-12
+    s = skew(d, xs=45.0).to_pandas()
+    g = W.from_wkb(s.geometry.tolist())
+    px, py = K._row_points(g, 0)
+    assert abs(px[0] - 3.0) < 1e-12 and py[0] == 2.0
+
+
+def test_geom_equals_predicate():
+    sq2 = _parts_to_wkb([(W.POLYGON, [ring((0, 0), (1, 0), (1, 1), (0, 1))[::-1]])])
+    other = _parts_to_wkb([(W.POLYGON, [ring((0, 0), (2, 0), (2, 2), (0, 2))])])
+    d = ds_of([SQUARE, SQUARE], other=pa.array([sq2, other], type=pa.large_binary()))
+    out = binary_predicate(d, "geom_equals", "other").to_pandas().sort_values("id")
+    assert out.geom_equals.tolist() == [True, False]
+    # point case
+    p = W.points_to_wkb([5.0, 5.0], [5.0, 6.0])
+    d2 = ds_of(
+        [p[0].as_py(), p[0].as_py()],
+        other=pa.array([p[0].as_py(), p[1].as_py()], type=pa.large_binary()),
+    )
+    out = binary_predicate(d2, "geom_equals", "other").to_pandas().sort_values("id")
+    assert out.geom_equals.tolist() == [True, False]
+
+
+def test_geom_equals_exact_and_frechet_and_snap():
+    l1 = _parts_to_wkb([(W.LINESTRING, [np.array([[0.0, 0], [1, 0], [2, 0]])])])
+    l2 = _parts_to_wkb([(W.LINESTRING, [np.array([[0.0, 0.05], [1, 0.05], [2, 0.05]])])])
+    d = ds_of([l1], other=pa.array([l2], type=pa.large_binary()))
+    assert binary_geom_equals_exact(d, "other", tolerance=0.1).to_pandas().geom_equals_exact.iloc[0]
+    assert not binary_geom_equals_exact(d, "other", tolerance=0.01).to_pandas().geom_equals_exact.iloc[0]
+    f = binary_frechet(d, "other").to_pandas()
+    assert abs(f.frechet_distance.iloc[0] - 0.05) < 1e-12
+    snapped = binary_snap(d, "other", tolerance=0.2).to_pandas()
+    g = W.from_wkb(snapped.geometry.tolist())
+    px, py = K._row_points(g, 0)
+    assert (py == 0.05).all()
+
+
+def test_intersection_all_rects():
+    boxes = W.boxes_to_wkb([0.0, 2.0, 1.0], [0.0, 2.0, 1.0], [10.0, 8.0, 9.0], [10.0, 8.0, 9.0])
+    d = ds_of([boxes[i].as_py() for i in range(3)])
+    w = intersection_all(d)
+    g = W.from_wkb([w])
+    assert K.bounds(g)[0].tolist() == [2.0, 2.0, 8.0, 8.0]
+    # disjoint -> empty
+    boxes2 = W.boxes_to_wkb([0.0, 5.0], [0.0, 5.0], [1.0, 6.0], [1.0, 6.0])
+    w2 = intersection_all(ds_of([boxes2[i].as_py() for i in range(2)]))
+    assert bool(W.from_wkb([w2]).is_empty[0])
+
+
+def test_feather_roundtrip(tmp_path):
+    from geopandas_ray.sources.feather import feather_geo_metadata, read_feather, write_feather
+
+    d = ds_of([SQUARE, HOLEY])
+    paths = write_feather(d, str(tmp_path / "out"), crs="EPSG:3857")
+    assert paths
+    back = read_feather(str(tmp_path / "out")).to_pandas().sort_values("id")
+    assert len(back) == 2 and back.geometry.notna().all()
+    meta = feather_geo_metadata(paths[0])
+    assert meta["primary_column"] == "geometry" and meta["columns"]["geometry"]["crs"] == "EPSG:3857"
