@@ -659,6 +659,54 @@ def q_simhash(sf_dir):
     return _select(with_simhash(ds), ["doc_id", "simhash"])
 
 
+def q_overlay_concave(sf_dir):
+    # concave L x L overlay: exercises the general slab-sweep boolean kernel
+    # (non-rectilinear, non-convex operands)
+    from geopandas_ray.pipelines.datasets import supplier_l_table, zone_l_dataset
+    from geopandas_ray.stages.overlay import overlay
+    from geopandas_ray.stages.ops import with_area
+
+    o = overlay(zone_l_dataset(sf_dir), supplier_l_table(sf_dir), "intersection")
+    o = with_area(o, out="inter_area")
+    return _select(o, ["zone_key", "s_key", "inter_area"])
+
+
+def q_clip_concave_mask(sf_dir):
+    # clip points by a single concave L mask at half-integer coords (no
+    # boundary-ambiguous lattice points)
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.clip import clip
+    from geopandas_ray.stages.ops import with_xy
+    from geopandas_ray.stages.clip import _parts_to_wkb
+
+    ring = np.array(
+        [
+            [100.5, 100.5],
+            [600.5, 100.5],
+            [600.5, 350.5],
+            [350.5, 350.5],
+            [350.5, 600.5],
+            [100.5, 600.5],
+            [100.5, 100.5],
+        ]
+    )
+    mask = _parts_to_wkb([(3, [ring])])
+    c = clip(doc_points(sf_dir), mask)
+    return _select(with_xy(c), ["doc_id", "x", "y"])
+
+
+def q_make_valid_area(sf_dir):
+    # self-intersecting bowtie rings regularized to two triangles
+    import ray.data
+
+    from geopandas_ray.pipelines.datasets import bowtie_table
+    from geopandas_ray.stages.ops import with_area
+    from geopandas_ray.stages.ops3 import make_valid
+
+    ds = ray.data.from_arrow(bowtie_table(sf_dir))
+    return _select(with_area(make_valid(ds)), ["zone_key", "area"])
+
+
 def q_geom_equals_join(sf_dir):
     # sjoin with the geom_equals predicate: co-located document points
     from geopandas_ray.pipelines.datasets import doc_points
@@ -787,6 +835,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "geom_equals_join": q_geom_equals_join,
         "intersection_all_box": q_intersection_all_box,
+        "overlay_concave": q_overlay_concave,
+        "clip_concave_mask": q_clip_concave_mask,
+        "make_valid_area": q_make_valid_area,
     }
 
 
@@ -798,10 +849,34 @@ def _morton_sql(cx: str, cy: str, bits: int) -> str:
     return " + ".join(terms)
 
 
+def _rectint(p, q) -> str:
+    """SQL expr: intersection area of axis-aligned rects p, q (4-tuples of
+    column exprs minx,miny,maxx,maxy) - exact integer arithmetic."""
+    return (
+        f"GREATEST(0, LEAST({p[2]}, {q[2]}) - GREATEST({p[0]}, {q[0]})) * "
+        f"GREATEST(0, LEAST({p[3]}, {q[3]}) - GREATEST({p[1]}, {q[1]}))"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
-    from geopandas_ray.pipelines.datasets import SQL_PTS, SQL_ZONES, SQL_ZONES2
+    from geopandas_ray.pipelines.datasets import (
+        SQL_LZONES,
+        SQL_LZONES2,
+        SQL_PTS,
+        SQL_ZONES,
+        SQL_ZONES2,
+    )
 
     W = f"WITH {SQL_PTS}, {SQL_ZONES}, {SQL_ZONES2}"
+    WL = f"{W}, {SQL_LZONES}, {SQL_LZONES2}"
+    # concave L = B \ C (C = top-right quadrant): inclusion-exclusion
+    B1 = ("z.zminx", "z.zminy", "z.zmaxx", "z.zmaxy")
+    C1 = ("z.zcutx", "z.zcuty", "z.zmaxx", "z.zmaxy")
+    B2 = ("s.sminx", "s.sminy", "s.smaxx", "s.smaxy")
+    C2 = ("s.scutx", "s.scuty", "s.smaxx", "s.smaxy")
+    L_IE = (
+        f"({_rectint(B1, B2)} - {_rectint(B1, C2)} - {_rectint(C1, B2)} + {_rectint(C1, C2)})"
+    )
     pip_join = (
         "JOIN zones z ON p.px >= z.zminx AND p.px <= z.zmaxx AND p.py >= z.zminy AND p.py <= z.zmaxy"
     )
@@ -983,6 +1058,18 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b "
             f"ON a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_TAU}"
+        ),
+        "overlay_concave": (
+            f"{WL} SELECT z.zone_key, s.s_key, CAST({L_IE} AS DOUBLE) AS inter_area "
+            f"FROM lzones z JOIN lzones2 s ON {L_IE} > 0"
+        ),
+        "clip_concave_mask": (
+            f"{W} SELECT doc_id, px AS x, py AS y FROM pts WHERE "
+            "px > 100.5 AND px < 600.5 AND py > 100.5 AND py < 600.5 "
+            "AND NOT (px > 350.5 AND py > 350.5)"
+        ),
+        "make_valid_area": (
+            f"{W} SELECT zone_key, CAST((zmaxx-zminx)*(zmaxy-zminy) AS DOUBLE)/2.0 AS area FROM zones"
         ),
         "geom_equals_join": (
             f"{W} SELECT a.doc_id, b.doc_id AS doc_id_2 FROM pts a JOIN pts b "

@@ -94,8 +94,14 @@ def union_rows(g: Geoms, rows=None) -> bytes | None:
             r = reg.rects
             out_geoms.append(box_geoms(r[:, 0], r[:, 1], r[:, 2], r[:, 3]))
         else:
-            # disjoint check is skipped; collected as-is (documented approx)
-            out_geoms.append(_collect_polys(poly_parts))
+            # general polygons: slab-sweep union (each part its own parity
+            # counter -> exact even-odd union incl. overlaps + holes;
+            # geom/booleans.py). Output rings are region-canonical
+            # (collinear-simplified), replacing r1's collect-only approx.
+            from .booleans import make_valid_rings
+
+            merged_polys = make_valid_rings(poly_parts)
+            out_geoms.append(_collect_polys(merged_polys))
 
     if not out_geoms:
         return None

@@ -148,3 +148,104 @@ def doc_multipoints(sf_dir: str) -> ray.data.Dataset:
         return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --- concave (L-shaped) zones for the general boolean kernel ---------------
+# L = big rect minus its top-right quadrant [cutx..maxx, cuty..maxy], with
+# cutx = minx + floor((maxx-minx)/2) etc. - single concave 6-vertex ring,
+# all integer coords, SQL-exact via inclusion-exclusion A(L1∩L2) =
+# A(B1∩B2) - A(B1∩C2) - A(C1∩B2) + A(C1∩C2).
+
+SQL_LZONES = (
+    "lzones AS (SELECT zone_key, zminx, zminy, zmaxx, zmaxy, "
+    "zminx + CAST(floor((zmaxx-zminx)/2) AS DOUBLE) AS zcutx, "
+    "zminy + CAST(floor((zmaxy-zminy)/2) AS DOUBLE) AS zcuty FROM zones)"
+)
+SQL_LZONES2 = (
+    "lzones2 AS (SELECT s_key, sminx, sminy, smaxx, smaxy, "
+    "sminx + CAST(floor((smaxx-sminx)/2) AS DOUBLE) AS scutx, "
+    "sminy + CAST(floor((smaxy-sminy)/2) AS DOUBLE) AS scuty FROM zones2)"
+)
+
+
+def _l_rings_wkb(minx, miny, maxx, maxy):
+    """Vectorized L-shape WKB (6-vertex concave ring per row)."""
+    from ..geom.wkb import Geoms, to_wkb
+
+    cutx = minx + np.floor((maxx - minx) / 2)
+    cuty = miny + np.floor((maxy - miny) / 2)
+    n = len(minx)
+    coords = np.empty((n * 7, 2), dtype=np.float64)
+    coords[0::7] = np.column_stack([minx, miny])
+    coords[1::7] = np.column_stack([maxx, miny])
+    coords[2::7] = np.column_stack([maxx, cuty])
+    coords[3::7] = np.column_stack([cutx, cuty])
+    coords[4::7] = np.column_stack([cutx, maxy])
+    coords[5::7] = np.column_stack([minx, maxy])
+    coords[6::7] = np.column_stack([minx, miny])
+    g = Geoms(
+        coords,
+        np.arange(n + 1) * 7,
+        np.arange(n + 1),
+        np.arange(n + 1),
+        np.full(n, 3, dtype=np.int8),
+        np.full(n, 3, dtype=np.int8),
+    )
+    return to_wkb(g)
+
+
+def zone_l_table(sf_dir: str) -> pa.Table:
+    t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    k = t.column("p_partkey").to_numpy().astype(np.int64)
+    minx = ((k * 13) % 900).astype(np.float64)
+    miny = ((k * 29) % 880).astype(np.float64)
+    maxx = minx + (40 + (k % 5) * 30)
+    maxy = miny + (30 + (k % 7) * 25)
+    return pa.table(
+        {"zone_key": pa.array(k), "geometry": _l_rings_wkb(minx, miny, maxx, maxy)}
+    )
+
+
+def zone_l_dataset(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.from_arrow(zone_l_table(sf_dir))
+
+
+def supplier_l_table(sf_dir: str) -> pa.Table:
+    t = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    k = t.column("s_suppkey").to_numpy().astype(np.int64)
+    minx = ((k * 53) % 800).astype(np.float64)
+    miny = ((k * 71) % 800).astype(np.float64)
+    size = (100 + (k % 4) * 50).astype(np.float64)
+    return pa.table(
+        {"s_key": pa.array(k), "geometry": _l_rings_wkb(minx, miny, minx + size, miny + size)}
+    )
+
+
+def bowtie_table(sf_dir: str) -> pa.Table:
+    """Self-intersecting bowtie ring per part row (make_valid fixture):
+    (minx,miny)->(maxx,maxy)->(maxx,miny)->(minx,maxy)->close; regularized
+    area = w*h/2 exactly."""
+    from ..geom.wkb import Geoms, to_wkb
+
+    t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    k = t.column("p_partkey").to_numpy().astype(np.int64)
+    minx = ((k * 13) % 900).astype(np.float64)
+    miny = ((k * 29) % 880).astype(np.float64)
+    maxx = minx + (40 + (k % 5) * 30)
+    maxy = miny + (30 + (k % 7) * 25)
+    n = len(k)
+    coords = np.empty((n * 5, 2), dtype=np.float64)
+    coords[0::5] = np.column_stack([minx, miny])
+    coords[1::5] = np.column_stack([maxx, maxy])
+    coords[2::5] = np.column_stack([maxx, miny])
+    coords[3::5] = np.column_stack([minx, maxy])
+    coords[4::5] = np.column_stack([minx, miny])
+    g = Geoms(
+        coords,
+        np.arange(n + 1) * 5,
+        np.arange(n + 1),
+        np.arange(n + 1),
+        np.full(n, 3, dtype=np.int8),
+        np.full(n, 3, dtype=np.int8),
+    )
+    return pa.table({"zone_key": pa.array(k), "geometry": to_wkb(g)})

@@ -170,7 +170,70 @@ def clip(ds: ray.data.Dataset, mask, geometry="geometry"):
             return b.filter(pa.array(keep))
 
         return ds.map_batches(f_multi, batch_format="pyarrow")
-    raise NotImplementedError(
-        "non-rectilinear clip masks need convex-decomposition; rect/rectilinear "
-        "masks and rect tuples are supported in-sandbox (GEOS path on cluster)"
-    )
+
+    # general polygon mask: slab-sweep boolean kernel per polygon row,
+    # even-odd membership for points, segment-split clip for lines
+    # (tools/clip.py:54 general-mask semantics; geom/booleans.py)
+    from ..geom.booleans import clip_polyline, geom_polygons, rings_boolean
+
+    mask_polys: list = []
+    for i in range(len(mg)):
+        mask_polys.extend(geom_polygons(mg, i))
+    if not mask_polys:
+        raise NotImplementedError("clip mask has no polygonal parts")
+
+    def f_general(b: pa.Table) -> pa.Table:
+        from ..geom.booleans import _point_in_ring
+
+        g = from_wkb(b.column(geometry))
+        out_vals: list = []
+        keep = np.zeros(len(g), dtype=bool)
+        for i in range(len(g)):
+            t = int(g.row_types[i])
+            if t == 0:
+                out_vals.append(None)
+                continue
+            if t in (1, 4):
+                px, py = K._row_points(g, i)
+                inside = np.zeros(len(px), dtype=bool)
+                for k in range(len(px)):
+                    cnt = 0
+                    for rings in mask_polys:
+                        for r in rings:
+                            if _point_in_ring(r, px[k], py[k]):
+                                cnt += 1
+                    inside[k] = cnt % 2 == 1
+                if not inside.any():
+                    out_vals.append(None)
+                    continue
+                keep[i] = True
+                out_vals.append(
+                    _parts_to_wkb(
+                        [(1, [np.array([[px[k], py[k]]])]) for k in np.nonzero(inside)[0]]
+                    )
+                )
+            elif t in (2, 5):
+                pieces = []
+                p0, p1 = g.row_part_range(i)
+                for p in range(p0, p1):
+                    r0, _ = g.part_ring_range(p)
+                    pieces.extend(clip_polyline(g.ring_coords(r0), mask_polys))
+                if not pieces:
+                    out_vals.append(None)
+                    continue
+                keep[i] = True
+                out_vals.append(_parts_to_wkb([(2, [c]) for c in pieces]))
+            else:
+                from ..geom.booleans import geom_polygons as _gp
+
+                polys = rings_boolean(_gp(g, i), mask_polys, "intersection")
+                if not polys:
+                    out_vals.append(None)
+                    continue
+                keep[i] = True
+                out_vals.append(_parts_to_wkb([(3, rings) for rings in polys]))
+        idx = b.column_names.index(geometry)
+        b = b.set_column(idx, geometry, pa.array(out_vals, type=pa.large_binary()))
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(f_general, batch_format="pyarrow")

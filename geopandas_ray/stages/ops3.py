@@ -318,3 +318,29 @@ def transform_coords(ds, fn, geometry="geometry"):
         return b.set_column(idx, geometry, to_wkb(g))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def make_valid(ds, geometry="geometry"):
+    """base.py:1641 make_valid: regularize self-intersecting polygons via
+    the even-odd slab sweep (GEOS 'structure' semantics for the bowtie /
+    self-crossing class; geom/booleans.py). Non-polygonal rows pass
+    through unchanged."""
+    from ..geom.booleans import geom_polygons, make_valid_rings
+
+    def fn(g, i):
+        t = int(g.row_types[i])
+        if t not in (POLYGON, 6, 7):
+            return None if g.row_types[i] == 0 else _row_wkb(g, i)
+        polys = geom_polygons(g, i)
+        if not polys:
+            return _row_wkb(g, i)
+        fixed = make_valid_rings(polys)
+        if not fixed:
+            return struct.pack("<BII", 1, 7, 0)
+        return _parts_to_wkb([(POLYGON, rings) for rings in fixed])
+
+    return _map_rows_geometry(ds, fn, geometry)
+
+
+def _row_wkb(g: Geoms, i: int) -> bytes:
+    return to_wkb(g.take([i]))[0].as_py()

@@ -124,9 +124,31 @@ def pair_intersection_wkb(lg: Geoms, i: int, rg: Geoms, j: int) -> bytes | None:
     ca = _single_convex_ring(lg, i)
     if ca is not None:
         return pair_intersection_wkb(rg, j, lg, i)
-    raise NotImplementedError(
-        "pairwise intersection needs rectilinear or convex operands in-sandbox"
-    )
+    # line-layer cases: clip the polyline to the polygonal partner
+    from ..geom.booleans import clip_polyline, geom_polygons, polygon_boolean
+
+    if int(lg.row_types[i]) in (2, 5):
+        mask = geom_polygons(rg, j)
+        pieces = []
+        p0, p1 = lg.row_part_range(i)
+        for p in range(p0, p1):
+            r0, _ = lg.part_ring_range(p)
+            pieces.extend(clip_polyline(lg.ring_coords(r0), mask))
+        if not pieces:
+            return None
+        from .clip import _parts_to_wkb
+
+        return _parts_to_wkb([(2, [c]) for c in pieces])
+    if int(rg.row_types[j]) in (2, 5):
+        return pair_intersection_wkb(rg, j, lg, i)
+    # general polygon x polygon: slab-sweep boolean kernel (exact for
+    # arbitrary simple polygons incl. concave + holes; geom/booleans.py)
+    polys = polygon_boolean(lg, i, rg, j, "intersection")
+    if not polys:
+        return None
+    from .clip import _parts_to_wkb
+
+    return _parts_to_wkb([(3, rings) for rings in polys])
 
 
 def pair_difference_wkb(lg: Geoms, i: int, partner_wkbs: list[bytes]) -> bytes | None:
@@ -153,16 +175,38 @@ def pair_difference_wkb(lg: Geoms, i: int, partner_wkbs: list[bytes]) -> bytes |
     lr = geom_rects(lg, i)
     pg = from_wkb(partner_wkbs)
     regions = [geom_rects(pg, k) for k in range(len(pg))]
-    if lr is None or any(r is None for r in regions):
-        raise NotImplementedError(
-            "difference needs rectilinear operands in-sandbox (GEOS on cluster)"
-        )
-    acc = lr
-    for r in regions:
-        acc = region_difference(acc, r)
-        if acc.is_empty():
+    if lr is not None and not any(r is None for r in regions):
+        # rectilinear fast path (exact region algebra)
+        acc = lr
+        for r in regions:
+            acc = region_difference(acc, r)
+            if acc.is_empty():
+                return None
+        return _region_to_wkb(acc)
+    from ..geom.booleans import clip_polyline, geom_polygons, rings_boolean
+
+    b_polys = []
+    for k in range(len(pg)):
+        b_polys.extend(geom_polygons(pg, k))
+    if int(lg.row_types[i]) in (2, 5):
+        # line minus polygons: keep the OUTSIDE pieces
+        pieces = []
+        p0, p1 = lg.row_part_range(i)
+        for p in range(p0, p1):
+            r0, _ = lg.part_ring_range(p)
+            pieces.extend(clip_polyline(lg.ring_coords(r0), b_polys, inside=False))
+        if not pieces:
             return None
-    return _region_to_wkb(acc)
+        from .clip import _parts_to_wkb
+
+        return _parts_to_wkb([(2, [c]) for c in pieces])
+    # general polygon difference via the slab-sweep kernel
+    out = rings_boolean(geom_polygons(lg, i), b_polys, "difference")
+    if not out:
+        return None
+    from .clip import _parts_to_wkb
+
+    return _parts_to_wkb([(3, rings) for rings in out])
 
 
 class _OverlayLegs:
