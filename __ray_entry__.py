@@ -659,6 +659,18 @@ def q_simhash(sf_dir):
     return _select(with_simhash(ds), ["doc_id", "simhash"])
 
 
+def q_sjoin_nearest_rect(sf_dir):
+    # GENERAL (non-point) left side: rectangle zones to their nearest doc
+    # point via exact geometry-to-geometry distances (r1 bug fix)
+    from geopandas_ray.pipelines.datasets import doc_points, zone_dataset
+    from geopandas_ray.stages.nearest import sjoin_nearest
+    from geopandas_ray.stages.sjoin import _materialize
+
+    pts = _materialize(doc_points(sf_dir))
+    j = sjoin_nearest(zone_dataset(sf_dir), pts, how="inner")
+    return _select(j, ["zone_key", "doc_id"])
+
+
 def q_overlay_concave(sf_dir):
     # concave L x L overlay: exercises the general slab-sweep boolean kernel
     # (non-rectilinear, non-convex operands)
@@ -835,6 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "geom_equals_join": q_geom_equals_join,
         "intersection_all_box": q_intersection_all_box,
+        "sjoin_nearest_rect": q_sjoin_nearest_rect,
         "overlay_concave": q_overlay_concave,
         "clip_concave_mask": q_clip_concave_mask,
         "make_valid_area": q_make_valid_area,
@@ -1058,6 +1071,13 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b "
             f"ON a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_TAU}"
+        ),
+        "sjoin_nearest_rect": (
+            f"{W}, d AS (SELECT z.zone_key, p.doc_id, "
+            "POWER(GREATEST(z.zminx - p.px, p.px - z.zmaxx, 0), 2) + "
+            "POWER(GREATEST(z.zminy - p.py, p.py - z.zmaxy, 0), 2) AS d2 "
+            "FROM zones z CROSS JOIN pts p) "
+            "SELECT zone_key, doc_id FROM d QUALIFY d2 = MIN(d2) OVER (PARTITION BY zone_key)"
         ),
         "overlay_concave": (
             f"{WL} SELECT z.zone_key, s.s_key, CAST({L_IE} AS DOUBLE) AS inter_area "

@@ -575,3 +575,32 @@ def hausdorff_distance_pair(ga: Geoms, ia: int, gb: Geoms, ib: int) -> float:
         return float(np.sqrt(d2.max())) if len(d2) else 0.0
 
     return max(directed(ga, ia, gb, ib), directed(gb, ib, ga, ia))
+
+
+def geom_to_geom_sqdist(ga: Geoms, ia: int, gb: Geoms, ib: int) -> float:
+    """Exact squared distance between two geometry rows (base.py:3521).
+
+    In 2-D the min distance between two non-intersecting segment sets is
+    attained at a vertex of one of them, so min(vertices-of-A -> B,
+    vertices-of-B -> A) is exact; a residual proper crossing (distance 0
+    with no near vertex) is caught by the intersects test."""
+    ta = int(ga.row_types[ia])
+    tb = int(gb.row_types[ib])
+    if ta in (POINT, MULTIPOINT):
+        px, py = _row_points(ga, ia)
+        d2 = points_to_geom_sqdist(gb, ib, px, py)
+        return float(d2.min()) if len(d2) else np.inf
+    if tb in (POINT, MULTIPOINT):
+        px, py = _row_points(gb, ib)
+        d2 = points_to_geom_sqdist(ga, ia, px, py)
+        return float(d2.min()) if len(d2) else np.inf
+    ax, ay = _row_points(ga, ia)
+    bx, by = _row_points(gb, ib)
+    best = np.inf
+    if len(ax):
+        best = min(best, float(points_to_geom_sqdist(gb, ib, ax, ay).min()))
+    if len(bx):
+        best = min(best, float(points_to_geom_sqdist(ga, ia, bx, by).min()))
+    if best > 0.0 and geom_intersects_geom(ga, ia, gb, ib):
+        return 0.0
+    return best

@@ -14,7 +14,10 @@ nearest neighbors for left batches by expanding-radius candidate search
 against the tree (doubling radius until a hit, then one extra round to
 verify no closer item lies just outside the current radius - the classic
 cell-boundary correctness trap, SURVEY.md §2.4 guard). Distances are exact
-point-to-geometry; squared distances are used internally.
+point-to-geometry for point left rows and exact GEOMETRY-to-geometry
+(K.geom_to_geom_sqdist) for general left rows; squared distances are used
+internally. Rows beyond the right layer's bbox diagonal fall back to a full
+scan so unbounded nearest always returns a match.
 
 Scale path for two large sides: cell-partitioned ring expansion - the same
 actor logic per cell group with neighbor-cell replication; not yet wired
@@ -134,6 +137,25 @@ class _NearestJoiner:
             done |= newly
             if self.max_distance is not None:
                 break
+        if self.max_distance is None:
+            # radius schedule stops at the right layer's bbox diagonal; a left
+            # point farther than that from the whole layer is still entitled
+            # to its nearest neighbor - full scan the stragglers (r1 ADVICE)
+            rem = np.nonzero(best_d2 == np.inf)[0]
+            if len(rem):
+                for j in range(len(self.rg)):
+                    if self.rg.row_types[j] == 0:
+                        continue
+                    d2 = K.points_to_geom_sqdist(self.rg, j, px[rem], py[rem])
+                    if self.exclusive:
+                        d2 = np.where(d2 == 0.0, np.inf, d2)
+                    for k, row in enumerate(rem):
+                        v = d2[k]
+                        if v < best_d2[row] - 1e-12:
+                            best_d2[row] = v
+                            best_pairs[row] = [(int(j), v)]
+                        elif v <= best_d2[row] + 1e-12 and v != np.inf:
+                            best_pairs.setdefault(row, []).append((int(j), v))
         for row, pairs in best_pairs.items():
             if best_d2[row] == np.inf:
                 continue
@@ -144,6 +166,92 @@ class _NearestJoiner:
                 out_l.append(row)
                 out_r.append(j)
                 out_d.append(np.sqrt(best_d2[row]))
+        if not out_l:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64),
+            )
+        return (
+            np.asarray(out_l, dtype=np.int64),
+            np.asarray(out_r, dtype=np.int64),
+            np.asarray(out_d, dtype=np.float64),
+        )
+
+    def _nearest_for_geoms(self, lg):
+        """Exact nearest for GENERAL left geometries (r1's centroid
+        approximation removed - VERDICT 'What's wrong' #1): bbox-dilated
+        candidate search via the tree, then exact geometry-to-geometry
+        distance (K.geom_to_geom_sqdist) per candidate. A row is final once
+        its best exact distance <= the dilation radius: any unseen right
+        geometry has bbox distance > radius, hence true distance > best."""
+        n = len(lg)
+        lb = K.bounds(lg)
+        valid = ~np.isnan(lb).any(axis=1)
+        best_d2 = np.full(n, np.inf)
+        best_pairs: dict[int, list[tuple[int, float]]] = {}
+        done = ~valid
+        seen: list[set] = [set() for _ in range(n)]
+        if self.max_distance is not None:
+            radii = [float(self.max_distance)]
+        else:
+            r = max(self.domain_diag / 1024.0, 1e-9)
+            radii = []
+            while r < self.domain_diag:
+                radii.append(r)
+                r *= 4.0
+            radii.append(self.domain_diag * 1.0000001)
+        for radius in radii:
+            if done.all():
+                break
+            idx = np.nonzero(~done)[0]
+            qb = lb[idx] + np.array([-radius, -radius, radius, radius])
+            qi, ti = self.tree.query_boxes(qb)
+            for k in range(len(qi)):
+                row = int(idx[qi[k]])
+                j = int(ti[k])
+                if j in seen[row]:
+                    continue
+                seen[row].add(j)
+                v = K.geom_to_geom_sqdist(lg, row, self.rg, j)
+                if self.exclusive and v == 0.0:
+                    continue
+                if v < best_d2[row] - 1e-12:
+                    best_d2[row] = v
+                    best_pairs[row] = [(j, v)]
+                elif v <= best_d2[row] + 1e-12 and v != np.inf:
+                    best_pairs.setdefault(row, []).append((j, v))
+            newly = (~done) & (np.sqrt(np.where(best_d2 == np.inf, np.inf, best_d2)) <= radius)
+            done |= newly
+            if self.max_distance is not None:
+                break
+        if self.max_distance is None:
+            rem = np.nonzero(valid & (best_d2 == np.inf))[0]
+            for row in rem:
+                for j in range(len(self.rg)):
+                    if self.rg.row_types[j] == 0 or j in seen[row]:
+                        continue
+                    v = K.geom_to_geom_sqdist(lg, int(row), self.rg, j)
+                    if self.exclusive and v == 0.0:
+                        continue
+                    if v < best_d2[row] - 1e-12:
+                        best_d2[row] = v
+                        best_pairs[row] = [(j, v)]
+                    elif v <= best_d2[row] + 1e-12 and v != np.inf:
+                        best_pairs.setdefault(row, []).append((j, v))
+        out_l: list[int] = []
+        out_r: list[int] = []
+        out_d: list[float] = []
+        for row, pairs in best_pairs.items():
+            if best_d2[row] == np.inf:
+                continue
+            if self.max_distance is not None and best_d2[row] > float(self.max_distance) ** 2:
+                continue
+            uniq = sorted({j for j, v in pairs if v <= best_d2[row] + 1e-12})
+            for j in uniq:
+                out_l.append(row)
+                out_r.append(j)
+                out_d.append(float(np.sqrt(best_d2[row])))
         if not out_l:
             return (
                 np.empty(0, dtype=np.int64),
@@ -171,12 +279,8 @@ class _NearestJoiner:
             if bad.any():
                 li, ri, dist = li[~bad], ri[~bad], dist[~bad]
         else:
-            # general left geoms: centroid seed + exact refine over candidates
-            li_all, ri_all, d_all = [], [], []
-            cx, cy = K.centroid(lg)
-            li, ri, dist = self._nearest_for_points(
-                np.nan_to_num(cx), np.nan_to_num(cy)
-            )
+            # general left geoms: exact geometry-to-geometry distances
+            li, ri, dist = self._nearest_for_geoms(lg)
         order = np.lexsort((ri, li))
         li, ri, dist = li[order], ri[order], dist[order]
         if self.how == "left":

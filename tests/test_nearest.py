@@ -112,3 +112,75 @@ def test_shuffle_nearest_ties():
     )
     got = sjoin_nearest_shuffle(left, right, max_distance=50.0, res=4).to_pandas()
     assert sorted(got.zone_key) == [1, 2]
+
+
+def test_rect_left_edge_beats_centroid():
+    # rectangle whose EDGE is nearest zone A but whose CENTROID is nearest
+    # zone B - the r1 centroid approximation returned B (VERDICT bug #1)
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "pid": pa.array([0]),
+                # long thin rect from x=0..100, centroid at x=50
+                "geometry": W.boxes_to_wkb([0.0], [0.0], [100.0], [2.0]),
+            }
+        )
+    )
+    right = pa.table(
+        {
+            "rid": pa.array([0, 1]),
+            # A at x=-3 (distance 3 from left edge); B at x=45 (distance 5
+            # from centroid is 5 but 0 from... careful: B must be farther
+            # from the RECT than A): B at y=40 above centroid: distance to
+            # rect = 38; A distance to rect = 3 but to centroid = 53
+            "geometry": W.points_to_wkb([-3.0, 50.0], [1.0, 40.0]),
+        }
+    )
+    j = sjoin_nearest(left, right, distance_col="d", right_index="rid").to_pandas()
+    assert j.rid.tolist() == [0]
+    assert j.d.tolist() == [3.0]
+
+
+def test_rect_brute_force_oracle(rng):
+    # random rects vs random points: exact distance refine vs numpy brute
+    n, m = 60, 40
+    minx = rng.uniform(0, 900, n)
+    miny = rng.uniform(0, 900, n)
+    w = rng.uniform(5, 80, n)
+    h = rng.uniform(5, 80, n)
+    qx = rng.uniform(0, 1000, m)
+    qy = rng.uniform(0, 1000, m)
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "pid": pa.array(np.arange(n)),
+                "geometry": W.boxes_to_wkb(minx, miny, minx + w, miny + h),
+            }
+        )
+    )
+    right = pa.table(
+        {"rid": pa.array(np.arange(m)), "geometry": W.points_to_wkb(qx, qy)}
+    )
+    j = sjoin_nearest(left, right, distance_col="d", right_index="rid").to_pandas()
+    # brute: point-to-rect distance
+    dx = np.maximum(np.maximum(minx[:, None] - qx[None, :], qx[None, :] - (minx + w)[:, None]), 0)
+    dy = np.maximum(np.maximum(miny[:, None] - qy[None, :], qy[None, :] - (miny + h)[:, None]), 0)
+    d = np.sqrt(dx * dx + dy * dy)
+    want_nearest = d.argmin(axis=1)
+    got = j.sort_values("pid")
+    assert len(got) == n  # no ties expected with random floats
+    assert got.rid.tolist() == want_nearest.tolist()
+    assert np.allclose(got.d.values, d.min(axis=1))
+
+
+def test_unbounded_far_point_gets_match():
+    # left point farther than the right layer's bbox diagonal: the radius
+    # schedule alone leaves it unmatched (r1 ADVICE); full-scan fallback
+    left = ray.data.from_arrow(
+        pa.table({"pid": pa.array([0]), "geometry": W.points_to_wkb([10000.0], [10000.0])})
+    )
+    right = pa.table(
+        {"rid": pa.array([0, 1]), "geometry": W.points_to_wkb([0.0, 5.0], [0.0, 5.0])}
+    )
+    j = sjoin_nearest(left, right, right_index="rid").to_pandas()
+    assert j.rid.tolist() == [1]
