@@ -659,6 +659,26 @@ def q_simhash(sf_dir):
     return _select(with_simhash(ds), ["doc_id", "simhash"])
 
 
+def q_buffer_mitre_area(sf_dir):
+    # mitre-join buffer on rect zones is exact: (w+2d)(h+2d)
+    from geopandas_ray.pipelines.datasets import zone_dataset
+    from geopandas_ray.stages.ops import with_area
+    from geopandas_ray.stages.ops2 import buffer
+
+    b = buffer(zone_dataset(sf_dir), 7.0, join_style="mitre")
+    return _select(with_area(b), ["zone_key", "area"])
+
+
+def q_buffer_erode_area(sf_dir):
+    # negative (round) buffer erodes rect zones exactly: (w-2d)(h-2d)
+    from geopandas_ray.pipelines.datasets import zone_dataset
+    from geopandas_ray.stages.ops import with_area
+    from geopandas_ray.stages.ops2 import buffer
+
+    b = buffer(zone_dataset(sf_dir), -5.0, quad_segs=8)
+    return _select(with_area(b), ["zone_key", "area"])
+
+
 def q_sjoin_nearest_rect(sf_dir):
     # GENERAL (non-point) left side: rectangle zones to their nearest doc
     # point via exact geometry-to-geometry distances (r1 bug fix)
@@ -847,6 +867,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "geom_equals_join": q_geom_equals_join,
         "intersection_all_box": q_intersection_all_box,
+        "buffer_mitre_area": q_buffer_mitre_area,
+        "buffer_erode_area": q_buffer_erode_area,
         "sjoin_nearest_rect": q_sjoin_nearest_rect,
         "overlay_concave": q_overlay_concave,
         "clip_concave_mask": q_clip_concave_mask,
@@ -1071,6 +1093,12 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b "
             f"ON a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_TAU}"
+        ),
+        "buffer_mitre_area": (
+            f"{W} SELECT zone_key, CAST((zmaxx-zminx+14)*(zmaxy-zminy+14) AS DOUBLE) AS area FROM zones"
+        ),
+        "buffer_erode_area": (
+            f"{W} SELECT zone_key, CAST((zmaxx-zminx-10)*(zmaxy-zminy-10) AS DOUBLE) AS area FROM zones"
         ),
         "sjoin_nearest_rect": (
             f"{W}, d AS (SELECT z.zone_key, p.doc_id, "

@@ -286,47 +286,139 @@ def collect(values_wkb: list[bytes]) -> bytes:
     return _parts_to_wkb(parts)
 
 
-def buffer(ds, distance: float, quad_segs: int = 16, geometry="geometry"):
-    """base.py:4806 - scope: POINT rows -> circle polygon approximated with
-    4*quad_segs segments (shapely's buffer discretization); zero/negative
-    distance on points -> empty. Polygon/line buffering needs full offset
-    curves (GEOS) - round-2+; raises for those inputs."""
-    if distance <= 0:
-        import struct
+def _capsule_ring(p, q, d: float, quad_segs: int) -> np.ndarray:
+    """Discretized stadium (Minkowski sum of segment pq with a radius-d
+    disk): offset rectangle sides + 2*quad_segs-segment half-circle caps."""
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    L = float(np.hypot(dx, dy))
+    ux, uy = dx / L, dy / L
+    nx, ny = -uy, ux  # left normal
+    theta0 = np.arctan2(ny, nx)
+    # arc around q: from +n to -n going through the +u direction (clockwise
+    # in normal space = CCW boundary)
+    arc_q = theta0 - np.linspace(0.0, np.pi, 2 * quad_segs + 1)
+    arc_p = (theta0 - np.pi) - np.linspace(0.0, np.pi, 2 * quad_segs + 1)
+    pts = [
+        np.array([[p[0] + d * nx, p[1] + d * ny]]),
+        np.column_stack([q[0] + d * np.cos(arc_q), q[1] + d * np.sin(arc_q)]),
+        np.column_stack([p[0] + d * np.cos(arc_p), p[1] + d * np.sin(arc_p)]),
+    ]
+    ring = np.concatenate(pts)
+    return np.vstack([ring, ring[:1]])
 
-        empty = struct.pack("<BII", 1, 3, 0)
 
-        def f_empty(b: pa.Table) -> pa.Table:
-            idx = b.column_names.index(geometry)
-            return b.set_column(
-                idx, geometry, pa.array([empty] * len(b), type=pa.large_binary())
-            )
-
-        return ds.map_batches(f_empty, batch_format="pyarrow")
-
+def _circle_ring(cx, cy, d: float, quad_segs: int) -> np.ndarray:
     ang = np.linspace(0.0, 2 * np.pi, 4 * quad_segs, endpoint=False)
-    unit = np.column_stack([np.cos(ang), np.sin(ang)])
+    ring = np.column_stack([cx + d * np.cos(ang), cy + d * np.sin(ang)])
+    return np.vstack([ring, ring[:1]])
+
+
+def _mitre_offset_ring(ring: np.ndarray, d: float) -> np.ndarray:
+    """Offset a closed ring outward by d with mitre joins: each vertex moves
+    to the intersection of its two offset edges. Exact for convex CCW rings
+    (base.py:4806 join_style=2); concave results are regularized by the
+    even-odd union downstream."""
+    c = ring[:-1]
+    n = len(c)
+    prev = np.roll(c, 1, axis=0)
+    nxt = np.roll(c, -1, axis=0)
+    e1 = c - prev
+    e2 = nxt - c
+    l1 = np.hypot(e1[:, 0], e1[:, 1])
+    l2 = np.hypot(e2[:, 0], e2[:, 1])
+    n1 = np.column_stack([e1[:, 1] / l1, -e1[:, 0] / l1])  # outward for CCW
+    n2 = np.column_stack([e2[:, 1] / l2, -e2[:, 0] / l2])
+    # solve for miter point: v + d*n1 + t*e1_dir == v + d*n2 - s*e2_dir
+    out = np.empty_like(c)
+    for i in range(n):
+        # axis-aligned corner fast paths: float-EXACT miter points so rect
+        # zones grow to exact integer rects (oracle-critical, same reasoning
+        # as kernels.point_to_segments_sqdist's clamped paths)
+        if e1[i, 1] == 0.0 and e2[i, 0] == 0.0:
+            out[i] = (c[i, 0] + d * n2[i, 0], c[i, 1] + d * n1[i, 1])
+            continue
+        if e1[i, 0] == 0.0 and e2[i, 1] == 0.0:
+            out[i] = (c[i, 0] + d * n1[i, 0], c[i, 1] + d * n2[i, 1])
+            continue
+        a = np.array([[e1[i, 0], -e2[i, 0]], [e1[i, 1], -e2[i, 1]]])
+        rhs = d * (n2[i] - n1[i])
+        det = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+        if abs(det) < 1e-12:  # collinear edges: straight offset
+            out[i] = c[i] + d * n1[i]
+        else:
+            t = (rhs[0] * a[1, 1] - rhs[1] * a[0, 1]) / det
+            out[i] = c[i] + d * n1[i] + t * e1[i]
+    return np.vstack([out, out[:1]])
+
+
+def buffer(ds, distance: float, quad_segs: int = 16, join_style: str = "round", geometry="geometry"):
+    """base.py:4806 buffer for point / line / polygon rows.
+
+    round (default): Minkowski union of per-segment capsules (+ the polygon
+    itself), merged by the slab-sweep boolean kernel (geom/booleans.py) -
+    the same discretization count as shapely (4*quad_segs per full circle).
+    mitre: offset-edge intersection joins (exact for convex rings, e.g.
+    rect zones grow to exact rects). Negative distance erodes polygons
+    (polygon minus boundary capsules); points/lines buffer to empty."""
+    import struct
+
+    from ..geom.booleans import geom_polygons, make_valid_rings, rings_boolean
+
+    empty = struct.pack("<BII", 1, 3, 0)
+
+    def row_buffer(g, i) -> bytes | None:
+        if g.row_types[i] == 0:
+            return None
+        if g.is_empty[i]:
+            return empty
+        t = int(g.row_types[i])
+        polys = []
+        if t in (1, 4):  # points -> circles
+            if distance <= 0:
+                return empty
+            px, py = K._row_points(g, i)
+            for k in range(len(px)):
+                polys.append([_circle_ring(px[k], py[k], distance, quad_segs)])
+            merged = make_valid_rings(polys) if len(polys) > 1 else polys
+            return _parts_to_wkb([(POLYGON, rings) for rings in merged])
+        segs = K._segments_of_row(g, i)
+        if t in (2, 5):  # lines -> capsule union
+            if distance <= 0:
+                return empty
+            for x0, y0, x1, y1 in segs:
+                if x0 == x1 and y0 == y1:
+                    continue
+                polys.append([_capsule_ring((x0, y0), (x1, y1), distance, quad_segs)])
+            if not polys:
+                return empty
+            merged = make_valid_rings(polys)
+            return _parts_to_wkb([(POLYGON, rings) for rings in merged])
+        # polygonal rows
+        own = geom_polygons(g, i)
+        if distance == 0:
+            return _parts_to_wkb([(POLYGON, rings) for rings in own])
+        if join_style in ("mitre", "miter", 2):
+            d = float(distance)
+            mitred = [
+                [_mitre_offset_ring(rings[0], d)] + [r for r in rings[1:]]
+                for rings in own
+            ]
+            merged = make_valid_rings(mitred)
+            return _parts_to_wkb([(POLYGON, rings) for rings in merged]) if merged else empty
+        caps = []
+        for x0, y0, x1, y1 in segs:
+            if x0 == x1 and y0 == y1:
+                continue
+            caps.append([_capsule_ring((x0, y0), (x1, y1), abs(distance), quad_segs)])
+        if distance > 0:
+            merged = make_valid_rings(own + caps)
+        else:
+            merged = rings_boolean(own, caps, "difference")
+        return _parts_to_wkb([(POLYGON, rings) for rings in merged]) if merged else empty
 
     def f(b: pa.Table) -> pa.Table:
         g = from_wkb(b.column(geometry))
-        if not g.all_points:
-            raise NotImplementedError(
-                "buffer implemented for point rows in-sandbox (circle polygons); "
-                "polygon/line offsetting needs GEOS (cluster path)"
-            )
-        vals = []
-        ci = g.ring_offsets[g.part_offsets[g.row_offsets[:-1]]]
-        for i in range(len(g)):
-            if g.row_types[i] == 0:
-                vals.append(None)
-                continue
-            if g.is_empty[i]:
-                vals.append(None)
-                continue
-            c = g.coords[ci[i]]
-            ring = c[None, :] + distance * unit
-            ring = np.vstack([ring, ring[:1]])
-            vals.append(_parts_to_wkb([(POLYGON, [ring])]))
+        vals = [row_buffer(g, i) for i in range(len(g))]
         idx = b.column_names.index(geometry)
         return b.set_column(idx, geometry, pa.array(vals, type=pa.large_binary()))
 

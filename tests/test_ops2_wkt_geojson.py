@@ -274,13 +274,45 @@ def test_buffer_points():
     assert abs(a - np.pi * 25) / (np.pi * 25) < 0.002
     bb = K.bounds(g)[0]
     assert np.allclose(bb, [5, 5, 15, 15])
-    with pytest.raises(Exception):
-        buffer(
-            ray.data.from_arrow(
-                pa.table({"geometry": W.boxes_to_wkb([0.0], [0.0], [1.0], [1.0])})
-            ),
-            1.0,
-        ).to_pandas()
+
+
+def test_buffer_lines_polygons():
+    from geopandas_ray.stages.ops2 import buffer
+    from geopandas_ray.stages.clip import _parts_to_wkb
+
+    # segment buffer: area -> 2*L*d + pi*d^2 (inscribed-polygon deficit)
+    line = _parts_to_wkb([(2, [np.array([[0.0, 0.0], [10.0, 0.0]])])])
+    ds = ray.data.from_arrow(pa.table({"geometry": pa.array([line], type=pa.large_binary())}))
+    b = buffer(ds, 2.0, quad_segs=16).to_pandas()
+    g = W.from_wkb(b.geometry.tolist())
+    want = 2 * 10 * 2 + np.pi * 4
+    assert 0 < (want - K.area(g)[0]) / want < 0.005
+    assert np.allclose(K.bounds(g)[0], [-2, -2, 12, 2])
+
+    # round polygon buffer: area -> A + P*d + pi*d^2
+    sq = W.boxes_to_wkb([0.0], [0.0], [10.0], [10.0])
+    ds = ray.data.from_arrow(pa.table({"geometry": sq}))
+    b = buffer(ds, 3.0, quad_segs=16).to_pandas()
+    g = W.from_wkb(b.geometry.tolist())
+    want = 100 + 40 * 3 + np.pi * 9
+    assert 0 < (want - K.area(g)[0]) / want < 0.005
+
+    # mitre join on a rect is EXACT: (w+2d)x(h+2d)
+    b = buffer(ds, 3.0, join_style="mitre").to_pandas()
+    g = W.from_wkb(b.geometry.tolist())
+    assert K.area(g)[0] == 16.0 * 16.0
+    assert np.allclose(K.bounds(g)[0], [-3, -3, 13, 13])
+
+    # negative buffer erodes exactly for rects
+    b = buffer(ds, -2.0).to_pandas()
+    g = W.from_wkb(b.geometry.tolist())
+    assert K.area(g)[0] == 36.0
+    assert np.allclose(K.bounds(g)[0], [2, 2, 8, 8])
+
+    # erosion past collapse -> empty
+    b = buffer(ds, -6.0).to_pandas()
+    g = W.from_wkb(b.geometry.tolist())
+    assert bool(g.is_empty[0])
 
 
 def test_set_precision_normalize_force2d():
