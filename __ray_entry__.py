@@ -117,6 +117,17 @@ def q_sjoin_shuffle_salted(sf_dir):
     return _select(j, ["doc_id", "zone_key"])
 
 
+def q_sjoin_shuffle_left(sf_dir):
+    from geopandas_ray.pipelines.datasets import DOMAIN, doc_points, zone_dataset
+    from geopandas_ray.stages.sjoin import sjoin_shuffle
+
+    j = sjoin_shuffle(
+        doc_points(sf_dir), zone_dataset(sf_dir), predicate="intersects", res=5,
+        domain=DOMAIN, how="left", left_id="doc_id",
+    )
+    return _select(j, ["doc_id", "zone_key"])
+
+
 def q_sjoin_on_attr(sf_dir):
     import ray.data
 
@@ -819,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sjoin_dwithin": q_sjoin_dwithin,
         "sjoin_shuffle_pip": q_sjoin_shuffle_pip,
         "sjoin_shuffle_salted": q_sjoin_shuffle_salted,
+        "sjoin_shuffle_left": q_sjoin_shuffle_left,
         "sjoin_on_attr": q_sjoin_on_attr,
         "sjoin_nearest": q_sjoin_nearest,
         "sjoin_nearest_shuffle": q_sjoin_nearest_shuffle,
@@ -939,6 +951,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sjoin_shuffle_pip": f"{W} SELECT p.doc_id, z.zone_key FROM pts p {pip_join}",
         "sjoin_shuffle_salted": f"{W} SELECT p.doc_id, z.zone_key FROM pts p {pip_join}",
+        "sjoin_shuffle_left": (
+            f"{W} SELECT p.doc_id, z.zone_key FROM pts p LEFT " + pip_join
+        ),
         "sjoin_on_attr": (
             f"{W} SELECT p.doc_id, z.zone_key FROM pts p {pip_join} "
             "AND (p.doc_id % 3) = (z.zone_key % 3)"

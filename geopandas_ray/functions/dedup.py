@@ -182,15 +182,18 @@ def minhash_candidate_pairs(
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
 
     # Per-group python over EVERY bucket is death by overhead (most buckets
-    # hold one doc). First count bucket sizes with the vectorized aggregate
-    # path, broadcast the (tiny) collision-bucket key set, filter the banded
-    # rows to those buckets, and only then run per-bucket pair generation.
+    # hold one doc). Count bucket sizes with the vectorized aggregate path
+    # and prefilter the banded rows to collision buckets. The hot-key set is
+    # SIZED IN THE CLUSTER first (r1 pulled it blindly): small sets broadcast
+    # as numpy arrays with a vectorized np.isin membership test; a hot set
+    # too big to broadcast skips the prefilter and relies on the per-group
+    # early-exit instead of ever landing on the driver.
     from ray.data.aggregate import Count
 
     counts = banded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
-    hot = counts.filter(lambda r: r["n"] >= 2).take_all()
-    hot_keys = {(r["band"], r["band_hash"]) for r in hot}
-    if not hot_keys:
+    hot = counts.filter(expr="n >= 2")
+    hot_n = hot.count()
+    if hot_n == 0:
         import pyarrow as _pa
 
         return ray.data.from_arrow(
@@ -202,21 +205,43 @@ def minhash_candidate_pairs(
                 }
             )
         )
-    hot_ref = ray.put(hot_keys)
+    BROADCAST_CAP = 5_000_000  # ~80MB of composite keys
+    if hot_n <= BROADCAST_CAP:
+        hot_tbl = pa.concat_tables(ray.get(hot.to_arrow_refs()), promote_options="default")
+        hot_band = np.asarray(hot_tbl.column("band"), dtype=np.int64)
+        hot_hash = np.asarray(hot_tbl.column("band_hash"), dtype=np.int64)
+        # composite (band, hash) -> single void view for one C-speed isin
+        hot_keys = np.ascontiguousarray(
+            np.column_stack([hot_band, hot_hash])
+        ).view([("b", np.int64), ("h", np.int64)])
+        hot_ref = ray.put(hot_keys)
 
-    class _HotFilter:
-        def __init__(self):
-            self.keys = ray.get(hot_ref)
+        class _HotFilter:
+            def __init__(self):
+                self.keys = ray.get(hot_ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            mask = [
-                (b, h) in self.keys for b, h in zip(df["band"].to_numpy(), df["band_hash"].to_numpy())
-            ]
-            return df[np.asarray(mask)]
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                probe = np.ascontiguousarray(
+                    np.column_stack(
+                        [
+                            df["band"].to_numpy(dtype=np.int64),
+                            df["band_hash"].to_numpy(dtype=np.int64),
+                        ]
+                    )
+                ).view([("b", np.int64), ("h", np.int64)])
+                return df[np.isin(probe, self.keys).ravel()]
 
-    collisions = banded.map_batches(_HotFilter, batch_format="pandas", concurrency=default_pool())
-    pairs = collisions.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+        collisions = banded.map_batches(
+            _HotFilter, batch_format="pandas", concurrency=default_pool()
+        )
+    else:
+        collisions = banded  # bucket_pairs early-exits singleton groups
+    from ..util import default_shuffle_partitions
+
+    pairs = (
+        collisions.repartition(default_shuffle_partitions())
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
 
     # a pair found in multiple bands appears multiple times: dedup

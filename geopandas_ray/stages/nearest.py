@@ -391,6 +391,10 @@ def sjoin_nearest_shuffle(
     domain = domain or DEFAULT_DOMAIN
     right_geometry = right_geometry or geometry
     d = float(max_distance)
+    # id columns keep their ORIGINAL arrow types (r1 cast to int64 broke
+    # string doc_ids); nulls for the other side use the matching type
+    ltype = dict(zip(left.schema().names, left.schema().types))[left_id]
+    rtype = dict(zip(right.schema().names, right.schema().types))[right_id]
 
     def key_left(b: pa.Table) -> pa.Table:
         g = from_wkb(b.column(geometry))
@@ -404,7 +408,7 @@ def sjoin_nearest_shuffle(
                 "cell": pa.array(np.where(valid, cells, -1)),
                 "__side": pa.array(np.zeros(len(g), dtype=np.int8)),
                 "__lid": b.column(left_id),
-                "__rid": pa.nulls(len(g), pa.int64()),
+                "__rid": pa.nulls(len(g), rtype),
                 "__geom": b.column(geometry),
             }
         )
@@ -429,7 +433,7 @@ def sjoin_nearest_shuffle(
             {
                 "cell": pa.array(cells.astype(np.int64)),
                 "__side": pa.array(np.ones(len(row_idx), dtype=np.int8)),
-                "__lid": pa.nulls(len(row_idx), pa.int64()),
+                "__lid": pa.nulls(len(row_idx), ltype),
                 "__rid": taken.column(right_id),
                 "__geom": taken.column(right_geometry),
             }
@@ -444,8 +448,8 @@ def sjoin_nearest_shuffle(
         if not lmask.any() or lmask.all():
             return pa.table(
                 {
-                    left_id: pa.array([], type=pa.int64()),
-                    right_id: pa.array([], type=pa.int64()),
+                    left_id: pa.array([], type=ltype),
+                    right_id: pa.array([], type=rtype),
                     "distance": pa.array([], type=pa.float64()),
                 }
             )
@@ -456,33 +460,67 @@ def sjoin_nearest_shuffle(
         ci = lg.ring_offsets[lg.part_offsets[lg.row_offsets[:-1]]]
         px = lg.coords[ci, 0]
         py = lg.coords[ci, 1]
-        lids = np.asarray(lt.column("__lid"), dtype=np.int64)
-        rids = np.asarray(rt.column("__rid"), dtype=np.int64)
-        out_l, out_r, out_d = [], [], []
-        # exact distance to every candidate (chunked over right rows)
-        best = np.full(len(px), np.inf)
-        d2s = np.empty((len(rids), len(px)))
-        for j in range(len(rids)):
-            d2s[j] = K.points_to_geom_sqdist(rg, j, px, py)
-            np.minimum(best, d2s[j], out=best)
+        n_r = len(rt)
         dmax2 = d * d
-        for i in range(len(px)):
-            if best[i] > dmax2:
-                continue
-            ties = np.nonzero(d2s[:, i] == best[i])[0]
-            for j in sorted(set(rids[ties])):
-                out_l.append(lids[i])
-                out_r.append(j)
-                out_d.append(np.sqrt(best[i]))
-        return pa.table(
+        # two streaming passes over the right candidates - NO (R x L) dense
+        # matrix (r1 'What's wrong' #5): pass 1 computes each left row's
+        # best distance, pass 2 re-walks candidates emitting exact ties
+        best = np.full(len(px), np.inf)
+        for j in range(n_r):
+            d2 = K.points_to_geom_sqdist(rg, j, px, py)
+            np.minimum(best, d2, out=best)
+        within = best <= dmax2
+        pair_li: list[np.ndarray] = []
+        pair_rj: list[np.ndarray] = []
+        for j in range(n_r):
+            d2 = K.points_to_geom_sqdist(rg, j, px, py)
+            hit = within & (d2 == best)
+            if hit.any():
+                idx = np.nonzero(hit)[0]
+                pair_li.append(idx)
+                pair_rj.append(np.full(len(idx), j, dtype=np.int64))
+        if not pair_li:
+            return pa.table(
+                {
+                    left_id: pa.array([], type=ltype),
+                    right_id: pa.array([], type=rtype),
+                    "distance": pa.array([], type=pa.float64()),
+                }
+            )
+        li = np.concatenate(pair_li)
+        rj = np.concatenate(pair_rj)
+        # dedupe ties that share a right ID: sort by (left, right-id) and
+        # keep the first occurrence per (left, rid) pair
+        rid_col = rt.column("__rid")
+        lid_col = lt.column("__lid")
+        out = pa.table(
             {
-                left_id: pa.array(out_l, type=pa.int64()),
-                right_id: pa.array(out_r, type=pa.int64()),
-                "distance": pa.array(out_d, type=pa.float64()),
+                left_id: lid_col.take(pa.array(li, type=pa.int64())),
+                right_id: rid_col.take(pa.array(rj, type=pa.int64())),
+                "distance": pa.array(np.sqrt(best[li])),
             }
         )
+        # drop duplicate (left, right) pairs (a right id replicated into the
+        # cell multiple times can't happen - one row per cell per right row -
+        # but ties with identical ids from dirty input dedupe here)
+        import pyarrow.compute as pc
 
-    out = lkeyed.union(rkeyed).groupby("cell").map_groups(per_cell, batch_format="pyarrow")
+        keys = pc.binary_join_element_wise(
+            pc.cast(out.column(left_id), pa.string()),
+            pc.cast(out.column(right_id), pa.string()),
+            "\x1f",
+        )
+        first = np.unique(np.asarray(keys, dtype=object), return_index=True)[1]
+        return out.take(pa.array(np.sort(first), type=pa.int64()))
+
+    from ..util import default_shuffle_partitions
+
+    out = (
+        lkeyed.union(rkeyed)
+        .repartition(default_shuffle_partitions())
+        .groupby("cell")
+        .map_groups(per_cell, batch_format="pyarrow")
+    )
     if distance_col is None:
         out = out.drop_columns(["distance"]) if hasattr(out, "drop_columns") else out.map_batches(
             lambda t: t.drop_columns(["distance"]), batch_format="pyarrow"

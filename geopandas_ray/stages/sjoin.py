@@ -465,6 +465,20 @@ def _take_join_output(lt, rt, lgeom_col, rgeom_col, li, ri, chunk: int = 400_000
     return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
 
 
+_SWAPPED_PREDICATE = {
+    None: None,
+    "intersects": "intersects",
+    "dwithin": "dwithin",
+    "touches": "touches",
+    "geom_equals": "geom_equals",
+    "within": "contains",
+    "contains": "within",
+    "contains_properly": None,  # no swapped form on the shuffle path
+    "covers": "covered_by",
+    "covered_by": "covers",
+}
+
+
 def sjoin_shuffle(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -477,13 +491,17 @@ def sjoin_shuffle(
     salt: int = 1,
     lsuffix: str = "left",
     rsuffix: str = "right",
+    how: str = "inner",
+    left_id: str | None = None,
+    right_id: str | None = None,
     indexer_concurrency=None,
     batch_size: int = 8192,
     shuffle_partitions: int | None = None,
     left_columns: list[str] | None = None,
     right_columns: list[str] | None = None,
+    unmatched_broadcast_cap: int = 10_000_000,
 ) -> ray.data.Dataset:
-    """Cell-partitioned inner sjoin for two large sides (one groupby shuffle).
+    """Cell-partitioned sjoin for two large sides (one groupby shuffle).
 
     Column collisions are suffixed like the broadcast path; the right
     geometry column is emitted as ``geometry_right`` when names collide.
@@ -492,8 +510,48 @@ def sjoin_shuffle(
     (the semi-join pushdown of SURVEY.md §7.3): a join with a 200x fanout
     re-materializes every carried byte per output pair, so narrow inputs
     directly multiply throughput. Geometry is always kept.
+
+    ``how``: inner (default) / left / right (tools/sjoin.py:239-262
+    _adjust_indexers - r1 was inner-only). Outer hows need ``left_id``
+    (resp. ``right_id``) naming a unique row-id column on the padded side.
+    Unmatched ids are discovered with a fully VECTORIZED distributed
+    anti-join (tag + union + native Sum aggregate - no Python per group, no
+    pair-proportional driver pull); the final pad broadcasts the unmatched
+    id set when it fits (typical: the unmatched tail is small) and falls
+    back to a key-partitioned anti-join groupby otherwise. how='right'
+    runs the swapped join (predicate inverted) and keeps RIGHT geometry
+    like the reference.
     """
+    if how not in ("inner", "left", "right"):
+        raise ValueError(f"`how` was `{how}` but is expected to be in ('inner', 'left', 'right')")
     right_geometry = right_geometry or geometry
+    if how == "right":
+        swapped = _SWAPPED_PREDICATE.get(predicate, None)
+        if swapped is None and predicate is not None:
+            raise ValueError(f"predicate {predicate!r} has no swapped form for how='right'")
+        return sjoin_shuffle(
+            right,
+            left,
+            predicate=swapped,
+            distance=distance,
+            geometry=right_geometry,
+            right_geometry=geometry,
+            res=res,
+            domain=domain,
+            salt=salt,
+            lsuffix=rsuffix,
+            rsuffix=lsuffix,
+            how="left",
+            left_id=right_id,
+            indexer_concurrency=indexer_concurrency,
+            batch_size=batch_size,
+            shuffle_partitions=shuffle_partitions,
+            left_columns=right_columns,
+            right_columns=left_columns,
+            unmatched_broadcast_cap=unmatched_broadcast_cap,
+        )
+    if how == "left" and left_id is None:
+        raise ValueError("how='left' on the shuffle path requires `left_id`")
     if left_columns is not None:
         left = left.select_columns(sorted(set(left_columns) | {geometry}))
     if right_columns is not None:
@@ -557,7 +615,100 @@ def sjoin_shuffle(
         both = both.repartition(shuffle_partitions)
     lgeom_col = _L + lmap[geometry]
     rgeom_col = _R + rmap[right_geometry]
-    return both.groupby(["cell", "__salt"]).map_groups(
+    joined = both.groupby(["cell", "__salt"]).map_groups(
         lambda b: _group_join(b, predicate, distance, res, domain, lgeom_col, rgeom_col),
         batch_format="pyarrow",
     )
+    if how == "inner":
+        return joined
+    # --- how='left': pad unmatched left rows with null right attributes ---
+    joined = joined.materialize()  # consumed twice (result + matched ids)
+    lid_out = lmap[left_id]
+    # distributed anti-join, no Python-per-group: tag matched ids 1, all
+    # left ids 0, one native Sum aggregate; unmatched rows sum to 0
+    matched = joined.groupby(lid_out).count()
+
+    def tag_matched(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {lid_out: b.column(lid_out), "__t": pa.array(np.ones(len(b), dtype=np.int64))}
+        )
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {lid_out: b.column(left_id), "__t": pa.array(np.zeros(len(b), dtype=np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    flags = (
+        matched.map_batches(tag_matched, batch_format="pyarrow")
+        .union(left.select_columns([left_id]).map_batches(tag_left, batch_format="pyarrow"))
+        .groupby(lid_out)
+        .aggregate(Sum("__t", alias_name="__s"))
+    )
+    unmatched = flags.filter(expr="__s == 0")
+    n_un = unmatched.count()
+    if n_un == 0:
+        return joined
+    out_schema = joined.schema()
+    out_types = dict(zip(out_schema.names, out_schema.types))
+
+    def pad_batch(b: pa.Table) -> pa.Table:
+        renamed = _rename(b, lmap)
+        cols = {}
+        for name in out_schema.names:
+            if name in renamed.column_names:
+                cols[name] = renamed.column(name)
+            else:
+                cols[name] = pa.nulls(len(b), out_types[name])
+        return pa.table(cols)
+
+    if n_un <= unmatched_broadcast_cap:
+        un_tbl = pa.concat_tables(ray.get(unmatched.to_arrow_refs()), promote_options="default")
+        un_ref = ray.put(un_tbl.column(lid_out).combine_chunks())
+
+        def pad_filter(b: pa.Table) -> pa.Table:
+            ids = ray.get(un_ref)
+            m = pc.is_in(b.column(left_id), value_set=ids)
+            return pad_batch(b.filter(m))
+
+        pad = left.map_batches(pad_filter, batch_format="pyarrow")
+    else:
+        # huge unmatched tail: key-partitioned anti-join (groupby fallback)
+        left_names = list(lschema.names)
+
+        def tag_side(side):
+            def f(b: pa.Table) -> pa.Table:
+                n = len(b)
+                base = {}
+                for c in left_names:
+                    if side == 0:
+                        base[c] = b.column(c)
+                    elif c == left_id:
+                        base[c] = b.column(lid_out)
+                    else:
+                        base[c] = pa.nulls(n, ltypes[c])
+                base["__side2"] = pa.array(np.full(n, side, dtype=np.int8))
+                return pa.table(base)
+
+            return f
+
+        import pandas as pd
+
+        def anti(df: "pd.DataFrame") -> "pd.DataFrame":
+            if (df["__side2"] == 1).any():
+                return df.iloc[0:0].drop(columns="__side2")
+            return df.drop(columns="__side2")
+
+        lt_tagged = left.map_batches(tag_side(0), batch_format="pyarrow")
+        m_tagged = matched.map_batches(tag_side(1), batch_format="pyarrow")
+        miss_rows = (
+            lt_tagged.union(m_tagged)
+            .repartition(shuffle_partitions or 64)
+            .groupby(left_id)
+            .map_groups(anti, batch_format="pandas")
+        )
+        pad = miss_rows.map_batches(
+            lambda b: pad_batch(b), batch_format="pyarrow"
+        )
+    return joined.union(pad)

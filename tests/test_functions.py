@@ -200,3 +200,55 @@ def test_spans_media_refs():
     m = spans_media_refs(ds).to_pandas().sort_values(["doc_id", "span_index"])
     assert m.media_ref.tolist() == ["ref://a/1", "ref://b/0"]
     assert m.span_index.tolist() == [1, 0]
+
+
+def test_knn_lsh_recall_vs_brute(rng):
+    # multi-table probing should recover most true neighbors; a single
+    # narrow table misses far more (the recall lever works)
+    n, dim = 400, 16
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(m), type=pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    brute = knn_brute(ds, tbl, k=3).to_pandas()
+    truth = brute.groupby("vec_id")["neighbor_id"].apply(set)
+
+    def recall(df):
+        got = df.groupby("vec_id")["neighbor_id"].apply(set)
+        inter = sum(len(truth.get(q, set()) & got.get(q, set())) for q in truth.index)
+        return inter / (len(truth) * 3)
+
+    many = knn_lsh(ds, k=3, nbits=3, n_tables=8, dim=dim).to_pandas()
+    one = knn_lsh(ds, k=3, nbits=3, n_tables=1, dim=dim).to_pandas()
+    r_many, r_one = recall(many), recall(one)
+    assert r_many >= 0.8
+    assert r_many > r_one
+    # global top-k semantics: rank strictly 1..k per query, no dup neighbors
+    g = many.groupby("vec_id")
+    assert (g["rank"].apply(lambda s: list(s.sort_values()) == list(range(1, len(s) + 1)))).all()
+    assert (g["neighbor_id"].nunique() == g["neighbor_id"].count()).all()
+
+
+def test_knn_lsh_bucket_cap_resplit(rng):
+    # tiny cap forces recursive re-splits; results stay deterministic and
+    # well-formed even when every bucket exceeds the cap
+    n, dim = 300, 8
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(m), type=pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    r1 = knn_lsh(ds, k=2, nbits=1, n_tables=2, dim=dim, bucket_cap=16).to_pandas()
+    r2 = knn_lsh(ds, k=2, nbits=1, n_tables=2, dim=dim, bucket_cap=16).to_pandas()
+    pd.testing.assert_frame_equal(
+        r1.sort_values(["vec_id", "rank"]).reset_index(drop=True),
+        r2.sort_values(["vec_id", "rank"]).reset_index(drop=True),
+    )
+    assert r1.groupby("vec_id")["rank"].max().le(2).all()

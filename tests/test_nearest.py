@@ -184,3 +184,30 @@ def test_unbounded_far_point_gets_match():
     )
     j = sjoin_nearest(left, right, right_index="rid").to_pandas()
     assert j.rid.tolist() == [1]
+
+
+def test_shuffle_nearest_string_ids():
+    from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc": pa.array(["a", "b"]),
+                "geometry": W.points_to_wkb([10.0, 500.0], [10.0, 500.0]),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "zone": pa.array(["z1", "z2"]),
+                "geometry": W.points_to_wkb([12.0, 490.0], [10.0, 500.0]),
+            }
+        )
+    )
+    j = sjoin_nearest_shuffle(
+        left, right, max_distance=50.0, res=4, domain=(0.0, 0.0, 1024.0, 1024.0),
+        left_id="doc", right_id="zone", distance_col="d",
+    ).to_pandas()
+    assert sorted(zip(j.doc, j.zone)) == [("a", "z1"), ("b", "z2")]
+    assert sorted(j.d) == [2.0, 10.0]

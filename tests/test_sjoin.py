@@ -245,3 +245,69 @@ def test_shuffle_dwithin_cross_cell():
         domain=(0.0, 0.0, 1000.0, 1000.0),
     ).to_pandas()
     assert sorted(zip(j.pid, j.zid)) == [(0, 7)]
+
+
+def test_shuffle_left_outer(micro_left):
+    far = pa.table(
+        {
+            "zid": pa.array([10]),
+            "geometry": W.boxes_to_wkb([0.0], [0.0], [1.0], [1.0]),
+        }
+    )
+    j = sjoin_shuffle(
+        ray.data.from_arrow(micro_left),
+        ray.data.from_arrow(far),
+        predicate="intersects",
+        how="left",
+        left_id="pid",
+        res=4,
+        domain=(0.0, 0.0, 1024.0, 1024.0),
+    ).to_pandas()
+    # pairs: pid 0 and 1 hit the unit box; pid 2 is unmatched -> null zid
+    assert len(j) == 3
+    assert sorted(j[j.zid.notna()].pid) == [0, 1]
+    assert j[j.zid.isna()].pid.tolist() == [2]
+
+
+def test_shuffle_right_outer(micro_left):
+    far = pa.table(
+        {
+            "zid": pa.array([10, 99]),
+            "geometry": W.boxes_to_wkb([0.0, 50.0], [0.0, 50.0], [1.0, 60.0], [1.0, 60.0]),
+        }
+    )
+    j = sjoin_shuffle(
+        ray.data.from_arrow(micro_left),
+        ray.data.from_arrow(far),
+        predicate="intersects",
+        how="right",
+        right_id="zid",
+        res=4,
+        domain=(0.0, 0.0, 1024.0, 1024.0),
+    ).to_pandas()
+    # zone 10 matches pids 0,1; zone 99 unmatched -> null pid; result keeps
+    # right geometry (unit box / 50-box areas)
+    assert len(j) == 3
+    assert sorted(j[j.pid.notna()].pid.astype(int)) == [0, 1]
+    assert j[j.pid.isna()].zid.tolist() == [99]
+    from geopandas_ray.geom import kernels as K
+
+    g = W.from_wkb(j.geometry.tolist())
+    assert sorted(K.area(g).tolist()) == [1.0, 1.0, 100.0]
+
+
+def test_shuffle_left_outer_matches_broadcast(rng):
+    left, right, expected = _random_layers(rng)
+    js = sjoin_shuffle(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        predicate="intersects",
+        how="left",
+        left_id="pid",
+        res=4,
+        domain=(0.0, 0.0, 1024.0, 1024.0),
+    ).to_pandas()
+    jb = sjoin(ray.data.from_arrow(left), right, how="left", right_index="zid").to_pandas()
+    a = sorted(zip(js.pid, js.zid.fillna(-1).astype(int)))
+    b = sorted(zip(jb.pid, jb.zid.fillna(-1).astype(int)))
+    assert a == b
