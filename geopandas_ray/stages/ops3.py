@@ -344,3 +344,207 @@ def make_valid(ds, geometry="geometry"):
 
 def _row_wkb(g: Geoms, i: int) -> bytes:
     return to_wkb(g.take([i]))[0].as_py()
+
+
+def with_concave_hull(ds, ratio: float = 0.5, allow_holes: bool = False, geometry="geometry", out="concave_hull"):
+    """base.py:799 concave_hull: Delaunay triangulation, then peel border
+    triangles whose longest boundary edge exceeds the ratio-interpolated
+    length threshold (the chi-shape / GEOS ConcaveHullOfPoints recipe);
+    surviving triangles union via the even-odd kernel so the result comes
+    back as canonical rings. ratio=1 -> convex hull; smaller -> tighter."""
+    from ..geom import algorithms as A
+    from ..geom.booleans import make_valid_rings
+
+    def fn(g, i):
+        px, py = K._row_points(g, i)
+        pts = np.unique(np.column_stack([px, py]), axis=0)
+        if len(pts) < 3:
+            if len(pts) == 0:
+                return None
+            if len(pts) == 1:
+                return _parts_to_wkb([(POINT, [pts])])
+            return _parts_to_wkb([(LINESTRING, [pts])])
+        tris = A.delaunay(pts)
+        if not tris:
+            return _parts_to_wkb([(LINESTRING, [pts])])
+        edge_len = {}
+
+        def elen(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_len:
+                edge_len[key] = float(np.hypot(*(pts[a] - pts[b])))
+            return edge_len[key]
+
+        all_lens = [elen(a, b) for t in tris for a, b in ((t[0], t[1]), (t[1], t[2]), (t[0], t[2]))]
+        lo, hi = min(all_lens), max(all_lens)
+        threshold = lo + max(0.0, min(1.0, ratio)) * (hi - lo)
+        alive = set(range(len(tris)))
+        # edge -> triangles sharing it
+        edge_tris: dict[tuple, list[int]] = {}
+        for ti, t in enumerate(tris):
+            for a, b in ((t[0], t[1]), (t[1], t[2]), (t[0], t[2])):
+                edge_tris.setdefault((min(a, b), max(a, b)), []).append(ti)
+        changed = True
+        while changed:
+            changed = False
+            for ti in sorted(alive):
+                t = tris[ti]
+                border = [
+                    (a, b)
+                    for a, b in ((t[0], t[1]), (t[1], t[2]), (t[0], t[2]))
+                    if sum(1 for x in edge_tris[(min(a, b), max(a, b))] if x in alive) == 1
+                ]
+                # peel only ear triangles (exactly one interior neighbor)
+                if len(border) == 2 and len(alive) > 1:
+                    if max(elen(a, b) for a, b in border) > threshold:
+                        alive.discard(ti)
+                        changed = True
+                elif len(border) == 1 and len(alive) > 1:
+                    if elen(*border[0]) > threshold:
+                        alive.discard(ti)
+                        changed = True
+        polys = []
+        for ti in alive:
+            a, b, c = tris[ti]
+            ring = np.array([pts[a], pts[b], pts[c], pts[a]])
+            polys.append([ring])
+        merged = make_valid_rings(polys)
+        if not allow_holes:
+            merged = [[rings[0]] for rings in merged]
+        if not merged:
+            return None
+        return _parts_to_wkb([(POLYGON, rings) for rings in merged])
+
+    return _map_rows_geometry(ds, fn, geometry, out)
+
+
+def _closed_rings_of_lines(g: Geoms, i: int) -> list[np.ndarray]:
+    """Merge a row's line parts into closed rings (line_merge order); open
+    chains are dropped (documented polygonize scope: pre-closed linework)."""
+    chains = []
+    p0, p1 = g.row_part_range(i)
+    for p in range(p0, p1):
+        if g.part_types[p] == LINESTRING:
+            r0, _ = g.part_ring_range(p)
+            c = g.ring_coords(r0)
+            if len(c) >= 2:
+                chains.append(c)
+    # greedy endpoint stitching
+    rings = []
+    pending = [c for c in chains]
+    while pending:
+        cur = pending.pop()
+        changed = True
+        while changed and not np.array_equal(cur[0], cur[-1]):
+            changed = False
+            for k, other in enumerate(pending):
+                if np.array_equal(other[0], cur[-1]):
+                    cur = np.vstack([cur, other[1:]])
+                elif np.array_equal(other[-1], cur[-1]):
+                    cur = np.vstack([cur, other[::-1][1:]])
+                elif np.array_equal(other[-1], cur[0]):
+                    cur = np.vstack([other, cur[1:]])
+                elif np.array_equal(other[0], cur[0]):
+                    cur = np.vstack([other[::-1], cur[1:]])
+                else:
+                    continue
+                pending.pop(k)
+                changed = True
+                break
+        if len(cur) >= 4 and np.array_equal(cur[0], cur[-1]):
+            rings.append(cur)
+    return rings
+
+
+def polygonize(ds, geometry="geometry", out="polygonized"):
+    """base.py:5763 - polygons from closed-ring linework. Scope: lines that
+    stitch into closed rings (no mid-edge noding - run the boolean kernel's
+    crossing split upstream if needed); each even-odd face becomes a
+    polygon, nested rings become holes."""
+    from ..geom.booleans import make_valid_rings
+
+    def fn(g, i):
+        rings = _closed_rings_of_lines(g, i)
+        if not rings:
+            return None
+        polys = make_valid_rings([rings])  # single parity group: global even-odd
+        if not polys:
+            return None
+        return _parts_to_wkb([(POLYGON, rr) for rr in polys])
+
+    return _map_rows_geometry(ds, fn, geometry, out)
+
+
+def build_area(ds, geometry="geometry", out="built_area"):
+    """base.py:5712 - same face-forming semantics as polygonize but the
+    input is a collection of rings/polygon boundaries (GEOS BuildArea:
+    even-odd nesting, inner rings become holes)."""
+    from ..geom.booleans import make_valid_rings
+
+    def fn(g, i):
+        rings = _closed_rings_of_lines(g, i)
+        # polygon parts contribute their rings directly
+        for t, rr in _row_to_rings(g, i):
+            if t == POLYGON:
+                rings.extend(rr)
+        if not rings:
+            return None
+        polys = make_valid_rings([rings])
+        if not polys:
+            return None
+        return _parts_to_wkb([(POLYGON, rr) for rr in polys])
+
+    return _map_rows_geometry(ds, fn, geometry, out)
+
+
+def offset_curve(ds, distance: float, quad_segs: int = 8, geometry="geometry"):
+    """base.py:1265 - parallel line offset to the left (positive) / right
+    (negative) of each LineString, round joins at convex turns (arc
+    inserted), natural intersection at concave turns. GEOS also trims
+    self-intersections of the offset; that trimming is out of scope."""
+
+    def offset_one(c: np.ndarray) -> np.ndarray:
+        d = float(distance)
+        side = 1.0 if d >= 0 else -1.0
+        ad = abs(d)
+        segs = []
+        for k in range(len(c) - 1):
+            dx, dy = c[k + 1] - c[k]
+            L = np.hypot(dx, dy)
+            if L == 0:
+                continue
+            nx, ny = -dy / L * side, dx / L * side
+            segs.append((c[k] + (ad * nx, ad * ny), c[k + 1] + (ad * nx, ad * ny), np.arctan2(ny, nx)))
+        if not segs:
+            return c
+        pts = [segs[0][0]]
+        for k in range(len(segs) - 1):
+            a_end, ang_a = segs[k][1], segs[k][2]
+            b_start, ang_b = segs[k + 1][0], segs[k + 1][2]
+            pts.append(a_end)
+            # arc from ang_a to ang_b around the original vertex
+            sweep = (ang_b - ang_a + np.pi) % (2 * np.pi) - np.pi
+            if abs(sweep) > 1e-12:
+                steps = max(1, int(np.ceil(abs(sweep) / (np.pi / 2) * quad_segs)))
+                v = c[k + 1]
+                for s in range(1, steps):
+                    th = ang_a + sweep * s / steps
+                    pts.append(v + ad * np.array([np.cos(th), np.sin(th)]))
+            pts.append(b_start)
+        pts.append(segs[-1][1])
+        out_pts = [pts[0]]
+        for p in pts[1:]:
+            if not np.array_equal(p, out_pts[-1]):
+                out_pts.append(p)
+        return np.asarray(out_pts)
+
+    def fn(g, i):
+        parts = []
+        for t, rings in _row_to_rings(g, i):
+            if t == LINESTRING:
+                parts.append((LINESTRING, [offset_one(rings[0])]))
+        if not parts:
+            return None
+        return _parts_to_wkb(parts)
+
+    return _map_rows_geometry(ds, fn, geometry)

@@ -168,3 +168,64 @@ def test_feather_roundtrip(tmp_path):
     assert len(back) == 2 and back.geometry.notna().all()
     meta = feather_geo_metadata(paths[0])
     assert meta["primary_column"] == "geometry" and meta["columns"]["geometry"]["crs"] == "EPSG:3857"
+
+
+def test_concave_hull():
+    # two dense clusters joined by a long gap: ratio=1 -> convex hull area,
+    # small ratio -> tighter hull with smaller area
+    rng = np.random.default_rng(7)
+    a = rng.uniform(0, 10, size=(40, 2))
+    b = rng.uniform(0, 10, size=(40, 2)) + np.array([40.0, 0.0])
+    pts = np.vstack([a, b])
+    mp = _parts_to_wkb([(W.POINT, [pts[k : k + 1]]) for k in range(len(pts))])
+    d = ds_of([mp])
+    convex = ops3.with_concave_hull(d, ratio=1.0, out="h").to_pandas()
+    tight = ops3.with_concave_hull(d, ratio=0.1, out="h").to_pandas()
+    ga = K.area(W.from_wkb(convex.h.tolist()))[0]
+    gt = K.area(W.from_wkb(tight.h.tolist()))[0]
+    assert gt < ga
+    assert gt > 0
+
+
+def test_polygonize_and_build_area():
+    # square boundary split into 4 separate edges -> one polygon
+    edges = _parts_to_wkb(
+        [
+            (W.LINESTRING, [np.array([[0.0, 0], [4, 0]])]),
+            (W.LINESTRING, [np.array([[4.0, 0], [4, 4]])]),
+            (W.LINESTRING, [np.array([[4.0, 4], [0, 4]])]),
+            (W.LINESTRING, [np.array([[0.0, 4], [0, 0]])]),
+        ]
+    )
+    out = ops3.polygonize(ds_of([edges]), out="p").to_pandas()
+    g = W.from_wkb(out.p.tolist())
+    assert K.area(g)[0] == 16.0
+    # build_area: outer + inner ring -> polygon with hole
+    both = _parts_to_wkb(
+        [
+            (W.LINESTRING, [ring((0, 0), (10, 0), (10, 10), (0, 10))]),
+            (W.LINESTRING, [ring((3, 3), (6, 3), (6, 6), (3, 6))]),
+        ]
+    )
+    out = ops3.build_area(ds_of([both]), out="p").to_pandas()
+    g = W.from_wkb(out.p.tolist())
+    assert K.area(g)[0] == 100.0 - 9.0
+
+
+def test_offset_curve():
+    line = _parts_to_wkb([(W.LINESTRING, [np.array([[0.0, 0], [10, 0]])])])
+    d = ds_of([line])
+    left = ops3.offset_curve(d, 2.0).to_pandas()
+    g = W.from_wkb(left.geometry.tolist())
+    c = g.ring_coords(0)
+    assert np.allclose(c, [[0, 2], [10, 2]])
+    right = ops3.offset_curve(d, -2.0).to_pandas()
+    g = W.from_wkb(right.geometry.tolist())
+    assert np.allclose(g.ring_coords(0), [[0, -2], [10, -2]])
+    # right-angle path with left offset gains an arc at the convex turn
+    bend = _parts_to_wkb([(W.LINESTRING, [np.array([[0.0, 0], [10, 0], [10, -10]])])])
+    out = ops3.offset_curve(ds_of([bend]), 2.0).to_pandas()
+    g = W.from_wkb(out.geometry.tolist())
+    c = g.ring_coords(0)
+    assert len(c) > 4  # arc points inserted
+    assert np.allclose(c[0], [0, 2]) and np.allclose(c[-1], [12, -10])
