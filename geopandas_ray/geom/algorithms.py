@@ -378,3 +378,57 @@ def ring_self_intersects(ring: np.ndarray) -> bool:
         np.abs(i[:, None] - i[None, :]) == n - 1
     )
     return bool((proper & ~adjacent).any())
+
+
+def polygon_structure_reason(parts) -> str | None:
+    """Structural invalidity over assembled polygon parts (reference
+    base.py:210/:249 classes beyond ring geometry): 'Hole lies outside
+    shell', 'Holes are nested', 'Nested shells'. ``parts`` is the
+    (type, rings) sequence of one row; polygon rings are [shell, *holes]
+    by position. Returns None when no structural violation is found.
+
+    Probe policy: a ring is tested by its vertices plus edge midpoints;
+    strictly-inside wins over on-boundary ambiguity (crossing test)."""
+    from .booleans import _point_in_ring
+
+    def probes(ring: np.ndarray) -> np.ndarray:
+        mids = (ring[:-1] + ring[1:]) / 2.0
+        return np.vstack([ring[:-1], mids])
+
+    def any_inside(ring: np.ndarray, outer: np.ndarray) -> bool:
+        return any(_point_in_ring(outer, float(x), float(y)) for x, y in probes(ring))
+
+    POLYGON = 3
+    polys = [rings for t, rings in parts if t == POLYGON and len(rings) > 0]
+    for rings in polys:
+        shell = rings[0]
+        holes = rings[1:]
+        for h in holes:
+            if len(h) >= 4 and len(shell) >= 4 and not any_inside(h, shell):
+                return "Hole lies outside shell"
+        for a in range(len(holes)):
+            for b in range(len(holes)):
+                if a == b or len(holes[a]) < 4 or len(holes[b]) < 4:
+                    continue
+                # a nested in b: every probe of a inside-or-ambiguous b and
+                # at least one strictly inside
+                pr = probes(holes[a])
+                ins = [_point_in_ring(holes[b], float(x), float(y)) for x, y in pr]
+                if all(ins):
+                    return "Holes are nested"
+    for i in range(len(polys)):
+        for j in range(len(polys)):
+            if i == j or len(polys[i][0]) < 4 or len(polys[j][0]) < 4:
+                continue
+            pr = probes(polys[i][0])
+            ins = [_point_in_ring(polys[j][0], float(x), float(y)) for x, y in pr]
+            if ins and all(ins):
+                # shell i fully inside shell j: invalid unless it sits inside
+                # one of j's holes
+                in_hole = any(
+                    len(h) >= 4 and all(_point_in_ring(h, float(x), float(y)) for x, y in pr)
+                    for h in polys[j][1:]
+                )
+                if not in_hole:
+                    return "Nested shells"
+    return None

@@ -152,10 +152,100 @@ def binary_union(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def shared_paths_stub(*a, **k):
-    """base.py:4574 - needs linework noding (GEOS); documented out of
-    in-sandbox scope."""
-    raise NotImplementedError("shared_paths requires GEOS noding (cluster path)")
+def _shared_subsegments(sa: np.ndarray, sb: np.ndarray):
+    """Collinear overlapping portions between segment sets ``sa``/``sb``
+    ((S,4) arrays of [x0,y0,x1,y1]).
+
+    Returns (same, opposite): lists of (ax, ay, bx, by) sub-segments of
+    ``sa``'s linework that coincide with some segment of ``sb``, split by
+    relative direction. Per-a-segment 1-D intervals are merged so stacked
+    partner segments don't duplicate linework (GEOS SharedPaths returns
+    the noded union of the shared linework)."""
+    same: list[tuple] = []
+    opp: list[tuple] = []
+    if len(sa) == 0 or len(sb) == 0:
+        return same, opp
+    bx0, by0, bx1, by1 = sb[:, 0], sb[:, 1], sb[:, 2], sb[:, 3]
+    dbx, dby = bx1 - bx0, by1 - by0
+    for ax0, ay0, ax1, ay1 in sa:
+        dax, day = ax1 - ax0, ay1 - ay0
+        L2 = dax * dax + day * day
+        if L2 == 0:
+            continue
+        # collinear <=> both b endpoints lie on the infinite line of a
+        c0 = dax * (by0 - ay0) - day * (bx0 - ax0)
+        c1 = dax * (by1 - ay0) - day * (bx1 - ax0)
+        col = (c0 == 0) & (c1 == 0)
+        if not col.any():
+            continue
+        t0 = ((bx0 - ax0) * dax + (by0 - ay0) * day) / L2
+        t1 = ((bx1 - ax0) * dax + (by1 - ay0) * day) / L2
+        fwd = dax * dbx + day * dby > 0
+        ivals: dict[bool, list] = {True: [], False: []}
+        for j in np.nonzero(col)[0]:
+            lo = max(0.0, min(t0[j], t1[j]))
+            hi = min(1.0, max(t0[j], t1[j]))
+            if hi > lo:
+                ivals[bool(fwd[j])].append((lo, hi))
+        for direction, pairs in ivals.items():
+            if not pairs:
+                continue
+            pairs.sort()
+            merged = [list(pairs[0])]
+            for lo, hi in pairs[1:]:
+                if lo <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], hi)
+                else:
+                    merged.append([lo, hi])
+            out = same if direction else opp
+            for lo, hi in merged:
+                out.append(
+                    (ax0 + lo * dax, ay0 + lo * day, ax0 + hi * dax, ay0 + hi * day)
+                )
+    return same, opp
+
+
+def _mls_wkb(segs: list[tuple]) -> bytes:
+    import struct
+
+    buf = struct.pack("<BII", 1, 5, len(segs))
+    for ax, ay, bx, by in segs:
+        buf += struct.pack("<BII", 1, 2, 2) + np.array(
+            [ax, ay, bx, by], dtype="<f8"
+        ).tobytes()
+    return buf
+
+
+def binary_shared_paths(
+    ds: ray.data.Dataset, other, geometry="geometry", out="shared_paths"
+):
+    """base.py:4574 - shared linework between two (multi)linestrings, as
+    GEOMETRYCOLLECTION(MULTILINESTRING same-direction, MULTILINESTRING
+    opposite-direction) per GEOS SharedPaths. Exact where shared portions
+    are collinear segment overlaps (the float-representable case; GEOS's
+    snap-rounding noding beyond that is out of in-sandbox scope)."""
+    import struct
+
+    def f(b: pa.Table) -> pa.Table:
+        lg, rg, ri = _two_sides(b, geometry, other)
+        vals = []
+        for i in range(len(lg)):
+            j = int(ri[i])
+            if lg.is_missing[i] or rg.is_missing[j]:
+                vals.append(None)
+                continue
+            if int(lg.row_types[i]) not in (2, 5) or int(rg.row_types[j]) not in (2, 5):
+                vals.append(None)  # GEOS raises for non-lineal input
+                continue
+            sa = K._segments_of_row(lg, i)
+            sb = K._segments_of_row(rg, j)
+            same, opp = _shared_subsegments(sa, sb)
+            vals.append(
+                struct.pack("<BII", 1, 7, 2) + _mls_wkb(same) + _mls_wkb(opp)
+            )
+        return b.append_column(out, pa.array(vals, type=pa.large_binary()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def binary_hausdorff(ds: ray.data.Dataset, other, geometry="geometry", out="hausdorff_distance"):

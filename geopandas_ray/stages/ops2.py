@@ -249,9 +249,10 @@ def sample_points(ds, size: int, seed: int = 42, geometry="geometry", key_col=No
 
 def with_is_valid(ds, geometry="geometry", out="is_valid"):
     """base.py:210 - scope: ring closure + >=4 ring points + proper ring
-    self-crossings (bowties); vertex self-touches need GEOS (documented
-    subset, reasons via ops3.with_is_valid_reason)."""
-    from ..geom.algorithms import ring_self_intersects
+    self-crossings (bowties) + hole-outside-shell / nested-holes / nested-
+    shells structure; vertex self-touches need GEOS (documented subset,
+    reasons via ops3.with_is_valid_reason)."""
+    from ..geom.algorithms import polygon_structure_reason, ring_self_intersects
 
     def f(b: pa.Table) -> pa.Table:
         g = from_wkb(b.column(geometry))
@@ -261,7 +262,8 @@ def with_is_valid(ds, geometry="geometry", out="is_valid"):
             if g.row_types[i] == 0:
                 continue
             valid = True
-            for t, rings in _row_to_rings(g, i):
+            parts = list(_row_to_rings(g, i))
+            for t, rings in parts:
                 if t == POLYGON:
                     for r in rings:
                         if len(r) < 4 or not np.array_equal(r[0], r[-1]):
@@ -270,6 +272,8 @@ def with_is_valid(ds, geometry="geometry", out="is_valid"):
                             valid = False
                 elif t == LINESTRING and len(rings[0]) < 2:
                     valid = False
+            if valid and polygon_structure_reason(parts) is not None:
+                valid = False
             ok[i] = valid
         return b.append_column(out, pa.array(ok))
 

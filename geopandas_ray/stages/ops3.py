@@ -103,8 +103,9 @@ def extract_unique_points(ds, geometry="geometry", out="unique_points"):
 def with_is_valid_reason(ds, geometry="geometry", out="is_valid_reason"):
     """GEOS-style reason strings for the invalidity classes with_is_valid
     detects (base.py:249): 'Valid Geometry', 'Too few points in geometry
-    component', 'Self-intersection', 'Ring Self-intersection'."""
-    from ..geom.algorithms import ring_self_intersects
+    component', 'Ring Self-intersection', 'Hole lies outside shell',
+    'Holes are nested', 'Nested shells'."""
+    from ..geom.algorithms import polygon_structure_reason, ring_self_intersects
 
     def f(b: pa.Table) -> pa.Table:
         g = from_wkb(b.column(geometry))
@@ -114,7 +115,8 @@ def with_is_valid_reason(ds, geometry="geometry", out="is_valid_reason"):
                 reasons.append(None)
                 continue
             reason = "Valid Geometry"
-            for t, rings in _row_to_rings(g, i):
+            parts = list(_row_to_rings(g, i))
+            for t, rings in parts:
                 if t == POLYGON:
                     for ring in rings:
                         if len(ring) < 4:
@@ -127,6 +129,8 @@ def with_is_valid_reason(ds, geometry="geometry", out="is_valid_reason"):
                     reason = "Too few points in geometry component"
                 if reason != "Valid Geometry":
                     break
+            if reason == "Valid Geometry":
+                reason = polygon_structure_reason(parts) or reason
             reasons.append(reason)
         return b.append_column(out, pa.array(reasons, type=pa.string()))
 

@@ -229,3 +229,84 @@ def test_offset_curve():
     c = g.ring_coords(0)
     assert len(c) > 4  # arc points inserted
     assert np.allclose(c[0], [0, 2]) and np.allclose(c[-1], [12, -10])
+
+
+def test_shared_paths():
+    from geopandas_ray.stages.binary import binary_shared_paths
+
+    def line(*pts):
+        return _parts_to_wkb([(W.LINESTRING, [np.array(pts, dtype=float)])])
+
+    # a: horizontal 0..10; b overlaps 2..6 forward and 7..9 reversed
+    a = line((0, 0), (10, 0))
+    b_fwd = line((2, 0), (6, 0))
+    b_rev = line((9, 0), (7, 0))
+    b_off = line((0, 1), (10, 1))  # parallel, not collinear
+    b_cross = line((5, -1), (5, 1))  # crosses at a point: no shared path
+    d = ds_of([a, a, a, a], other=pa.array(
+        [b_fwd, b_rev, b_off, b_cross],
+        type=pa.large_binary(),
+    ))
+    out = binary_shared_paths(d, "other", out="sp").to_pandas().sort_values("id")
+
+    def decode(v):
+        g = W.from_wkb([v])
+        # GC(MLS same, MLS opp): parts are linestrings; direction split is
+        # validated by total length per class via re-parsing the raw WKB
+        import struct
+
+        assert struct.unpack_from("<BI", v, 0) == (1, 7)
+        return g
+
+    g0 = decode(out.sp.iloc[0])
+    assert K.length(g0)[0] == 4.0  # same-direction overlap 2..6
+    g1 = decode(out.sp.iloc[1])
+    assert K.length(g1)[0] == 2.0  # opposite overlap 7..9
+    g2 = decode(out.sp.iloc[2])
+    assert K.length(g2)[0] == 0.0
+    g3 = decode(out.sp.iloc[3])
+    assert K.length(g3)[0] == 0.0
+
+
+def test_shared_paths_merges_stacked_partners():
+    from geopandas_ray.stages.binary import binary_shared_paths
+
+    def line(*pts):
+        return _parts_to_wkb([(W.LINESTRING, [np.array(pts, dtype=float)])])
+
+    a = line((0, 0), (10, 0))
+    # two overlapping forward partner segments 1..5 and 3..8 -> merged 1..8
+    b = _parts_to_wkb([
+        (W.LINESTRING, [np.array([[1.0, 0], [5, 0]])]),
+        (W.LINESTRING, [np.array([[3.0, 0], [8, 0]])]),
+    ])
+    d = ds_of([a], other=pa.array([b], type=pa.large_binary()))
+    out = binary_shared_paths(d, "other", out="sp").to_pandas()
+    g = W.from_wkb([out.sp.iloc[0]])
+    assert K.length(g)[0] == 7.0
+
+
+def test_is_valid_structure_classes():
+    from geopandas_ray.stages.ops3 import with_is_valid_reason
+
+    def poly(*rings):
+        return _parts_to_wkb([(W.POLYGON, [np.array(list(r) + [r[0]], dtype=float) for r in rings])])
+
+    shell = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    ok_hole = poly(shell, [(2, 2), (2, 4), (4, 4), (4, 2)])
+    hole_outside = poly(shell, [(20, 20), (20, 22), (22, 22), (22, 20)])
+    nested_holes = poly(shell, [(1, 1), (1, 8), (8, 8), (8, 1)], [(2, 2), (2, 3), (3, 3), (3, 2)])
+    nested_shells = _parts_to_wkb([
+        (W.POLYGON, [np.array(shell + [shell[0]], dtype=float)]),
+        (W.POLYGON, [np.array([[2.0, 2], [4, 2], [4, 4], [2, 4], [2, 2]])]),
+    ])
+    d = ds_of([ok_hole, hole_outside, nested_holes, nested_shells])
+    out = with_is_valid_reason(d, out="r").to_pandas().sort_values("id")
+    assert out.r.tolist() == [
+        "Valid Geometry",
+        "Hole lies outside shell",
+        "Holes are nested",
+        "Nested shells",
+    ]
+    v = with_is_valid(d, out="v").to_pandas().sort_values("id")
+    assert v.v.tolist() == [True, False, False, False]
