@@ -189,6 +189,81 @@ def run_bench() -> dict:
     timed("skew_join_unsalted", run_skew(1))
     timed("skew_join_salt8", run_skew(8))
 
+    def run_overlay_concave():
+        # general slab-sweep boolean kernel: concave L x concave L overlay
+        from geopandas_ray.pipelines.datasets import supplier_l_table, zone_l_dataset
+        from geopandas_ray.stages.overlay import overlay
+
+        return overlay(
+            zone_l_dataset(SF_DIR), supplier_l_table(SF_DIR), "intersection"
+        ).count()
+
+    timed("overlay_concave", run_overlay_concave)
+
+    def run_buffer():
+        # round-join Minkowski offset (capsule union per edge) on all zones
+        from geopandas_ray.pipelines.datasets import zone_dataset
+        from geopandas_ray.stages.ops2 import buffer
+
+        return buffer(zone_dataset(SF_DIR), 7.0, quad_segs=8).count()
+
+    timed("buffer_round_zones", run_buffer)
+
+    def run_nearest_shuffle():
+        from geopandas_ray.geom.kernels import bounds as kb
+        from geopandas_ray.geom.wkb import from_wkb, points_to_wkb
+        import pyarrow as pa
+
+        from geopandas_ray.pipelines.datasets import DOMAIN, doc_points, zone_table
+        from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+        zt = zone_table(SF_DIR)
+        zb = kb(from_wkb(zt.column("geometry")))
+        cents = ray.data.from_arrow(
+            pa.table(
+                {
+                    "zone_key": zt.column("zone_key"),
+                    "geometry": points_to_wkb(
+                        (zb[:, 0] + zb[:, 2]) / 2.0, (zb[:, 1] + zb[:, 3]) / 2.0
+                    ),
+                }
+            )
+        )
+        pts = doc_points(SF_DIR, replicate=max(1, REPLICATE // 10))
+        return sjoin_nearest_shuffle(
+            pts, cents, max_distance=100.0, res=5, domain=DOMAIN,
+            left_id="doc_id", right_id="zone_key",
+        ).count()
+
+    timed("sjoin_nearest_shuffle", run_nearest_shuffle)
+
+    def run_knn_lsh():
+        # 50k deterministic 64-dim vectors with a skewed dense cluster
+        # (20% of rows near one centroid) to exercise bucket-cap re-split
+        import numpy as np
+        import pyarrow as pa
+
+        from geopandas_ray.functions.knn import knn_lsh
+
+        rng = np.random.RandomState(42)
+        n, dim = 50_000, 64
+        vecs = rng.randn(n, dim).astype(np.float32)
+        hot = rng.rand(n) < 0.2
+        centroid = rng.randn(dim).astype(np.float32)
+        vecs[hot] = centroid + 0.05 * vecs[hot]
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.ravel()), dim
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(32)
+        return knn_lsh(ds, k=5, dim=dim).count()
+
+    timed("knn_lsh_skewed", run_knn_lsh)
+
     def run_q1():
         from ray.data.aggregate import Count, Sum
 

@@ -23,8 +23,15 @@ from ..util import default_pool
 
 
 def _stack_embeddings(col) -> np.ndarray:
+    """(N, dim) float64 matrix from a list<float> / fixed_size_list<float>
+    Arrow column (zero-copy flat read, one dtype cast)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     flat = np.asarray(arr.values, dtype=np.float64)
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+        # .values of a sliced FixedSizeListArray still spans the parent
+        off = arr.offset * dim
+        return flat[off : off + len(arr) * dim].reshape(len(arr), dim)
     offsets = np.asarray(arr.offsets)
     dim = offsets[1] - offsets[0]
     return flat.reshape(len(arr), int(dim))
@@ -186,23 +193,39 @@ class _HyperplaneBucketer:
 def _chunked_self_topk(vs, ids, k, chunk=2048):
     """Exact top-k within one candidate set WITHOUT the |bucket|^2 dense
     matrix: query rows stream in chunks, each chunk allocating only
-    (chunk x |bucket|) floats (VERDICT r1 'What's wrong' #4)."""
-    out = []
+    (chunk x |bucket|) floats (VERDICT r1 'What's wrong' #4). Fully
+    vectorized: per-row (-cosine, id) ordering is two stable argsorts
+    (= lexsort) over the (chunk, k) candidate block, no Python per row."""
+    outs = []
     kk = min(k, len(ids) - 1)
     if kk <= 0:
-        return out
+        return (
+            np.empty(0, ids.dtype), np.empty(0, ids.dtype),
+            np.empty(0, np.int64), np.empty(0, np.float64),
+        )
     for s in range(0, len(ids), chunk):
         e = min(s + chunk, len(ids))
+        m = e - s
         sims = vs[s:e] @ vs.T
-        sims[np.arange(e - s), np.arange(s, e)] = -np.inf  # self
+        sims[np.arange(m), np.arange(s, e)] = -np.inf  # self
         part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
-        rowsel = np.arange(e - s)[:, None]
+        rowsel = np.arange(m)[:, None]
         psims = sims[rowsel, part]
-        for i in range(e - s):
-            order = np.lexsort((ids[part[i]], -psims[i]))
-            for r, o in enumerate(order, 1):
-                out.append((ids[s + i], ids[part[i][o]], r, psims[i][o]))
-    return out
+        pids = ids[part]
+        # stable two-pass argsort == lexsort((ids, -sims)) per row
+        o1 = np.argsort(pids, axis=1, kind="stable")
+        psims = psims[rowsel, o1]
+        pids = pids[rowsel, o1]
+        o2 = np.argsort(-psims, axis=1, kind="stable")
+        outs.append(
+            (
+                np.repeat(ids[s:e], kk),
+                pids[rowsel, o2].ravel(),
+                np.tile(np.arange(1, kk + 1, dtype=np.int64), m),
+                psims[rowsel, o2].ravel(),
+            )
+        )
+    return tuple(np.concatenate([o[j] for o in outs]) for j in range(4))
 
 
 def _bucket_topk_recursive(vs, ids, k, cap, seed, depth=0):
@@ -210,12 +233,16 @@ def _bucket_topk_recursive(vs, ids, k, cap, seed, depth=0):
     LSH semantics - near neighbors keep landing together) instead of
     densifying a |bucket|^2 matrix."""
     if len(ids) <= cap or depth > 24:
-        return _chunked_self_topk(vs, ids, k)
+        return [_chunked_self_topk(vs, ids, k)]
     rng = np.random.RandomState((seed + depth * 7919) & 0x7FFFFFFF)
     plane = rng.normal(size=vs.shape[1])
-    side = vs @ plane > 0
+    # split plane passes through the bucket CENTROID: a tight cluster (the
+    # common reason a bucket overflows) sits entirely on one side of any
+    # origin plane, which would degenerate every split and densify the
+    # whole bucket
+    side = (vs - vs.mean(axis=0)) @ plane > 0
     if side.all() or not side.any():  # degenerate split: fall back chunked
-        return _chunked_self_topk(vs, ids, k)
+        return [_chunked_self_topk(vs, ids, k)]
     out = _bucket_topk_recursive(vs[side], ids[side], k, cap, seed, depth + 1)
     out += _bucket_topk_recursive(vs[~side], ids[~side], k, cap, seed, depth + 1)
     return out
@@ -231,7 +258,7 @@ def knn_lsh(
     dim: int = 64,
     seed: int = 42,
     target_bucket: int = 1024,
-    bucket_cap: int = 8192,
+    bucket_cap: int = 4096,
     concurrency=None,
 ) -> ray.data.Dataset:
     """Approximate self-kNN, scale-safe (r1 rework):
@@ -264,27 +291,44 @@ def knn_lsh(
         n = np.linalg.norm(v, axis=1)
         n[n == 0] = 1.0
         vs = v / n[:, None]
-        out = _bucket_topk_recursive(vs, ids, k, bucket_cap, seed)
-        return pd.DataFrame(out, columns=[id_col, "neighbor_id", "rank", "cosine"])
+        chunks = _bucket_topk_recursive(vs, ids, k, bucket_cap, seed)
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate([c[0] for c in chunks]),
+                "neighbor_id": np.concatenate([c[1] for c in chunks]),
+                "rank": np.concatenate([c[2] for c in chunks]),
+                "cosine": np.concatenate([c[3] for c in chunks]),
+            }
+        )
 
+    nparts = default_shuffle_partitions()
     cands = (
-        bucketed.repartition(default_shuffle_partitions())
+        bucketed.repartition(nparts)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
 
-    def merge_tables(df: pd.DataFrame) -> pd.DataFrame:
-        # candidates from all tables/sub-buckets: dedupe neighbors, keep the
-        # global top-k by (-cosine, neighbor_id)
-        d = df.drop_duplicates(subset=["neighbor_id"]).sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True], kind="stable"
-        )
-        d = d.head(k).copy()
-        d["rank"] = np.arange(1, len(d) + 1, dtype=np.int64)
+    # merge candidates from all tables/sub-buckets per query. NOT a
+    # per-query map_groups (N tiny groups = per-group overhead dominates):
+    # hash-partition by query id, then one VECTORIZED pandas pass per
+    # partition (sort + dedupe + head-k + cumcount).
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = pd.util.hash_array(df[id_col].to_numpy()) % nparts
+        return df
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(
+            [id_col, "cosine", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        ).drop_duplicates(subset=[id_col, "neighbor_id"])
+        d = d.groupby(id_col, sort=False).head(k).copy()
+        d["rank"] = d.groupby(id_col, sort=False).cumcount().to_numpy() + 1
         return d[[id_col, "neighbor_id", "rank", "cosine"]]
 
     return (
-        cands.repartition(default_shuffle_partitions())
-        .groupby(id_col)
-        .map_groups(merge_tables, batch_format="pandas")
+        cands.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(merge_part, batch_format="pandas")
     )

@@ -355,6 +355,52 @@ def _mitre_offset_ring(ring: np.ndarray, d: float) -> np.ndarray:
     return np.vstack([out, out[:1]])
 
 
+def _convex_round_offset(ring: np.ndarray, d: float, quad_segs: int) -> np.ndarray | None:
+    """Exact round-join offset of a CONVEX simple ring, skipping the
+    capsule-union boolean: offset edges connected by vertex arcs (the
+    Minkowski sum of a convex polygon with a disk). Returns None when the
+    ring is not convex (caller falls back to the general kernel)."""
+    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    n = len(pts)
+    if n < 3:
+        return None
+    e = np.roll(pts, -1, axis=0) - pts  # edge i: pts[i] -> pts[i+1]
+    L = np.hypot(e[:, 0], e[:, 1])
+    keep = L > 0
+    if not keep.all():
+        pts, e, L = pts[keep], None, None
+        n = len(pts)
+        if n < 3:
+            return None
+        e = np.roll(pts, -1, axis=0) - pts
+        L = np.hypot(e[:, 0], e[:, 1])
+    cross = e[:, 0] * np.roll(e[:, 1], -1) - e[:, 1] * np.roll(e[:, 0], -1)
+    if (cross >= 0).all():
+        pass  # CCW convex
+    elif (cross <= 0).all():  # CW convex: reverse to CCW
+        pts = pts[::-1]
+        e = np.roll(pts, -1, axis=0) - pts
+        L = np.hypot(e[:, 0], e[:, 1])
+    else:
+        return None
+    # outward normal of CCW edge (dx,dy) is (dy,-dx)/L
+    nx, ny = e[:, 1] / L, -e[:, 0] / L
+    ang = np.arctan2(ny, nx)
+    step = np.pi / (2 * quad_segs)
+    out = []
+    for i in range(len(pts)):
+        a0 = ang[i - 1]  # normal of the incoming edge
+        a1 = ang[i]  # normal of the outgoing edge
+        span = (a1 - a0) % (2 * np.pi)
+        narc = max(1, int(np.ceil(span / step)))
+        arc = a0 + span * np.arange(narc + 1) / narc
+        out.append(
+            np.column_stack([pts[i, 0] + d * np.cos(arc), pts[i, 1] + d * np.sin(arc)])
+        )
+    ringo = np.concatenate(out)
+    return np.vstack([ringo, ringo[:1]])
+
+
 def buffer(ds, distance: float, quad_segs: int = 16, join_style: str = "round", geometry="geometry"):
     """base.py:4806 buffer for point / line / polygon rows.
 
@@ -401,6 +447,15 @@ def buffer(ds, distance: float, quad_segs: int = 16, join_style: str = "round", 
         own = geom_polygons(g, i)
         if distance == 0:
             return _parts_to_wkb([(POLYGON, rings) for rings in own])
+        if (
+            distance > 0
+            and join_style not in ("mitre", "miter", 2)
+            and len(own) == 1
+            and len(own[0]) == 1
+        ):
+            fast = _convex_round_offset(own[0][0], float(distance), quad_segs)
+            if fast is not None:
+                return _parts_to_wkb([(POLYGON, [fast])])
         if join_style in ("mitre", "miter", 2):
             d = float(distance)
             mitred = [

@@ -338,10 +338,18 @@ def overlay(
         first = df1.limit(1).take_all()
         target_dim = _layer_dim(first[0][geometry] if first else None)
     right_ref = ray.put(rt)
+    # bound rows per block so a single-block left side (from_arrow, small
+    # parquet) still fans out across the pool instead of running the whole
+    # pairwise kernel in ONE task; oversized scan blocks split, tiny
+    # blocks coalesce
+    # pairwise polygon kernels cost ~1ms/row-pair: 128-row tasks keep every
+    # worker busy without per-task overhead dominating
+    per_block = max(128, batch_size // 32)
+    df1 = df1.repartition(target_num_rows_per_block=per_block)
     legs = df1.map_batches(
         _OverlayLegs,
         batch_format="pyarrow",
-        batch_size=batch_size,
+        batch_size=per_block,
         concurrency=default_pool(concurrency),
         fn_constructor_kwargs=dict(
             right_ref=right_ref,
