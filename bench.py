@@ -21,6 +21,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "100"))  # 5k docs -> 500k
+REPS = int(os.environ.get("BENCH_REPS", "1"))  # min-of-reps per entry
 
 
 def run_bench() -> dict:
@@ -60,10 +61,10 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
 
-    def timed(name, fn, reps: int = 1):
+    def timed(name, fn, reps: int | None = None):
         best = None
         n = 0
-        for _ in range(reps):
+        for _ in range(max(reps or 0, REPS)):
             t0 = time.perf_counter()
             n = fn()
             dt = time.perf_counter() - t0

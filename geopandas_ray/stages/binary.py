@@ -393,9 +393,89 @@ def _de9im_rect_rect(a, b) -> str:
     return "212111212" if flush_seg else "212101212"
 
 
+def _transpose_de9im(m: str) -> str:
+    return "".join(m[k] for k in (0, 3, 6, 1, 4, 7, 2, 5, 8))
+
+
+def _classify_boundary_vs(src_polys, dst_polys, dst_g, dst_i):
+    """Split the source polygon boundary at crossings with the destination
+    region and bucket segment lengths by where their midpoints fall:
+    (inside destination interior, on its boundary, outside). Per-SEGMENT
+    midpoint classification so a piece starting on the boundary and turning
+    inward still counts its interior run."""
+    from ..geom.booleans import clip_polyline
+
+    lin = lon = lout = 0.0
+    for rings in src_polys:
+        for r in rings:
+            pieces = clip_polyline(r, dst_polys, True) + clip_polyline(
+                r, dst_polys, False
+            )
+            for piece in pieces:
+                if len(piece) < 2:
+                    continue
+                seg = piece[1:] - piece[:-1]
+                L = np.hypot(seg[:, 0], seg[:, 1])
+                mids = (piece[:-1] + piece[1:]) / 2.0
+                inter, bound = K.points_in_geom(dst_g, dst_i, mids[:, 0], mids[:, 1])
+                lon += float(L[bound].sum())
+                lin += float(L[inter & ~bound].sum())
+                lout += float(L[~inter & ~bound].sum())
+    return lin, lon, lout
+
+
+def _relate_poly_poly(lg, i, rg, j) -> str:
+    """General polygon x polygon DE-9IM off the boolean kernel: interior
+    entries from sweep areas, boundary rows from clipped-boundary segment
+    classification, BB from collinear overlap / any segment contact."""
+    from ..geom.booleans import boolean_area, geom_polygons
+
+    A = geom_polygons(lg, i)
+    B = geom_polygons(rg, j)
+    ii = "2" if boolean_area(A, B, "intersection") > 0 else "F"
+    ie = "2" if boolean_area(A, B, "difference") > 0 else "F"
+    ei = "2" if boolean_area(B, A, "difference") > 0 else "F"
+    b_in, b_on, b_out = _classify_boundary_vs(B, A, lg, i)
+    a_in, a_on, a_out = _classify_boundary_vs(A, B, rg, j)
+    ib = "1" if b_in > 0 else "F"
+    eb = "1" if b_out > 0 else "F"
+    bi = "1" if a_in > 0 else "F"
+    be = "1" if a_out > 0 else "F"
+    if a_on > 0 or b_on > 0:
+        bb = "1"
+    else:
+        sa = K._segments_of_row(lg, i)
+        sb = K._segments_of_row(rg, j)
+        bb = "0" if len(sa) and len(sb) and K.segments_intersect(sa, sb) else "F"
+    return ii + ib + ie + bi + bb + be + ei + eb + "2"
+
+
+def _relate_points_poly(lg, i, rg, j) -> str:
+    """(Multi)Point x general polygon: classify every point."""
+    px, py = K._row_points(lg, i)
+    inter, bound = K.points_in_geom(rg, j, px, py)
+    ii = "0" if (inter & ~bound).any() else "F"
+    ib = "0" if bound.any() else "F"
+    ie = "0" if (~inter & ~bound).any() else "F"
+    return f"{ii}{ib}{ie}FFF212"
+
+
+def _relate_points_points(lg, i, rg, j) -> str:
+    ax, ay = K._row_points(lg, i)
+    bx, by = K._row_points(rg, j)
+    a = {(float(x), float(y)) for x, y in zip(ax, ay)}
+    b = {(float(x), float(y)) for x, y in zip(bx, by)}
+    ii = "0" if a & b else "F"
+    ie = "0" if a - b else "F"
+    ei = "0" if b - a else "F"
+    return f"{ii}F{ie}FFF{ei}F2"
+
+
 def binary_relate(ds: ray.data.Dataset, other, geometry="geometry", out="relate"):
-    """base.py:4924 - DE-9IM matrix string; exact for point/rect pairs (the
-    bbox-equivalent family); other shapes raise (GEOS on cluster)."""
+    """base.py:4924 - DE-9IM matrix string. Exact for point/rect pairs; the
+    puntal x polygonal and polygonal x polygonal families are general
+    (boolean-kernel areas + boundary-piece classification; float-exact
+    scope like shared_paths). Lineal operands need GEOS noding (raise)."""
 
     def f(b: pa.Table) -> pa.Table:
         lg, rg, ri = _two_sides(b, geometry, other)
@@ -409,23 +489,34 @@ def binary_relate(ds: ray.data.Dataset, other, geometry="geometry", out="relate"
             if lg.is_missing[i] or rg.is_missing[j]:
                 vals.append(None)
                 continue
-            if not (lbe[i] and rbe[j]):
-                raise NotImplementedError(
-                    "relate implemented for point/axis-rect pairs in-sandbox"
-                )
-            l_pt = lg.row_types[i] == 1
-            r_pt = rg.row_types[j] == 1
-            if l_pt and r_pt:
+            tl, tr = int(lg.row_types[i]), int(rg.row_types[j])
+            l_pt = tl in (1, 4)
+            r_pt = tr in (1, 4)
+            l_poly = tl in (3, 6)
+            r_poly = tr in (3, 6)
+            if tl == 1 and tr == 1:
                 eq = lb[i, 0] == rb[j, 0] and lb[i, 1] == rb[j, 1]
                 vals.append("0FFFFFFF2" if eq else "FF0FFF0F2")
-            elif l_pt:
+            elif l_pt and r_pt:
+                vals.append(_relate_points_points(lg, i, rg, j))
+            elif tl == 1 and rbe[j] and r_poly:
                 vals.append(_de9im_point_rect(lb[i, 0], lb[i, 1], rb[j]))
-            elif r_pt:
-                m = _de9im_point_rect(rb[j, 0], rb[j, 1], lb[i])
-                # transpose the matrix for the swapped orientation
-                vals.append("".join(m[k] for k in (0, 3, 6, 1, 4, 7, 2, 5, 8)))
-            else:
+            elif tr == 1 and lbe[i] and l_poly:
+                vals.append(
+                    _transpose_de9im(_de9im_point_rect(rb[j, 0], rb[j, 1], lb[i]))
+                )
+            elif l_pt and r_poly:
+                vals.append(_relate_points_poly(lg, i, rg, j))
+            elif r_pt and l_poly:
+                vals.append(_transpose_de9im(_relate_points_poly(rg, j, lg, i)))
+            elif l_poly and r_poly and lbe[i] and rbe[j]:
                 vals.append(_de9im_rect_rect(tuple(lb[i]), tuple(rb[j])))
+            elif l_poly and r_poly:
+                vals.append(_relate_poly_poly(lg, i, rg, j))
+            else:
+                raise NotImplementedError(
+                    "relate for lineal operands requires GEOS noding (cluster path)"
+                )
         return b.append_column(out, pa.array(vals, type=pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")

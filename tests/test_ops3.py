@@ -310,3 +310,43 @@ def test_is_valid_structure_classes():
     ]
     v = with_is_valid(d, out="v").to_pandas().sort_values("id")
     assert v.v.tolist() == [True, False, False, False]
+
+
+def test_relate_general_polygons():
+    from geopandas_ray.stages.binary import binary_relate
+
+    def poly(*pts):
+        return _parts_to_wkb([(W.POLYGON, [np.array(list(pts) + [pts[0]], dtype=float)])])
+
+    L1 = poly((0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4))  # concave L
+    L2 = poly((1, 1), (5, 1), (5, 3), (3, 3), (3, 5), (1, 5))  # shifted L, overlaps
+    inner = poly((1, 1), (1.5, 1), (1.5, 1.5), (1, 1.5))  # strictly inside L1
+    adj = poly((4, 0), (6, 0), (6, 2), (4, 2))  # shares L1's right edge
+    same = poly((0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4))
+    far = poly((50, 50), (51, 50), (51, 51), (50, 51))
+    lefts = [L1, L1, L1, L1, L1]
+    rights = [L2, inner, adj, same, far]
+    d = ds_of(lefts, other=pa.array(rights, type=pa.large_binary()))
+    r = binary_relate(d, "other", out="rel").to_pandas().sort_values("id")
+    assert r.rel.tolist() == [
+        "212101212",  # proper concave overlap
+        "212FF1FF2",  # inner strictly within L1 (L1 contains)
+        "FF2F11212",  # edge-touching neighbors
+        "2FFF1FFF2",  # identical
+        "FF2FF1212",  # disjoint
+    ]
+
+
+def test_relate_point_general_polygon():
+    from geopandas_ray.stages.binary import binary_relate
+
+    L1 = _parts_to_wkb(
+        [(W.POLYGON, [np.array([[0.0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4], [0, 0]])])]
+    )
+    pts = W.points_to_wkb([1.0, 2.0, 3.0], [1.0, 3.0, 3.0])  # inside, on notch edge, outside
+    d = ds_of(
+        [pts[0].as_py(), pts[1].as_py(), pts[2].as_py()],
+        other=pa.array([L1, L1, L1], type=pa.large_binary()),
+    )
+    r = binary_relate(d, "other", out="rel").to_pandas().sort_values("id")
+    assert r.rel.tolist() == ["0FFFFF212", "F0FFFF212", "FF0FFF212"]
