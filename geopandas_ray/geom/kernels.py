@@ -562,15 +562,33 @@ def nearest_point_on_geom(g: Geoms, row: int, px: float, py: float):
     return best
 
 
-def hausdorff_distance_pair(ga: Geoms, ia: int, gb: Geoms, ib: int) -> float:
+def hausdorff_distance_pair(ga: Geoms, ia: int, gb: Geoms, ib: int, densify: float | None = None) -> float:
     """Symmetric Hausdorff distance (reference base.py:3617).
 
-    Exact when each directed target is convex (points, segments, rects,
-    convex polygons): the sup over a convex/per-part-convex source of the
-    distance to a convex target is attained at source vertices."""
+    Matches GEOS/JTS DiscreteHausdorffDistance for ALL geometry types:
+    max over each side's VERTICES of the exact distance to the other
+    geometry (segment interiors included), symmetrized. GEOS uses the
+    same vertex-restricted sup (its densify knob just adds vertices), so
+    this is bit-parity with hausdorff_distance(densify=None); it lower-
+    bounds the true continuous Hausdorff, which both attain when each
+    directed target is convex."""
 
     def directed(g1, i1, g2, i2):
-        px, py = _row_points(g1, i1)
+        if densify is not None:
+            segs = _segments_of_row(g1, i1)
+            if len(segs):
+                n = max(1, int(np.ceil(1.0 / densify)))
+                t = np.linspace(0.0, 1.0, n, endpoint=False)
+                px = np.concatenate(
+                    [(segs[:, 0, None] * (1 - t) + segs[:, 2, None] * t).ravel(), segs[:, 2]]
+                )
+                py = np.concatenate(
+                    [(segs[:, 1, None] * (1 - t) + segs[:, 3, None] * t).ravel(), segs[:, 3]]
+                )
+            else:
+                px, py = _row_points(g1, i1)
+        else:
+            px, py = _row_points(g1, i1)
         d2 = points_to_geom_sqdist(g2, i2, px, py)
         return float(np.sqrt(d2.max())) if len(d2) else 0.0
 

@@ -248,9 +248,10 @@ def binary_shared_paths(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def binary_hausdorff(ds: ray.data.Dataset, other, geometry="geometry", out="hausdorff_distance"):
-    """base.py:3617 row-aligned Hausdorff distance (exact for point/segment/
-    convex operands - see kernels.hausdorff_distance_pair)."""
+def binary_hausdorff(ds: ray.data.Dataset, other, geometry="geometry", out="hausdorff_distance", densify: float | None = None):
+    """base.py:3617 row-aligned Hausdorff distance, GEOS discrete-algorithm
+    parity for all types; ``densify`` (fraction of each segment) inserts
+    vertices first, as in shapely - see kernels.hausdorff_distance_pair."""
 
     def f(b: pa.Table) -> pa.Table:
         lg, rg, ri = _two_sides(b, geometry, other)
@@ -260,7 +261,7 @@ def binary_hausdorff(ds: ray.data.Dataset, other, geometry="geometry", out="haus
             j = int(ri[i])
             if lg.is_missing[i] or rg.is_missing[j]:
                 continue
-            d[i] = K.hausdorff_distance_pair(lg, i, rg, j)
+            d[i] = K.hausdorff_distance_pair(lg, i, rg, j, densify=densify)
         return b.append_column(out, pa.array(d))
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -350,3 +350,18 @@ def test_relate_point_general_polygon():
     )
     r = binary_relate(d, "other", out="rel").to_pandas().sort_values("id")
     assert r.rel.tolist() == ["0FFFFF212", "F0FFFF212", "FF0FFF212"]
+
+
+def test_hausdorff_densify():
+    from geopandas_ray.stages.binary import binary_hausdorff
+
+    seg = _parts_to_wkb([(W.LINESTRING, [np.array([[0.0, 0], [10, 0]])])])
+    ends = _parts_to_wkb([
+        (W.POINT, [np.array([[0.0, 0]])]),
+        (W.POINT, [np.array([[10.0, 0]])]),
+    ])
+    d = ds_of([seg], other=pa.array([ends], type=pa.large_binary()))
+    # discrete (vertex-restricted): 0; densified: midpoint 5 away
+    h0 = binary_hausdorff(d, "other").to_pandas().hausdorff_distance.iloc[0]
+    h1 = binary_hausdorff(d, "other", densify=0.001).to_pandas().hausdorff_distance.iloc[0]
+    assert h0 == 0.0 and abs(h1 - 5.0) < 0.01
