@@ -87,8 +87,9 @@ def binary_distance(
 def binary_intersection(
     ds: ray.data.Dataset, other, geometry: str = "geometry", out: str = "intersection"
 ):
-    """base.py:4192 row-aligned pairwise intersection geometry (scope:
-    rectilinear / convex operands, like overlay's kernel)."""
+    """base.py:4192 row-aligned pairwise intersection geometry (general
+    simple polygons via the slab-sweep boolean kernel; point/line layers
+    clip against polygonal partners - same kernel as overlay)."""
     from .overlay import pair_intersection_wkb
 
     def f(b: pa.Table) -> pa.Table:
@@ -111,7 +112,8 @@ def binary_intersection(
 def binary_difference(
     ds: ray.data.Dataset, other, geometry: str = "geometry", out: str = "difference"
 ):
-    """base.py:3852 row-aligned difference (rectilinear scope)."""
+    """base.py:3852 row-aligned difference (general simple polygons via
+    the slab-sweep boolean kernel, like overlay's difference leg)."""
     from .overlay import pair_difference_wkb
 
     def f(b: pa.Table) -> pa.Table:
