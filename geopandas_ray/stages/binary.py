@@ -474,11 +474,144 @@ def _relate_points_points(lg, i, rg, j) -> str:
     return f"{ii}F{ie}FFF{ei}F2"
 
 
+def _line_boundary_points(g, i) -> set:
+    """Mod-2 boundary of a (multi)linestring: endpoints of odd degree
+    (a closed ring therefore has an empty boundary)."""
+    p0, p1 = g.row_part_range(i)
+    cnt: dict[tuple, int] = {}
+    for p in range(p0, p1):
+        r0, _ = g.part_ring_range(p)
+        c = g.ring_coords(r0)
+        if len(c) == 0:
+            continue
+        for q in ((float(c[0, 0]), float(c[0, 1])), (float(c[-1, 0]), float(c[-1, 1]))):
+            cnt[q] = cnt.get(q, 0) + 1
+    return {q for q, n in cnt.items() if n % 2 == 1}
+
+
+def _seg_common_points(sa: np.ndarray, sb: np.ndarray) -> set:
+    """All isolated common points between two segment sets (crossings,
+    endpoint touches, collinear-overlap endpoints)."""
+    pts: set = set()
+    if len(sa) == 0 or len(sb) == 0:
+        return pts
+    bx0, by0, bx1, by1 = sb[:, 0], sb[:, 1], sb[:, 2], sb[:, 3]
+    dbx, dby = bx1 - bx0, by1 - by0
+    for ax0, ay0, ax1, ay1 in sa:
+        dax, day = ax1 - ax0, ay1 - ay0
+        den = dax * dby - day * dbx
+        rx, ry = bx0 - ax0, by0 - ay0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (rx * dby - ry * dbx) / den
+            u = (rx * day - ry * dax) / den
+        ok = (den != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+        for j in np.nonzero(ok)[0]:
+            pts.add((float(ax0 + t[j] * dax), float(ay0 + t[j] * day)))
+        # collinear pairs: overlap-interval endpoints are common points
+        par = den == 0
+        if par.any():
+            c0 = dax * (by0 - ay0) - day * (bx0 - ax0)
+            L2 = dax * dax + day * day
+            if L2 > 0:
+                col = par & (c0 == 0)
+                t0 = ((bx0 - ax0) * dax + (by0 - ay0) * day) / L2
+                t1 = ((bx1 - ax0) * dax + (by1 - ay0) * day) / L2
+                for j in np.nonzero(col)[0]:
+                    lo = max(0.0, min(t0[j], t1[j]))
+                    hi = min(1.0, max(t0[j], t1[j]))
+                    if hi >= lo:
+                        pts.add((float(ax0 + lo * dax), float(ay0 + lo * day)))
+                        pts.add((float(ax0 + hi * dax), float(ay0 + hi * day)))
+    return pts
+
+
+def _on_geom(g, i, q) -> bool:
+    return float(K.points_to_geom_sqdist(g, i, np.array([q[0]]), np.array([q[1]]))[0]) == 0.0
+
+
+def _relate_line_line(lg, i, rg, j) -> str:
+    sa = K._segments_of_row(lg, i)
+    sb = K._segments_of_row(rg, j)
+    ba = _line_boundary_points(lg, i)
+    bb_pts = _line_boundary_points(rg, j)
+    same, opp = _shared_subsegments(sa, sb)
+    shared = sum(np.hypot(x1 - x0, y1 - y0) for x0, y0, x1, y1 in same + opp)
+    common = _seg_common_points(sa, sb)
+    int_int = any(q not in ba and q not in bb_pts for q in common)
+    ii = "1" if shared > 0 else ("0" if int_int else "F")
+    la = float(np.hypot(sa[:, 2] - sa[:, 0], sa[:, 3] - sa[:, 1]).sum()) if len(sa) else 0.0
+    lb = float(np.hypot(sb[:, 2] - sb[:, 0], sb[:, 3] - sb[:, 1]).sum()) if len(sb) else 0.0
+    ie = "1" if la - shared > 1e-12 * max(la, 1.0) else "F"
+    ei = "1" if lb - shared > 1e-12 * max(lb, 1.0) else "F"
+    ib = "0" if any(q not in ba and _on_geom(lg, i, q) for q in bb_pts) else "F"
+    bi = "0" if any(q not in bb_pts and _on_geom(rg, j, q) for q in ba) else "F"
+    bb = "0" if ba & bb_pts else "F"
+    be = "0" if any(not _on_geom(rg, j, q) for q in ba) else "F"
+    eb = "0" if any(not _on_geom(lg, i, q) for q in bb_pts) else "F"
+    return ii + ib + ie + bi + bb + be + ei + eb + "2"
+
+
+def _relate_points_line(lg, i, rg, j) -> str:
+    """(Multi)Point x (multi)linestring."""
+    px, py = K._row_points(lg, i)
+    bl = _line_boundary_points(rg, j)
+    on = K.points_to_geom_sqdist(rg, j, px, py) == 0.0
+    at_bound = np.array([(float(x), float(y)) in bl for x, y in zip(px, py)])
+    ii = "0" if (on & ~at_bound).any() else "F"
+    ib = "0" if (on & at_bound).any() else "F"
+    ie = "0" if (~on).any() else "F"
+    pts = {(float(x), float(y)) for x, y in zip(px, py)}
+    eb = "0" if any(q not in pts for q in bl) else "F"
+    return f"{ii}{ib}{ie}FFF1{eb}2"
+
+
+def _relate_line_poly(lg, i, rg, j) -> str:
+    """(Multi)linestring x general polygon."""
+    from ..geom.booleans import geom_polygons
+
+    B = geom_polygons(rg, j)
+    l_in, l_on, l_out = _classify_boundary_vs(_line_rings(lg, i), B, rg, j)
+    sa = K._segments_of_row(lg, i)
+    sb = K._segments_of_row(rg, j)
+    ii = "1" if l_in > 0 else "F"
+    if l_on > 0:
+        ib = "1"
+    else:
+        ib = "0" if _seg_common_points(sa, sb) else "F"
+    ie = "1" if l_out > 0 else "F"
+    ba = _line_boundary_points(lg, i)
+    bi = bb = be = "F"
+    for q in ba:
+        inter, bound = K.points_in_geom(rg, j, np.array([q[0]]), np.array([q[1]]))
+        if bound[0]:
+            bb = "0"
+        elif inter[0]:
+            bi = "0"
+        else:
+            be = "0"
+    perim = float(np.hypot(sb[:, 2] - sb[:, 0], sb[:, 3] - sb[:, 1]).sum()) if len(sb) else 0.0
+    eb = "1" if perim - l_on > 1e-12 * max(perim, 1.0) else "F"
+    return ii + ib + ie + bi + bb + be + "2" + eb + "2"
+
+
+def _line_rings(g, i):
+    """Line row as the [[ring,...]] structure _classify_boundary_vs walks."""
+    p0, p1 = g.row_part_range(i)
+    rings = []
+    for p in range(p0, p1):
+        r0, _ = g.part_ring_range(p)
+        c = g.ring_coords(r0)
+        if len(c) >= 2:
+            rings.append(c)
+    return [rings] if rings else []
+
+
 def binary_relate(ds: ray.data.Dataset, other, geometry="geometry", out="relate"):
-    """base.py:4924 - DE-9IM matrix string. Exact for point/rect pairs; the
-    puntal x polygonal and polygonal x polygonal families are general
-    (boolean-kernel areas + boundary-piece classification; float-exact
-    scope like shared_paths). Lineal operands need GEOS noding (raise)."""
+    """base.py:4924 - DE-9IM matrix string, all type families: exact
+    point/rect fast paths; puntal x lineal / puntal x polygonal / lineal x
+    lineal / lineal x polygonal / polygonal x polygonal general (boolean-
+    kernel areas, boundary-piece classification, mod-2 line boundaries;
+    float-exact scope like shared_paths)."""
 
     def f(b: pa.Table) -> pa.Table:
         lg, rg, ri = _two_sides(b, geometry, other)
@@ -517,9 +650,22 @@ def binary_relate(ds: ray.data.Dataset, other, geometry="geometry", out="relate"
             elif l_poly and r_poly:
                 vals.append(_relate_poly_poly(lg, i, rg, j))
             else:
-                raise NotImplementedError(
-                    "relate for lineal operands requires GEOS noding (cluster path)"
-                )
+                l_line = tl in (2, 5)
+                r_line = tr in (2, 5)
+                if l_line and r_line:
+                    vals.append(_relate_line_line(lg, i, rg, j))
+                elif l_pt and r_line:
+                    vals.append(_relate_points_line(lg, i, rg, j))
+                elif l_line and r_pt:
+                    vals.append(_transpose_de9im(_relate_points_line(rg, j, lg, i)))
+                elif l_line and r_poly:
+                    vals.append(_relate_line_poly(lg, i, rg, j))
+                elif l_poly and r_line:
+                    vals.append(_transpose_de9im(_relate_line_poly(rg, j, lg, i)))
+                else:
+                    raise NotImplementedError(
+                        f"relate for type pair ({tl},{tr}) (collections need GEOS)"
+                    )
         return b.append_column(out, pa.array(vals, type=pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")

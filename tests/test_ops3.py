@@ -365,3 +365,33 @@ def test_hausdorff_densify():
     h0 = binary_hausdorff(d, "other").to_pandas().hausdorff_distance.iloc[0]
     h1 = binary_hausdorff(d, "other", densify=0.001).to_pandas().hausdorff_distance.iloc[0]
     assert h0 == 0.0 and abs(h1 - 5.0) < 0.01
+
+
+def test_relate_lineal_families():
+    from geopandas_ray.stages.binary import binary_relate
+
+    def line(*pts):
+        return _parts_to_wkb([(W.LINESTRING, [np.array(pts, dtype=float)])])
+
+    sq = _parts_to_wkb(
+        [(W.POLYGON, [np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])])]
+    )
+    cross_a = line((0, 0), (10, 10))
+    cross_b = line((0, 10), (10, 0))
+    touch_a = line((0, 0), (5, 0))
+    touch_b = line((5, 0), (10, 0))
+    over_a = line((0, 0), (10, 0))
+    over_b = line((5, 0), (15, 0))
+    through = line((-5, 5), (15, 5))
+    pt_mid = W.points_to_wkb([5.0], [5.0])[0].as_py()  # interior of cross_a
+    lefts = [cross_a, touch_a, over_a, through, pt_mid]
+    rights = [cross_b, touch_b, over_b, sq, cross_a]
+    d = ds_of(lefts, other=pa.array(rights, type=pa.large_binary()))
+    r = binary_relate(d, "other", out="rel").to_pandas().sort_values("id")
+    assert r.rel.tolist() == [
+        "0F1FF0102",  # proper crossing
+        "FF1F00102",  # endpoint-to-endpoint touch
+        "1010F0102",  # collinear partial overlap
+        "101FF0212",  # line passing through polygon
+        "0FFFFF102",  # point on line interior
+    ]
