@@ -641,6 +641,17 @@ def q_embed_near_dup(sf_dir):
     return _select(p, ["id_a", "id_b"])
 
 
+def q_embed_near_dup_lsh(sf_dir):
+    # approximate by construction (no broadcast corpus): rows-only check
+    import ray.data
+
+    from geopandas_ray.functions.knn import cosine_near_dup_pairs_lsh
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    p = cosine_near_dup_pairs_lsh(ds, threshold=NEAR_DUP_TAU, n_tables=8)
+    return _select(p, ["id_a", "id_b"])
+
+
 def q_knn_lsh(sf_dir):
     # approximate by construction: rows-only check
     import ray.data
@@ -872,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "knn_cosine": q_knn_cosine,
         "embed_near_dup": q_embed_near_dup,
+        "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "knn_lsh": q_knn_lsh,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,

@@ -159,6 +159,106 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_lsh(
+    ds: ray.data.Dataset,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int | None = None,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    target_bucket: int = 1024,
+    bucket_cap: int = 4096,
+    chunk: int = 2048,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs above a cosine threshold WITHOUT a broadcast
+    corpus: the self-join scale path. Same hyperplane bucketing as knn_lsh
+    (multi-table probing for recall, centroid re-split for overflow), but
+    each bucket emits every (a<b, cosine>=threshold) pair via chunked
+    matmuls, then one distinct pass dedupes pairs found by several tables.
+    Approximate by construction (a pair split by every table is missed)."""
+    from ..util import default_shuffle_partitions
+
+    if nbits is None:
+        n = ds.count()
+        nbits = max(1, int(np.ceil(np.log2(max(n, 2) / max(target_bucket, 1)))))
+    bucketed = ds.map_batches(
+        _HyperplaneBucketer,
+        batch_format="pyarrow",
+        concurrency=default_pool(concurrency),
+        fn_constructor_kwargs=dict(
+            vec_col=vec_col, nbits=nbits, n_tables=n_tables, seed=seed, dim=dim
+        ),
+    )
+
+    def _bucket_pairs(vs, ids, depth=0):
+        if len(ids) > bucket_cap and depth <= 24:
+            rng = np.random.RandomState((seed + depth * 7919) & 0x7FFFFFFF)
+            plane = rng.normal(size=vs.shape[1])
+            side = (vs - vs.mean(axis=0)) @ plane > 0
+            if side.any() and not side.all():
+                # NB: re-split can separate a true pair; the other tables
+                # (different split seeds per depth chain only in buckets
+                # that overflow there too) are the recall backstop
+                return _bucket_pairs(vs[side], ids[side], depth + 1) + _bucket_pairs(
+                    vs[~side], ids[~side], depth + 1
+                )
+        out = []
+        for s in range(0, len(ids), chunk):
+            e = min(s + chunk, len(ids))
+            sims = vs[s:e] @ vs.T
+            qi, ci = np.nonzero(sims >= threshold)
+            keep = ids[s + qi] < ids[ci]
+            if keep.any():
+                out.append((ids[s + qi[keep]], ids[ci[keep]], sims[qi[keep], ci[keep]]))
+        return out
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        ids = df[id_col].to_numpy().astype(np.int64)
+        nn = np.linalg.norm(v, axis=1)
+        nn[nn == 0] = 1.0
+        chunks = _bucket_pairs(v / nn[:, None], ids)
+        if not chunks:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([c[0] for c in chunks]),
+                "id_b": np.concatenate([c[1] for c in chunks]),
+                "cosine": np.concatenate([c[2] for c in chunks]),
+            }
+        )
+
+    nparts = default_shuffle_partitions()
+    pairs = (
+        bucketed.repartition(nparts)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+    # dedupe pairs surfaced by multiple tables: partition-local vectorized
+    # distinct after a hash shuffle on the pair key
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = pd.util.hash_array(
+            (df["id_a"].to_numpy() << np.int64(20)) ^ df["id_b"].to_numpy()
+        ) % nparts
+        return df
+
+    def distinct_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b", "cosine"]]
+
+    return (
+        pairs.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(distinct_part, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed scale path
 # ---------------------------------------------------------------------------

@@ -252,3 +252,28 @@ def test_knn_lsh_bucket_cap_resplit(rng):
         r2.sort_values(["vec_id", "rank"]).reset_index(drop=True),
     )
     assert r1.groupby("vec_id")["rank"].max().le(2).all()
+
+
+def test_cosine_near_dup_pairs_lsh_vs_broadcast(rng):
+    import pyarrow as pa
+    from geopandas_ray.functions.knn import cosine_near_dup_pairs, cosine_near_dup_pairs_lsh
+
+    n, dim = 600, 16
+    vecs = rng.standard_normal((n, dim)).astype(np.float64)
+    # plant 20 near-duplicate pairs
+    for k in range(20):
+        vecs[2 * k + 1] = vecs[2 * k] + 0.01 * rng.standard_normal(dim)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n)),
+        "embedding": pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel()), dim),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact = cosine_near_dup_pairs(ray.data.from_arrow(t), t, threshold=0.95).to_pandas()
+    approx = cosine_near_dup_pairs_lsh(ds, threshold=0.95, dim=dim, n_tables=8, nbits=3).to_pandas()
+    eset = set(zip(exact.id_a, exact.id_b))
+    aset = set(zip(approx.id_a, approx.id_b))
+    assert aset <= eset  # no false pairs: every emitted pair really is above threshold
+    assert len(aset & eset) >= 0.8 * len(eset)  # multi-table recall
+    # deterministic across runs
+    again = cosine_near_dup_pairs_lsh(ds, threshold=0.95, dim=dim, n_tables=8, nbits=3).to_pandas()
+    assert set(zip(again.id_a, again.id_b)) == aset
