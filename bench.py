@@ -87,6 +87,21 @@ def run_bench() -> dict:
 
     headline = timed("flagship_shuffle_tiling", run_flagship, reps=2)
 
+    if os.environ.get("BENCH_ONLY_HEADLINE"):
+        result = {
+            "metric": "flagship sjoin+tiling wall seconds (docs/sec in docs_per_sec)",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "docs": n_docs,
+            "docs_per_sec": round(n_docs / headline, 1),
+            "rows": rows,
+        }
+        ray.shutdown()
+        return result
+
     def run_flagship_full():
         return flagship(
             SF_DIR, mode="shuffle", res=5, replicate=REPLICATE, batch_size=32768,
@@ -304,7 +319,9 @@ def run_scaling():
     """
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling legs time the HEADLINE only (the full suite at 2 CPUs
+        # would take ~30 min and measure nothing new)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_ONLY_HEADLINE="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

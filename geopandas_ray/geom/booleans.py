@@ -97,6 +97,9 @@ def _edges_of(polys: list[list[np.ndarray]], first_pid: int):
 # ---------------------------------------------------------------------------
 
 
+_TRIU_CACHE: dict[int, tuple] = {}
+
+
 def _crossing_xs(edges: np.ndarray) -> np.ndarray:
     """x of every proper interior crossing between edge pairs (vectorized
     over the pair grid with a bbox prefilter)."""
@@ -115,7 +118,11 @@ def _crossing_xs(edges: np.ndarray) -> np.ndarray:
         & (miny[:, None] <= maxy[None, :])
         & (maxy[:, None] >= miny[None, :])
     )
-    iu = np.triu_indices(n, k=1)
+    iu = _TRIU_CACHE.get(n)
+    if iu is None:
+        iu = np.triu_indices(n, k=1)
+        if n <= 512 and len(_TRIU_CACHE) < 256:
+            _TRIU_CACHE[n] = iu
     ii, jj = iu[0][cand[iu]], iu[1][cand[iu]]
     if len(ii) == 0:
         return np.empty(0)
@@ -147,6 +154,63 @@ _OPS = {
 }
 
 
+def _trapezoids_vec(xs, nonvert, n_a_pids, n_pids, keep_fn):
+    """All-slabs-at-once sweep: the per-slab numpy-call overhead dominates
+    small operands (the overlay/binary hot case), so slab activity, y
+    interpolation, (ym, pid) ordering, per-pid parity (cumsum of a one-hot
+    over pids), and kept-run transitions are each ONE array op over the
+    (slab, edge) grid. Caller gates on m*n*n_pids so the one-hot stays
+    small; big operands (capsule unions) take the loop path."""
+    ex0, ey0, ex1, ey1 = nonvert[:, 0], nonvert[:, 1], nonvert[:, 2], nonvert[:, 3]
+    pid = nonvert[:, 4].astype(np.int64)
+    lo = np.minimum(ex0, ex1)
+    hi = np.maximum(ex0, ex1)
+    x0s, x1s = xs[:-1], xs[1:]
+    act = (lo[None, :] <= x0s[:, None]) & (hi[None, :] >= x1s[:, None])
+    m, n = act.shape
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dx = (ex1 - ex0)[None, :]
+        t0 = (x0s[:, None] - ex0[None, :]) / dx
+        t1 = (x1s[:, None] - ex0[None, :]) / dx
+    dy = (ey1 - ey0)[None, :]
+    ya0 = np.where(
+        x0s[:, None] == ex0[None, :],
+        ey0[None, :],
+        np.where(x0s[:, None] == ex1[None, :], ey1[None, :], ey0[None, :] + t0 * dy),
+    )
+    ya1 = np.where(
+        x1s[:, None] == ex0[None, :],
+        ey0[None, :],
+        np.where(x1s[:, None] == ex1[None, :], ey1[None, :], ey0[None, :] + t1 * dy),
+    )
+    ym = np.where(act, ya0 + ya1, np.inf)
+    # per-row sort by (ym, pid), inactive last: two stable argsorts
+    o1 = np.argsort(np.broadcast_to(pid, (m, n)), axis=1, kind="stable")
+    o2 = np.argsort(np.take_along_axis(ym, o1, axis=1), axis=1, kind="stable")
+    order = np.take_along_axis(o1, o2, axis=1)
+    act_s = np.take_along_axis(act, order, axis=1)
+    ya0_s = np.take_along_axis(ya0, order, axis=1)
+    ya1_s = np.take_along_axis(ya1, order, axis=1)
+    pid_s = pid[order]
+    onehot = act_s[:, :, None] & (pid_s[:, :, None] == np.arange(n_pids)[None, None, :])
+    parity = np.cumsum(onehot, axis=1) % 2 == 1
+    count_a = parity[:, :, :n_a_pids].sum(axis=2)
+    count_b = parity[:, :, n_a_pids:].sum(axis=2)
+    keep = keep_fn(count_a > 0, count_b > 0) & act_s
+    prev = np.zeros_like(keep)
+    prev[:, 1:] = keep[:, :-1]
+    oi_r, oi_k = np.nonzero(keep & ~prev)
+    ci_r, ci_k = np.nonzero(~keep & prev)
+    # parity of every pid returns to 0 after its last active edge, so each
+    # kept run closes on an ACTIVE edge; opens/closes interleave per row
+    if len(oi_r) != len(ci_r) or not np.array_equal(oi_r, ci_r):
+        return None  # caller falls back to the reference loop
+    return [
+        (x0s[r], x1s[r], ya0_s[r, k0], ya1_s[r, k0], ya0_s[r, k1], ya1_s[r, k1])
+        for r, k0, k1 in zip(oi_r, oi_k, ci_k)
+    ]
+
+
 def _trapezoids(edges: np.ndarray, n_a_pids: int, op: str):
     """Yield trapezoids (x0, x1, ylo0, ylo1, yhi0, yhi1) of the op region."""
     keep_fn = _OPS[op]
@@ -162,6 +226,20 @@ def _trapezoids(edges: np.ndarray, n_a_pids: int, op: str):
     lo = np.minimum(ex0, ex1)
     hi = np.maximum(ex0, ex1)
     n_pids = int(edges[:, 4].max()) + 1 if len(edges) else 0
+    # vec wins 2-7x in the mid-size band (measured: ~16-130 slabs, grid
+    # <= ~4k cells); tiny operands are cheaper in the loop, large ones
+    # thrash on the (slab, edge, pid) one-hot
+    m = len(xs) - 1
+    if (
+        len(nonvert)
+        and 16 <= m
+        and m * len(nonvert) <= 4096
+        and m * len(nonvert) * n_pids <= 4_000_000
+    ):
+        fast = _trapezoids_vec(xs, nonvert, n_a_pids, n_pids, keep_fn)
+        if fast is not None:
+            return fast
+    err = np.seterr(invalid="ignore")  # one toggle for the whole sweep, not per slab
     for s in range(len(xs) - 1):
         x0, x1 = xs[s], xs[s + 1]
         act = np.nonzero((lo <= x0) & (hi >= x1))[0]
@@ -169,7 +247,7 @@ def _trapezoids(edges: np.ndarray, n_a_pids: int, op: str):
             continue
         # y at slab bounds: exact endpoint values when the bound IS the
         # endpoint (float-exact for lattice inputs)
-        with np.errstate(invalid="ignore"):
+        if True:
             dx = ex1[act] - ex0[act]
             t0 = (x0 - ex0[act]) / dx
             t1 = (x1 - ex0[act]) / dx
@@ -207,6 +285,7 @@ def _trapezoids(edges: np.ndarray, n_a_pids: int, op: str):
                 open_lo = None
         # above the top edge all counts are 0, so every op is False there
         # and open_lo is always closed by the last edge
+    np.seterr(**err)
     return traps
 
 

@@ -132,3 +132,38 @@ def test_multi_part_and_multiple_partners():
     # x,y in [5,10] -> 25) - overlap 9 = 52
     assert abs(boolean_area(A, B, "intersection") - 52.0) < 1e-9
     assert abs(boolean_area(A, B, "difference") - 48.0) < 1e-9
+
+
+def test_trapezoid_vec_matches_loop():
+    """The all-slabs vectorized sweep must agree with the per-slab loop on
+    area and ring structure across ops and operand sizes (both gate sides)."""
+    import geopandas_ray.geom.booleans as B
+
+    def ngon(n, cx, cy, r):
+        a = np.linspace(0, 2 * np.pi, n + 1)
+        return [[np.column_stack([cx + r * np.cos(a), cy + r * np.sin(a)])]]
+
+    orig = B._trapezoids_vec
+    try:
+        for n1, n2 in ((6, 8), (24, 24), (40, 16)):
+            A = ngon(n1, 0, 0, 10)
+            Bp = ngon(n2, 6, 4, 9)
+            for op in ("intersection", "union", "difference", "symmetric_difference"):
+                av = B.boolean_area(A, Bp, op)
+                rv = sorted(
+                    round(abs(B._ring_area(r)), 9)
+                    for rings in B.rings_boolean(A, Bp, op)
+                    for r in rings
+                )
+                B._trapezoids_vec = lambda *a, **k: None
+                al = B.boolean_area(A, Bp, op)
+                rl = sorted(
+                    round(abs(B._ring_area(r)), 9)
+                    for rings in B.rings_boolean(A, Bp, op)
+                    for r in rings
+                )
+                B._trapezoids_vec = orig
+                assert abs(av - al) <= 1e-9 * max(1.0, abs(al)), (n1, n2, op)
+                assert rv == rl, (n1, n2, op)
+    finally:
+        B._trapezoids_vec = orig
