@@ -78,32 +78,67 @@ class MinHasher:
         self.text_col = text_col
         self.id_col = id_col
 
-    def _shingle_hashes(self, text: str) -> np.ndarray:
+    def _shingle_hashes(self, text: str, cache: dict | None = None) -> np.ndarray:
+        """UNIQUE k-gram hashes. Words are hashed once (optionally via a
+        batch-level cache - vocabulary repeats heavily), the k-gram hash is
+        a vectorized position-weighted mix of the word hashes (uint64
+        wraparound): no per-gram Python string joins or crc calls."""
         words = text.split()
         k = self.shingle
-        if len(words) < k:
-            grams = [" ".join(words)] if words else []
-        else:
-            grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-        if not grams:
+        if not words:
             return np.zeros(1, dtype=np.uint64)
-        return np.fromiter(
-            (hash_str64(g) for g in set(grams)), dtype=np.uint64, count=len(set(grams))
-        )
+        if cache is None:
+            hw = np.fromiter(
+                (hash_str64(w) for w in words), dtype=np.uint64, count=len(words)
+            )
+        else:
+            vals = []
+            for w in words:
+                h = cache.get(w)
+                if h is None:
+                    h = hash_str64(w)
+                    cache[w] = h
+                vals.append(h)
+            hw = np.asarray(vals, dtype=np.uint64)
+        kk = min(k, len(hw))
+        g = _GRAM_MIX[0] * hw[: len(hw) - kk + 1]
+        for d in range(1, kk):
+            g = g + _GRAM_MIX[d] * hw[d : len(hw) - kk + 1 + d]
+        return np.unique(g)
 
     def signature(self, text: str) -> np.ndarray:
         h = self._shingle_hashes(text or "")
-        # (num_perm, n_shingles) via broadcasting, min over shingles
-        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        # (num_perm, n_shingles) via broadcasting, min over shingles.
+        # a*h+b wraps mod 2^64 (plain uint64 overflow): the explicit
+        # Mersenne % was the single hottest op in the whole minhash
+        # pipeline and, applied to an ALREADY-wrapped product, added no
+        # universal-hashing rigor anyway.
+        vals = self.a[:, None] * h[None, :] + self.b[:, None]
         return vals.min(axis=1)
 
     def __call__(self, b: pa.Table) -> pa.Table:
         texts = b.column(self.text_col).to_pylist()
         ids = np.asarray(b.column(self.id_col))
         n = len(texts)
+        cache: dict = {}
+        grams = [self._shingle_hashes(t or "", cache) for t in texts]
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = self.signature(t)
+        # chunk docs so the (num_perm, total_shingles) matrix stays ~32MB,
+        # then one broadcast multiply + minimum.reduceat per chunk instead
+        # of a per-doc numpy round-trip
+        i = 0
+        budget = max(1, 4_000_000 // max(self.num_perm, 1))
+        while i < n:
+            j, total = i, 0
+            while j < n and (j == i or total + len(grams[j]) <= budget):
+                total += len(grams[j])
+                j += 1
+            H = np.concatenate(grams[i:j])
+            offs = np.zeros(j - i, dtype=np.int64)
+            np.cumsum([len(g) for g in grams[i : j - 1]], out=offs[1:])
+            vals = self.a[:, None] * H[None, :] + self.b[:, None]  # wraps mod 2^64
+            sigs[i:j] = np.minimum.reduceat(vals, offs, axis=1).T
+            i = j
         r = self.rows_per_band
         band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
         doc_ids = np.repeat(ids, self.bands)
@@ -127,6 +162,14 @@ class MinHasher:
                 ),
             }
         )
+
+
+_GRAM_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+     0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D],
+    dtype=np.uint64,
+)  # position weights for the k-gram word-hash mix (k <= 8)
 
 
 def hash_str64(s: str) -> np.uint64:
