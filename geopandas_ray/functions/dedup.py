@@ -233,8 +233,19 @@ def minhash_candidate_pairs(
     # early-exit instead of ever landing on the driver.
     from ray.data.aggregate import Count
 
-    counts = banded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
-    hot = counts.filter(expr="n >= 2")
+    # banded feeds BOTH the sizing pass and the collision filter: pin it in
+    # the (spillable) object store or the lazy plan recomputes every
+    # MinHasher signature twice
+    banded = banded.materialize()
+    # the sizing pass must NOT shuffle the fat signature column (512B per
+    # band row): project to the two key columns first - the full-width rows
+    # then only move for the (few) collision buckets the prefilter keeps
+    counts = (
+        banded.select_columns(["band", "band_hash"])
+        .groupby(["band", "band_hash"])
+        .aggregate(Count(alias_name="n"))
+    )
+    hot = counts.filter(expr="n >= 2").materialize()  # counted AND fetched
     hot_n = hot.count()
     if hot_n == 0:
         import pyarrow as _pa
@@ -287,11 +298,26 @@ def minhash_candidate_pairs(
         .map_groups(bucket_pairs, batch_format="pandas")
     )
 
-    # a pair found in multiple bands appears multiple times: dedup
-    def pair_first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
+    # a pair found in multiple bands appears multiple times (with the SAME
+    # est_jaccard - it is computed from the full signatures): dedupe with a
+    # hash-partitioned vectorized distinct, not a per-pair map_groups
+    nparts = default_shuffle_partitions()
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(pair_first, batch_format="pandas")
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = pd.util.hash_array(
+            (df["id_a"].to_numpy(np.int64) << np.int64(20)) ^ df["id_b"].to_numpy(np.int64)
+        ) % nparts
+        return df
+
+    def distinct_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b", "est_jaccard"]]
+
+    return (
+        pairs.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(distinct_part, batch_format="pandas")
+    )
 
 
 def cluster_min_label(
