@@ -325,11 +325,24 @@ def cluster_min_label(
 ) -> ray.data.Dataset:
     """Connected components by iterative min-label propagation.
 
-    Scale-correct: each round is edge-join label updates via groupby; for
-    chains longer than 2^rounds the labels converge in further rounds
-    (duplicate clusters in practice are tiny and dense, so 4 is plenty).
+    Scale-correct AND overhead-correct: each round is two hash-partitioned
+    shuffles whose per-partition work is vectorized pandas (merge +
+    groupby-min at C speed) - never a map_groups per node/peer (per-group
+    Python overhead made the first version ~100x slower than the data
+    justified). Chains longer than 2^rounds need more rounds (duplicate
+    clusters in practice are tiny and dense, so 4 is plenty).
     Returns (doc_id, cluster) with cluster = min doc_id in the component.
     """
+    from ..util import default_shuffle_partitions
+
+    nparts = default_shuffle_partitions()
+
+    def _part_by(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = pd.util.hash_array(df[col].to_numpy(np.int64)) % nparts
+        return df
+
+    # undirected edges, both directions; consumed every round -> pin it
     edge_rows = pairs.map_batches(
         lambda df: pd.DataFrame(
             {
@@ -339,41 +352,79 @@ def cluster_min_label(
         ),
         batch_format="pandas",
     )
+    edges_tagged = edge_rows.map_batches(
+        lambda df: _part_by(df, "peer"), batch_format="pandas"
+    ).materialize()
 
     labels = ids.map_batches(
-        lambda df: pd.DataFrame({"node": df[id_col], "label": df[id_col]}),
+        lambda df: pd.DataFrame(
+            {"node": df[id_col].to_numpy(np.int64), "label": df[id_col].to_numpy(np.int64)}
+        ),
         batch_format="pandas",
-    )
+    ).materialize()
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        # role 1 rows: (key=node, label); role 0 rows: (key=peer, node)
+        lab = df[df["__role"] == 1][["__key", "label"]]
+        edg = df[df["__role"] == 0][["__key", "node"]]
+        if not len(edg) or not len(lab):
+            return pd.DataFrame({"node": [], "label": []}).astype(np.int64)
+        m = edg.merge(lab, on="__key", how="inner")
+        return m[["node", "label"]].astype(np.int64)
+
+    def min_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["label"].min().reset_index()
+        return g.astype(np.int64)
+
     for _ in range(rounds):
-        # candidate labels: own + min peer label
-        lab_by_peer = labels.map_batches(
-            lambda df: df.rename(columns={"node": "peer", "label": "peer_label"}),
+        # ship each node's label to its neighbors: one hash shuffle on the
+        # peer key with edges + labels co-partitioned, vectorized merge
+        lab_tagged = labels.map_batches(
+            lambda df: _part_by(
+                pd.DataFrame(
+                    {
+                        "__key": df["node"].to_numpy(np.int64),
+                        "node": np.int64(-1),
+                        "label": df["label"].to_numpy(np.int64),
+                        "__role": np.int64(1),
+                    }
+                ),
+                "__key",
+            ),
             batch_format="pandas",
         )
-        # join edges with peer labels: groupby peer
-        joined = edge_rows.union(
-            lab_by_peer.map_batches(
-                lambda df: pd.DataFrame(
-                    {"node": np.full(len(df), -1, dtype=np.int64), "peer": df["peer"], "peer_label": df["peer_label"]}
-                ),
-                batch_format="pandas",
-            )
+        e_tagged = edges_tagged.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "__key": df["peer"].to_numpy(np.int64),
+                    "node": df["node"].to_numpy(np.int64),
+                    "label": np.int64(-1),
+                    "__role": np.int64(0),
+                    "__part": df["__part"].to_numpy(np.int64),
+                }
+            ),
+            batch_format="pandas",
         )
-
-        def prop(df: pd.DataFrame) -> pd.DataFrame:
-            lab = df.loc[df["node"] == -1, "peer_label"]
-            if len(lab) == 0:
-                return pd.DataFrame({"node": [], "label": []}).astype(np.int64)
-            label = int(lab.min())
-            nodes = df.loc[df["node"] != -1, "node"]
-            return pd.DataFrame({"node": nodes.astype(np.int64), "label": label})
-
-        prop_labels = joined.groupby("peer").map_groups(prop, batch_format="pandas")
-
-        def pick_min(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"node": [df["node"].iloc[0]], "label": [int(df["label"].min())]})
-
-        labels = labels.union(prop_labels).groupby("node").map_groups(pick_min, batch_format="pandas")
+        prop_labels = (
+            e_tagged.union(lab_tagged)
+            .groupby("__part")
+            .map_groups(merge_part, batch_format="pandas")
+        )
+        # keep the min of (own label, every peer label): one more hash
+        # shuffle on node, vectorized per-partition groupby-min
+        # Ray groupby emits one output block per INPUT block (CLAUDE.md
+        # invariant), and union stacks block lists - without a repartition
+        # the label set gains ~2x blocks per round (16 -> 1216 by round 4,
+        # 137s of pure task overhead for 500 rows)
+        labels = (
+            labels.union(prop_labels)
+            .map_batches(lambda df: _part_by(df, "node"), batch_format="pandas")
+            .repartition(nparts)
+            .groupby("__part")
+            .map_groups(min_part, batch_format="pandas")
+            .repartition(max(8, nparts // 4))
+            .materialize()
+        )
     return labels.map_batches(
         lambda df: df.rename(columns={"node": id_col, "label": "cluster"}), batch_format="pandas"
     )

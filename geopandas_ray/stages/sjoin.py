@@ -278,6 +278,7 @@ def sjoin(
     )
     if how != "right":
         return joined
+    joined = joined.materialize()  # consumed twice (matched ids + result)
     # how='right': result keeps RIGHT geometry and every right row
     # (tools/sjoin.py:265-329). The matched-id set is aggregated IN THE
     # CLUSTER (distinct right positions <= broadcast-table rows), never the
