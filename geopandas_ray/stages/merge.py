@@ -87,16 +87,30 @@ def hash_join(
 
     overlap = [c for c in lcols if c in rcols and c != on]
 
-    def join_group(df: pd.DataFrame) -> pd.DataFrame:
+    # partition by HASH of the key, not by the key itself: groupby(on) runs
+    # the pandas merge once per distinct key (per-group Python overhead
+    # dominates at high key cardinality); one vectorized merge per hash
+    # partition does the same join at C speed
+    nparts = default_shuffle_partitions()
+
+    def part_col(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = pd.util.hash_array(df[on].to_numpy()) % nparts
+        return df
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
         ldf = df[df[_SIDE] == 0][[c for c in lcols]]
         rdf = df[df[_SIDE] == 1][[c for c in rcols]]
-        out = ldf.merge(rdf, on=on, how=how, suffixes=(lsuffix or "", rsuffix))
-        return out
+        return ldf.merge(rdf, on=on, how=how, suffixes=(lsuffix or "", rsuffix))
 
     # repartition first: Ray groupby emits one partition per input block, so
     # a 2-block input would run the whole join in 2 tasks (CLAUDE.md invariant)
-    both = lt.union(rt).repartition(default_shuffle_partitions())
-    return both.groupby(on).map_groups(join_group, batch_format="pandas")
+    both = (
+        lt.union(rt)
+        .map_batches(part_col, batch_format="pandas")
+        .repartition(nparts)
+    )
+    return both.groupby("__part").map_groups(join_part, batch_format="pandas")
 
 
 def asof_join(
@@ -137,11 +151,18 @@ def asof_join(
     lt = lt.map_batches(pad([c for c in rcols if c not in lcols]), batch_format="pandas")
     rt = rt.map_batches(pad([c for c in lcols if c not in rcols]), batch_format="pandas")
 
-    def join_group(df: pd.DataFrame) -> pd.DataFrame:
+    # hash-partition by key, ONE vectorized merge_asof(by=key) per
+    # partition - not a per-key map_groups (same rationale as hash_join)
+    nparts = default_shuffle_partitions()
+
+    def part_col(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = pd.util.hash_array(df[key].to_numpy()) % nparts
+        return df
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
         ldf = df[df[_SIDE] == 0][lcols].sort_values(left_ts, kind="stable")
-        rdf = df[df[_SIDE] == 1][[c for c in rcols if c != key]].sort_values(
-            right_ts, kind="stable"
-        )
+        rdf = df[df[_SIDE] == 1][rcols].sort_values(right_ts, kind="stable")
         if len(ldf) == 0:
             return ldf
         if len(rdf) == 0:
@@ -150,13 +171,16 @@ def asof_join(
                 if c != key:
                     out[c] = None
             return out
-        out = pd.merge_asof(
-            ldf, rdf, left_on=left_ts, right_on=right_ts, direction=direction
+        return pd.merge_asof(
+            ldf, rdf, left_on=left_ts, right_on=right_ts, by=key, direction=direction
         )
-        return out
 
-    both = lt.union(rt).repartition(default_shuffle_partitions())
-    return both.groupby(key).map_groups(join_group, batch_format="pandas")
+    both = (
+        lt.union(rt)
+        .map_batches(part_col, batch_format="pandas")
+        .repartition(nparts)
+    )
+    return both.groupby("__part").map_groups(join_part, batch_format="pandas")
 
 
 def concat_rows(datasets: list[ray.data.Dataset], crs_list=None) -> ray.data.Dataset:

@@ -83,19 +83,51 @@ def sessionize(
     session starts after a gap > gap_s. Emits (key, session_id,
     session_start, session_end, n_events)."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        sort_by = [ts_col] + (order_cols or [])
-        df = df.sort_values(sort_by, kind="stable")
-        ts = df[ts_col].astype("datetime64[us]").astype("int64") // 1_000_000
-        new = np.concatenate([[True], np.diff(ts) > gap_s])
-        sid = np.cumsum(new) - 1
-        out = (
-            pd.DataFrame({"sid": sid, "ts": ts})
-            .groupby("sid")
-            .agg(session_start=("ts", "min"), session_end=("ts", "max"), n_events=("ts", "size"))
-            .reset_index()
-        )
-        out.insert(0, key, df[key].iloc[0])
-        return out.rename(columns={"sid": "session_id"})
+    from ..util import default_shuffle_partitions
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    nparts = default_shuffle_partitions()
+
+    def part_col(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = pd.util.hash_array(df[key].to_numpy()) % nparts
+        return df
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over ALL keys in the partition (per-key
+        # map_groups pays Python overhead per entity): sort by (key, ts),
+        # new segment at key change or gap, per-key session index by
+        # cumcount over segments
+        sort_by = [key, ts_col] + (order_cols or [])
+        df = df.sort_values(sort_by, kind="stable")
+        ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy() // 1_000_000
+        keys = df[key].to_numpy()
+        if len(df) == 0:
+            return pd.DataFrame(
+                {key: [], "session_id": [], "session_start": [], "session_end": [], "n_events": []}
+            )
+        newseg = np.concatenate(
+            [[True], (keys[1:] != keys[:-1]) | (np.diff(ts) > gap_s)]
+        )
+        gsid = np.cumsum(newseg) - 1
+        tmp = pd.DataFrame({key: keys, "__gsid": gsid, "__ts": ts})
+        seg = (
+            tmp.groupby("__gsid", sort=False)
+            .agg(
+                **{
+                    key: (key, "first"),
+                    "session_start": ("__ts", "min"),
+                    "session_end": ("__ts", "max"),
+                    "n_events": ("__ts", "size"),
+                }
+            )
+            .reset_index(drop=True)
+        )
+        seg["session_id"] = seg.groupby(key, sort=False).cumcount()
+        return seg[[key, "session_id", "session_start", "session_end", "n_events"]]
+
+    return (
+        ds.map_batches(part_col, batch_format="pandas")
+        .repartition(nparts)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pandas")
+    )
