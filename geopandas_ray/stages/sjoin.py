@@ -696,18 +696,27 @@ def sjoin_shuffle(
 
         import pandas as pd
 
-        def anti(df: "pd.DataFrame") -> "pd.DataFrame":
-            if (df["__side2"] == 1).any():
-                return df.iloc[0:0].drop(columns="__side2")
-            return df.drop(columns="__side2")
+        nparts2 = shuffle_partitions or 64
+
+        def add_part2(df: "pd.DataFrame") -> "pd.DataFrame":
+            df = df.copy()
+            df["__part2"] = pd.util.hash_array(df[left_id].to_numpy()) % nparts2
+            return df
+
+        def anti_part(df: "pd.DataFrame") -> "pd.DataFrame":
+            # vectorized per-partition anti-join, not a map_groups per id
+            hit = df.loc[df["__side2"] == 1, left_id]
+            keep = (df["__side2"] == 0) & ~df[left_id].isin(hit)
+            return df[keep].drop(columns=["__side2", "__part2"])
 
         lt_tagged = left.map_batches(tag_side(0), batch_format="pyarrow")
         m_tagged = matched.map_batches(tag_side(1), batch_format="pyarrow")
         miss_rows = (
             lt_tagged.union(m_tagged)
-            .repartition(shuffle_partitions or 64)
-            .groupby(left_id)
-            .map_groups(anti, batch_format="pandas")
+            .map_batches(add_part2, batch_format="pandas")
+            .repartition(nparts2)
+            .groupby("__part2")
+            .map_groups(anti_part, batch_format="pandas")
         )
         pad = miss_rows.map_batches(
             lambda b: pad_batch(b), batch_format="pyarrow"

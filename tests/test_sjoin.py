@@ -311,3 +311,36 @@ def test_shuffle_left_outer_matches_broadcast(rng):
     a = sorted(zip(js.pid, js.zid.fillna(-1).astype(int)))
     b = sorted(zip(jb.pid, jb.zid.fillna(-1).astype(int)))
     assert a == b
+
+
+def test_sjoin_shuffle_left_anti_join_fallback():
+    """Force the key-partitioned anti-join path (unmatched_broadcast_cap=0)
+    and check it matches the broadcast-pad path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from geopandas_ray.geom.wkb import boxes_to_wkb, points_to_wkb
+    from geopandas_ray.stages.sjoin import sjoin_shuffle
+
+    rng = np.random.RandomState(3)
+    n = 400
+    px, py = rng.uniform(0, 100, n), rng.uniform(0, 100, n)
+    pts_t = pa.table({"pid": pa.array(np.arange(n)), "geometry": points_to_wkb(px, py)})
+    zones_t = pa.table(
+        {"zid": pa.array([0, 1]), "geometry": boxes_to_wkb([0.0, 50.0], [0.0, 0.0], [30.0, 80.0], [30.0, 30.0])}
+    )
+
+    def run(cap):
+        pts = ray.data.from_arrow(pts_t).repartition(8)
+        zones = ray.data.from_arrow(zones_t)
+        out = sjoin_shuffle(
+            pts, zones, predicate="intersects", res=3, how="left", left_id="pid",
+            unmatched_broadcast_cap=cap,
+        ).to_pandas()
+        return out.sort_values(["pid", "zid"], na_position="last").reset_index(drop=True)
+
+    a = run(10_000_000)  # broadcast pad
+    b = run(0)  # anti-join fallback
+    assert len(a) == len(b) and len(a) >= n
+    assert a["pid"].tolist() == b["pid"].tolist()
+    assert a["zid"].fillna(-1).tolist() == b["zid"].fillna(-1).tolist()
