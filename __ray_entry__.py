@@ -652,6 +652,23 @@ def q_embed_near_dup_lsh(sf_dir):
     return _select(p, ["id_a", "id_b"])
 
 
+def q_span_media_flatten(sf_dir):
+    # interleaved-span column (input_hint schema): synthesize spans
+    # deterministically from doc_id (FIXTURES.md F1 rule), flatten via the
+    # real Arrow list<struct> plumbing, keep media spans
+    from geopandas_ray.functions.media import spans_media_refs
+    from geopandas_ray.pipelines.datasets import doc_spans
+
+    m = spans_media_refs(doc_spans(sf_dir))
+    m = m.map_batches(
+        lambda t: t.rename_columns(
+            ["span_offset" if c == "offset" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    return _select(m, ["doc_id", "span_index", "kind", "media_ref", "span_offset"])
+
+
 def q_knn_lsh(sf_dir):
     # approximate by construction: rows-only check
     import ray.data
@@ -884,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "embed_near_dup": q_embed_near_dup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
+        "span_media_flatten": q_span_media_flatten,
         "knn_lsh": q_knn_lsh,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1157,6 +1175,19 @@ def oracle_sql() -> dict[str, str]:
         # FNV-style polynomial rolling hash mod 2^64 (documents are ASCII so
         # ascii() == byte). HUGEINT split keeps each product under 2^128:
         # h*base mod 2^64 = (lo(h)*base + (hi(h)*base mod 2^32)*2^32) mod 2^64
+        "span_media_flatten": """
+            WITH s AS (
+                SELECT doc_id,
+                       UNNEST(range(0, CAST(doc_id % 5 + 1 AS BIGINT))) AS j
+                FROM documents
+            )
+            SELECT doc_id,
+                   j AS span_index,
+                   CASE CAST(j % 3 AS INTEGER) WHEN 1 THEN 'image' ELSE 'audio' END AS kind,
+                   'ref://' || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR) AS media_ref,
+                   CAST(j AS INTEGER) AS span_offset
+            FROM s WHERE j % 3 <> 0
+        """,
         "fingerprint": (
             "SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT "
             "THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fingerprint FROM ("

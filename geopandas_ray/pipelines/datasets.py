@@ -249,3 +249,53 @@ def bowtie_table(sf_dir: str) -> pa.Table:
         np.full(n, 3, dtype=np.int8),
     )
     return pa.table({"zone_key": pa.array(k), "geometry": to_wkb(g)})
+
+
+SPANS_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+)
+
+
+def doc_spans(sf_dir: str) -> ray.data.Dataset:
+    """Documents with the FIXTURES.md F1 interleaved-span column, derived
+    deterministically from doc_id (so a SQL oracle can reproduce the
+    flattened rows): n_spans = doc_id % 5 + 1; kind cycles
+    text/image/audio by span index j; text = "{doc_id}-s{j}" for text
+    spans else ""; media_ref = "ref://{doc_id}/{j}" for media spans else
+    ""; offset = j. Exercises the exact input_hint schema
+    list<struct<kind,text,media_ref,offset>>."""
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        counts = ids % 5 + 1
+        parent = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        offsets = np.zeros(len(ids) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        j = np.arange(len(parent), dtype=np.int64) - offsets[:-1][parent]
+        pid = ids[parent]
+        kind_code = j % 3
+        kinds = np.array(["text", "image", "audio"], dtype=object)[kind_code]
+        texts = np.where(kind_code == 0, [f"{d}-s{k}" for d, k in zip(pid, j)], "")
+        refs = np.where(kind_code != 0, [f"ref://{d}/{k}" for d, k in zip(pid, j)], "")
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(kinds, type=pa.string()),
+                pa.array(texts, type=pa.string()),
+                pa.array(refs, type=pa.string()),
+                pa.array(j.astype(np.int32)),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        spans = pa.ListArray.from_arrays(pa.array(offsets), struct)
+        return b.append_column("spans", spans.cast(SPANS_TYPE))
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )

@@ -277,3 +277,15 @@ def test_cosine_near_dup_pairs_lsh_vs_broadcast(rng):
     # deterministic across runs
     again = cosine_near_dup_pairs_lsh(ds, threshold=0.95, dim=dim, n_tables=8, nbits=3).to_pandas()
     assert set(zip(again.id_a, again.id_b)) == aset
+
+
+def test_doc_spans_f1_rule():
+    from geopandas_ray.pipelines.datasets import doc_spans
+
+    d = doc_spans("/root/testdata/sf0.001").to_pandas().set_index("doc_id")
+    row = d.loc[127, "spans"]
+    assert len(row) == 127 % 5 + 1
+    assert [s["kind"] for s in row] == ["text", "image", "audio"][: len(row)]
+    assert row[0]["text"] == "127-s0" and row[0]["media_ref"] == ""
+    assert row[1]["media_ref"] == "ref://127/1" and row[1]["text"] == ""
+    assert [s["offset"] for s in row] == list(range(len(row)))
