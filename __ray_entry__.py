@@ -307,12 +307,15 @@ def q_translate(sf_dir):
 
 
 def q_hilbert_topk(sf_dir):
-    # no SQL analog (space-filling-curve rank): rows-only check
+    # oracled: DuckDB reproduces the Hilbert rank bit-exactly with a
+    # 15-step recursive CTE (same rotate/flip recurrence); ties at the
+    # top-100 boundary broken by doc_id so the row SET is deterministic
     from geopandas_ray.pipelines.datasets import doc_points
     from geopandas_ray.stages.ops import with_hilbert
 
     h = with_hilbert(doc_points(sf_dir), total_bounds=(0.0, 0.0, 1000.0, 1000.0))
-    return _select(h.sort("hilbert", descending=True).limit(100), ["doc_id", "hilbert"])
+    top = h.sort(["hilbert", "doc_id"], descending=[True, True]).limit(100)
+    return _select(top, ["doc_id", "hilbert"])
 
 
 def q_flagship_tiles(sf_dir):
@@ -1187,6 +1190,28 @@ def oracle_sql() -> dict[str, str]:
                    'ref://' || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR) AS media_ref,
                    CAST(j AS INTEGER) AS span_offset
             FROM s WHERE j % 3 <> 0
+        """,
+        "hilbert_topk": """
+            WITH RECURSIVE cells AS (
+              SELECT doc_id,
+                     LEAST(GREATEST(CAST(FLOOR(CAST((doc_id*37)%1000 AS DOUBLE)/1000.0*32767) AS BIGINT), 0), 32767) AS x0,
+                     LEAST(GREATEST(CAST(FLOOR(CAST((doc_id*91)%1000 AS DOUBLE)/1000.0*32767) AS BIGINT), 0), 32767) AS y0
+              FROM documents
+            ), h AS (
+              SELECT doc_id, x0 AS x, y0 AS y, CAST(16384 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d FROM cells
+              UNION ALL
+              SELECT doc_id,
+                CASE WHEN (y & s) = 0 THEN (CASE WHEN (x & s) > 0 THEN s-1-y ELSE y END) ELSE x END,
+                CASE WHEN (y & s) = 0 THEN (CASE WHEN (x & s) > 0 THEN s-1-x ELSE x END) ELSE y END,
+                s // 2,
+                d + s*s*(CASE WHEN (x & s) = 0 AND (y & s) = 0 THEN 0
+                              WHEN (x & s) = 0 THEN 1
+                              WHEN (y & s) = 0 THEN 3
+                              ELSE 2 END)
+              FROM h WHERE s > 0
+            )
+            SELECT doc_id, d AS hilbert FROM h WHERE s = 0
+            ORDER BY d DESC, doc_id DESC LIMIT 100
         """,
         "fingerprint": (
             "SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT "

@@ -46,6 +46,144 @@ register_transform("TEST:unit", "TEST:offset", _linear(1.0, 1.0, 500000.0, 0.0))
 register_transform("TEST:offset", "TEST:unit", _linear(1.0, 1.0, -500000.0, 0.0))
 
 
+# ---------------------------------------------------------------------------
+# Real projections (closed-form / series, public formulas - no pyproj needed)
+# ---------------------------------------------------------------------------
+
+_R_MERC = 6378137.0  # WGS84 semi-major axis (Web Mercator sphere radius)
+_WGS84_F = 1.0 / 298.257223563
+
+
+def _lonlat_to_webmercator(lon, lat):
+    """EPSG:4326 -> EPSG:3857 (spherical Mercator on the WGS84 semi-major
+    axis - the published Web Mercator definition)."""
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -85.051128779806604, 85.051128779806604)
+    x = _R_MERC * np.radians(np.asarray(lon, dtype=np.float64))
+    y = _R_MERC * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    return x, y
+
+
+def _webmercator_to_lonlat(x, y):
+    lon = np.degrees(np.asarray(x, dtype=np.float64) / _R_MERC)
+    lat = np.degrees(2.0 * np.arctan(np.exp(np.asarray(y, dtype=np.float64) / _R_MERC)) - np.pi / 2.0)
+    return lon, lat
+
+
+def _utm_consts():
+    """Kruger-series constants for WGS84 (Karney 2011, public formulas)."""
+    f = _WGS84_F
+    n = f / (2.0 - f)
+    n2, n3, n4 = n * n, n**3, n**4
+    A = _R_MERC / (1.0 + n) * (1.0 + n2 / 4.0 + n4 / 64.0)
+    alpha = np.array(
+        [
+            n / 2.0 - 2.0 * n2 / 3.0 + 5.0 * n3 / 16.0 + 41.0 * n4 / 180.0,
+            13.0 * n2 / 48.0 - 3.0 * n3 / 5.0 + 557.0 * n4 / 1440.0,
+            61.0 * n3 / 240.0 - 103.0 * n4 / 140.0,
+            49561.0 * n4 / 161280.0,
+        ]
+    )
+    beta = np.array(
+        [
+            n / 2.0 - 2.0 * n2 / 3.0 + 37.0 * n3 / 96.0 - n4 / 360.0,
+            n2 / 48.0 + n3 / 15.0 - 437.0 * n4 / 1440.0,
+            17.0 * n3 / 480.0 - 37.0 * n4 / 840.0,
+            4397.0 * n4 / 161280.0,
+        ]
+    )
+    e2 = f * (2.0 - f)
+    return n, A, alpha, beta, np.sqrt(e2)
+
+
+def _lonlat_to_utm(lon, lat, zone: int, south: bool):
+    """EPSG:4326 -> UTM zone (transverse Mercator, Kruger series to n^4:
+    sub-mm accuracy within a zone)."""
+    n, A, alpha, _, e = _utm_consts()
+    k0, E0 = 0.9996, 500000.0
+    N0 = 10000000.0 if south else 0.0
+    lam0 = np.radians(zone * 6.0 - 183.0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+    s = np.sin(phi)
+    t = np.sinh(np.arctanh(s) - (2.0 * np.sqrt(n) / (1.0 + n)) * np.arctanh((2.0 * np.sqrt(n) / (1.0 + n)) * s))
+    xi = np.arctan2(t, np.cos(lam))
+    eta = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+    x, y = eta.copy(), xi.copy()
+    for j, a in enumerate(alpha, start=1):
+        y = y + a * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+        x = x + a * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+    return E0 + k0 * A * x, N0 + k0 * A * y
+
+
+def _utm_to_lonlat(E, N, zone: int, south: bool):
+    n, A, _, beta, e = _utm_consts()
+    k0, E0 = 0.9996, 500000.0
+    N0 = 10000000.0 if south else 0.0
+    lam0 = np.radians(zone * 6.0 - 183.0)
+    xi = (np.asarray(N, dtype=np.float64) - N0) / (k0 * A)
+    eta = (np.asarray(E, dtype=np.float64) - E0) / (k0 * A)
+    xi_p, eta_p = xi.copy(), eta.copy()
+    for j, b in enumerate(beta, start=1):
+        xi_p = xi_p - b * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+        eta_p = eta_p - b * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+    tau_p = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    # Newton-solve tau from tau' (Karney's exact tau <-> tau' relation)
+    tau = tau_p.copy()
+    for _ in range(3):
+        sig = np.sinh(e * np.arctanh(e * tau / np.sqrt(1.0 + tau * tau)))
+        f_tau = tau * np.sqrt(1.0 + sig * sig) - sig * np.sqrt(1.0 + tau * tau)
+        dtau = (
+            (tau_p - f_tau)
+            * (1.0 + (1.0 - e * e) * tau * tau)
+            / ((1.0 - e * e) * np.sqrt((1.0 + f_tau * f_tau) * (1.0 + tau * tau)))
+        )
+        tau = tau + dtau
+    return np.degrees(lam + lam0), np.degrees(np.arctan(tau))
+
+
+def _parse_utm(code: str):
+    """EPSG:326xx (north) / 327xx (south) -> (zone, south) or None."""
+    if not code.upper().startswith("EPSG:") or len(code) != 10:
+        return None
+    try:
+        num = int(code[5:])
+    except ValueError:
+        return None
+    if 32601 <= num <= 32660:
+        return num - 32600, False
+    if 32701 <= num <= 32760:
+        return num - 32700, True
+    return None
+
+
+def _resolve_transform(src: str, dst: str):
+    """Registry first, then the built-in real projections."""
+    fn = _TRANSFORMS.get((src, dst))
+    if fn is not None:
+        return fn
+    s, d = src.upper(), dst.upper()
+    if s == "EPSG:4326" and d == "EPSG:3857":
+        return _lonlat_to_webmercator
+    if s == "EPSG:3857" and d == "EPSG:4326":
+        return _webmercator_to_lonlat
+    utm_d = _parse_utm(d)
+    if s == "EPSG:4326" and utm_d:
+        z, south = utm_d
+        return lambda x, y: _lonlat_to_utm(x, y, z, south)
+    utm_s = _parse_utm(s)
+    if utm_s and d == "EPSG:4326":
+        z, south = utm_s
+        return lambda x, y: _utm_to_lonlat(x, y, z, south)
+    if utm_s and d == "EPSG:3857":
+        z, south = utm_s
+        return lambda x, y: _lonlat_to_webmercator(*_utm_to_lonlat(x, y, z, south))
+    if s == "EPSG:3857" and utm_d:
+        z, south = utm_d
+        return lambda x, y: _lonlat_to_utm(*_webmercator_to_lonlat(x, y), z, south)
+    return None
+
+
 def check_crs(left_crs: str | None, right_crs: str | None, allow_none: bool = True) -> bool:
     """array.py:38 semantics: None matches anything (with a warning at the
     caller); otherwise exact match."""
@@ -75,12 +213,13 @@ def to_crs(
     """Reproject every coordinate (pure per-row map - embarrassingly
     parallel, reference array.py:385). Raises if no transform is registered
     for (src, dst)."""
-    if (src, dst) not in _TRANSFORMS:
+    fn = _resolve_transform(src, dst)
+    if fn is None:
         raise NotImplementedError(
-            f"no transform registered for {src} -> {dst}; register "
-            "pyproj.Transformer.transform via register_transform on a cluster"
+            f"no transform registered for {src} -> {dst}; built-ins cover "
+            "EPSG:4326 <-> EPSG:3857 <-> UTM (EPSG:326xx/327xx); register "
+            "pyproj.Transformer.transform via register_transform for others"
         )
-    fn = _TRANSFORMS[(src, dst)]
 
     def f(b: pa.Table) -> pa.Table:
         g = from_wkb(b.column(geometry))

@@ -108,3 +108,64 @@ def test_asof_join_matches_pandas():
     assert got.price.tolist()[:3] == [100.0, 200.0, 200.0]
     assert np.isnan(got.price.tolist()[3])
     assert got.price.tolist()[4] == 300.0
+
+
+def test_real_projections_webmercator_utm():
+    import numpy as np
+    from geopandas_ray.crs import (
+        _lonlat_to_utm,
+        _lonlat_to_webmercator,
+        _utm_to_lonlat,
+        _webmercator_to_lonlat,
+    )
+
+    # public anchor constants
+    x, y = _lonlat_to_webmercator(np.array([180.0, 0.0]), np.array([0.0, 45.0]))
+    assert abs(x[0] - 20037508.342789244) < 1e-6
+    assert abs(y[1] - 5621521.486192335) < 1e-6
+    lon, lat = _webmercator_to_lonlat(x, y)
+    assert np.allclose(lon, [180.0, 0.0], atol=1e-12)
+    assert np.allclose(lat, [0.0, 45.0], atol=1e-12)
+    # UTM zone 33N central-meridian anchor + CN Tower (published example)
+    E, N = _lonlat_to_utm(np.array([15.0]), np.array([0.0]), 33, False)
+    assert abs(E[0] - 500000.0) < 1e-6 and abs(N[0]) < 1e-6
+    E, N = _lonlat_to_utm(np.array([-79.387139]), np.array([43.642567]), 17, False)
+    assert abs(E[0] - 630084) < 2.0 and abs(N[0] - 4833438) < 2.0
+    # zone-wide round trip
+    rng = np.random.RandomState(0)
+    lon = 15.0 + rng.uniform(-3, 3, 500)
+    lat = rng.uniform(-80, 84, 500)
+    E, N = _lonlat_to_utm(lon, lat, 33, False)
+    lon2, lat2 = _utm_to_lonlat(E, N, 33, False)
+    assert max(np.abs(lon2 - lon).max(), np.abs(lat2 - lat).max()) < 1e-9
+
+
+def test_to_crs_builtin_projections():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from geopandas_ray.crs import to_crs
+    from geopandas_ray.geom import kernels as K
+    from geopandas_ray.geom.wkb import from_wkb, points_to_wkb
+
+    lon = np.array([15.0, 14.0, 16.5])
+    lat = np.array([0.0, 52.0, -33.0])
+    d = ray.data.from_arrow(pa.table({"id": pa.array([0, 1, 2]), "geometry": points_to_wkb(lon, lat)}))
+    m = to_crs(d, "EPSG:4326", "EPSG:3857").to_pandas().sort_values("id")
+    g = from_wkb(m.geometry.tolist())
+    px, py = g.coords[:, 0], g.coords[:, 1]
+    assert abs(px[0] - 15.0 * 20037508.342789244 / 180.0) < 1e-6
+    # 4326 -> UTM 33N -> back through the chained 3857 path
+    u = to_crs(d, "EPSG:4326", "EPSG:32633").to_pandas().sort_values("id")
+    gu = from_wkb(u.geometry.tolist())
+    assert abs(gu.coords[0, 0] - 500000.0) < 1e-6
+    back = to_crs(
+        to_crs(d, "EPSG:4326", "EPSG:32633"), "EPSG:32633", "EPSG:4326"
+    ).to_pandas().sort_values("id")
+    gb = from_wkb(back.geometry.tolist())
+    assert np.allclose(gb.coords[:, 0], lon, atol=1e-9)
+    assert np.allclose(gb.coords[:, 1], lat, atol=1e-9)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        to_crs(d, "EPSG:4326", "EPSG:9999")
