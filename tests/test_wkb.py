@@ -81,3 +81,75 @@ def test_take():
     g = W.from_wkb(arr)
     t = g.take([2, 0, 2])
     assert np.array_equal(t.coords, [[2, 2], [0, 0], [2, 2]])
+
+
+def test_geoarrow_roundtrips():
+    import numpy as np
+    import pyarrow as pa
+    from geopandas_ray.geom import wkb as W
+    from geopandas_ray.geom.wkb import from_wkb, to_wkb
+    from geopandas_ray.sources.geoarrow import (
+        encoding_of,
+        geoarrow_to_geoms,
+        geoms_to_geoarrow,
+    )
+    from geopandas_ray.stages.clip import _parts_to_wkb
+
+    def ring(*xy):
+        return np.array(list(xy) + [xy[0]], dtype=float)
+
+    cases = {
+        "point": [W.points_to_wkb([1.0], [3.0])[0].as_py(), None],
+        "linestring": [
+            _parts_to_wkb([(W.LINESTRING, [np.array([[0.0, 0], [1, 1], [2, 0]])])]),
+            None,
+        ],
+        "multipoint": [
+            _parts_to_wkb(
+                [(W.POINT, [np.array([[0.0, 0]])]), (W.POINT, [np.array([[5.0, 5]])])]
+            )
+        ],
+        "polygon": [
+            _parts_to_wkb(
+                [(W.POLYGON, [ring((0, 0), (10, 0), (10, 10), (0, 10)), ring((2, 2), (4, 2), (4, 4), (2, 4))])]
+            )
+        ],
+        "multilinestring": [
+            _parts_to_wkb(
+                [
+                    (W.LINESTRING, [np.array([[0.0, 0], [1, 0]])]),
+                    (W.LINESTRING, [np.array([[2.0, 2], [3, 3]])]),
+                ]
+            )
+        ],
+        "multipolygon": [
+            _parts_to_wkb(
+                [
+                    (W.POLYGON, [ring((0, 0), (1, 0), (1, 1), (0, 1))]),
+                    (W.POLYGON, [ring((5, 5), (6, 5), (6, 6), (5, 6))]),
+                ]
+            )
+        ],
+    }
+    for enc, wkbs in cases.items():
+        g = from_wkb(pa.array(wkbs, type=pa.large_binary()))
+        assert encoding_of(g) == enc
+        arr = geoms_to_geoarrow(g, enc)
+        back = to_wkb(geoarrow_to_geoms(arr, enc))
+        for orig, got in zip(wkbs, back):
+            assert (orig is None and not got.is_valid) or got.as_py() == orig, enc
+
+
+def test_geoarrow_dataset_stage():
+    import pyarrow as pa
+    import ray.data
+    from geopandas_ray.geom.wkb import points_to_wkb
+    from geopandas_ray.sources.geoarrow import from_geoarrow, to_geoarrow
+
+    t = pa.table({"id": pa.array([0, 1]), "geometry": points_to_wkb([1.0, 2.0], [3.0, 4.0])})
+    ga = to_geoarrow(ray.data.from_arrow(t))
+    sch = ga.schema()
+    # nested native type, not binary
+    assert "fixed_size_list" in str(sch.types[sch.names.index("geometry")])
+    back = from_geoarrow(ga, "point").to_pandas().sort_values("id")
+    assert back.geometry.tolist() == t.column("geometry").to_pylist()
