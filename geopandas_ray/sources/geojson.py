@@ -142,3 +142,81 @@ def from_features(features: list[dict], geometry: str = "geometry") -> pa.Table:
         cols[k] = pa.array([(ft.get("properties") or {}).get(k) for ft in features])
     cols[geometry] = pa.array(wkbs, type=pa.large_binary())
     return pa.table(cols)
+
+
+def read_file(path: str, columns: list[str] | None = None, rows: int | None = None) -> ray.data.Dataset:
+    """io/file.py:50 ``read_file`` for the GDAL-free formats this engine can
+    parse itself: .geojson / .json FeatureCollections (single file or a
+    directory of them). OGR formats (shapefile, GPKG, ...) still need GDAL
+    on a real cluster. Supports the reference's ``columns`` and ``rows``
+    narrowing; bbox/mask filtering composes downstream (stages.clip / cx).
+    """
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        paths = sorted(
+            glob.glob(os.path.join(path, "*.geojson")) + glob.glob(os.path.join(path, "*.json"))
+        )
+    else:
+        paths = [path]
+    if not paths:
+        raise FileNotFoundError(f"no .geojson/.json files under {path!r}")
+    if not all(p.endswith((".geojson", ".json")) for p in paths):
+        raise NotImplementedError(
+            "read_file parses GeoJSON in-sandbox; OGR formats need GDAL (cluster path)"
+        )
+    tables = []
+    taken = 0
+    for p in paths:
+        with open(p) as f:
+            doc = json.load(f)
+        feats = doc["features"] if doc.get("type") == "FeatureCollection" else [doc]
+        if rows is not None:
+            feats = feats[: max(0, rows - taken)]
+            taken += len(feats)
+        t = from_features(feats)
+        if columns is not None:
+            keep = [c for c in columns if c in t.column_names]
+            if "geometry" not in keep and "geometry" in t.column_names:
+                keep.append("geometry")
+            t = t.select(keep)
+        tables.append(t)
+        if rows is not None and taken >= rows:
+            break
+    return ray.data.from_arrow(tables if len(tables) > 1 else tables[0])
+
+
+def to_file(ds: ray.data.Dataset, path: str, geometry: str = "geometry") -> list[str]:
+    """io/file.py:159 ``to_file`` for GeoJSON: one FeatureCollection file
+    per block (resumable fragments, like the parquet sink), returns the
+    written paths. Attribute columns become properties."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    paths: list[str] = []
+
+    def write_block(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        attrs = [c for c in b.column_names if c != geometry]
+        feats = []
+        for i in range(len(b)):
+            props = {c: b.column(c)[i].as_py() for c in attrs}
+            feats.append(
+                {
+                    "type": "Feature",
+                    "properties": props,
+                    "geometry": geometry_to_geo_dict(g, i),
+                }
+            )
+        return pa.table({"__json": pa.array([json.dumps({"type": "FeatureCollection", "features": feats})])})
+
+    import uuid
+
+    for i, block in enumerate(ds.map_batches(write_block, batch_format="pyarrow").iter_batches(batch_size=None, batch_format="pyarrow")):
+        for j in range(len(block)):
+            p = os.path.join(path, f"part-{i:05d}-{j}.geojson")
+            with open(p, "w") as f:
+                f.write(block.column("__json")[j].as_py())
+            paths.append(p)
+    return paths

@@ -540,3 +540,29 @@ def test_voronoi(rng):
     g = W.from_wkb(v.voronoi.tolist())
     assert K.count_geometries(g)[0] == 3
     assert np.isclose(K.area(g)[0], 10000.0)
+
+
+def test_read_file_to_file_geojson(tmp_path):
+    from geopandas_ray.sources.geojson import read_file, to_file
+    from geopandas_ray.geom import kernels as K
+
+    t = pa.table(
+        {
+            "name": pa.array(["a", "b", "c"]),
+            "rank": pa.array([1, 2, 3]),
+            "geometry": W.points_to_wkb([0.0, 5.0, 9.0], [1.0, 6.0, 2.0]),
+        }
+    )
+    paths = to_file(ray.data.from_arrow(t).repartition(2), str(tmp_path / "out"))
+    assert len(paths) >= 1 and all(p.endswith(".geojson") for p in paths)
+    back = read_file(str(tmp_path / "out")).to_pandas().sort_values("rank")
+    assert back.name.tolist() == ["a", "b", "c"]
+    g = W.from_wkb(back.geometry.tolist())
+    assert K.bounds(g)[:, 0].tolist() == [0.0, 5.0, 9.0]
+    # columns + rows narrowing
+    sub = read_file(str(tmp_path / "out"), columns=["name"], rows=2).to_pandas()
+    assert set(sub.columns) == {"name", "geometry"} and len(sub) == 2
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        read_file(str(tmp_path / "out") + "/../whatever.shp")
