@@ -42,7 +42,7 @@ from ..geom.clip import (
 )
 from ..geom.index import BBoxTree
 from ..geom.union import union_wkb_values
-from ..geom.wkb import Geoms, box_geoms, from_wkb, to_wkb
+from ..geom.wkb import POLYGON, Geoms, box_geoms, from_wkb, to_wkb
 from .sjoin import _materialize
 
 HOWS = ("intersection", "union", "identity", "symmetric_difference", "difference")
@@ -87,8 +87,83 @@ def _single_convex_ring(g: Geoms, row: int) -> np.ndarray | None:
     return ring if _ring_is_convex(ring) else None
 
 
-def pair_intersection_wkb(lg: Geoms, i: int, rg: Geoms, j: int) -> bytes | None:
-    """Pairwise intersection geometry as WKB (None if empty)."""
+def rectilinear_region(g: Geoms, i: int):
+    """RectRegion decomposition of an axis-parallel polygonal row (any
+    rectilinear shape: L/T/U, holes, multi-part), else None. One single-
+    operand slab sweep - cache the result per row: the point is paying
+    this ONCE per geometry instead of a pairwise sweep per partner."""
+    p0, p1 = g.row_part_range(i)
+    if p0 == p1:
+        return None
+    for p in range(p0, p1):
+        if g.part_types[p] != POLYGON:
+            return None
+    segs = K._segments_of_row(g, i)
+    if len(segs) == 0:
+        return None
+    if not np.all((segs[:, 0] == segs[:, 2]) | (segs[:, 1] == segs[:, 3])):
+        return None
+    from ..geom.booleans import _edges_of, _trapezoids, geom_polygons
+
+    ea, n_a = _edges_of(geom_polygons(g, i), 0)
+    traps = _trapezoids(ea, n_a, "a")
+    if not traps:
+        return RectRegion(np.empty((0, 4)))
+    # axis-parallel input => every trapezoid is a rect (a0==a1, b0==b1)
+    rects = np.array([(x0, a0, x1, b0) for (x0, x1, a0, a1, b0, b1) in traps])
+    return RectRegion.from_rects(rects)
+
+
+def _rects_pairwise_intersection(ra: np.ndarray, rb: np.ndarray) -> np.ndarray:
+    """(A,4) x (B,4) -> (K,4) nonempty pairwise intersections. Inputs are
+    each internally disjoint, so outputs are disjoint - no grid pass."""
+    lox = np.maximum(ra[:, None, 0], rb[None, :, 0])
+    loy = np.maximum(ra[:, None, 1], rb[None, :, 1])
+    hix = np.minimum(ra[:, None, 2], rb[None, :, 2])
+    hiy = np.minimum(ra[:, None, 3], rb[None, :, 3])
+    ok = (hix > lox) & (hiy > loy)
+    return np.column_stack([lox[ok], loy[ok], hix[ok], hiy[ok]])
+
+
+def _rects_to_polygon_wkb(rects: np.ndarray) -> bytes | None:
+    """Stitch disjoint rects back into canonical polygons (shells + holes),
+    not a quilt of rect parts - shared edges cancel in the stitcher."""
+    if len(rects) == 0:
+        return None
+    from .clip import _parts_to_wkb
+
+    if len(rects) == 1:
+        x0, y0, x1, y1 = rects[0]
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        return _parts_to_wkb([(3, [ring])])
+    from ..geom.booleans import _assemble, _stitch
+
+    traps = [(r[0], r[2], r[1], r[1], r[3], r[3]) for r in rects]
+    polys = _assemble(_stitch(traps))
+    if not polys:
+        return None
+    return _parts_to_wkb([(3, rings) for rings in polys])
+
+
+def _region_to_polygon_wkb(reg: RectRegion) -> bytes | None:
+    if reg.is_empty():
+        return None
+    return _rects_to_polygon_wkb(reg.rects)
+
+
+def pair_intersection_wkb(
+    lg: Geoms, i: int, rg: Geoms, j: int, l_reg=None, r_reg=None
+) -> bytes | None:
+    """Pairwise intersection geometry as WKB (None if empty).
+
+    ``l_reg``/``r_reg``: optional cached ``rectilinear_region`` results
+    (RectRegion, or False for checked-and-not-rectilinear). When both are
+    regions the pair skips the sweep entirely: vectorized rect-grid
+    intersection + re-stitch (~6x on rectilinear workloads)."""
+    if isinstance(l_reg, RectRegion) and isinstance(r_reg, RectRegion):
+        return _rects_to_polygon_wkb(
+            _rects_pairwise_intersection(l_reg.rects, r_reg.rects)
+        )
     # point-layer cases (reference benchmarks overlay 1000 pts x 10 polys)
     if int(lg.row_types[i]) in (1, 4):
         px, py = K._row_points(lg, i)
@@ -222,6 +297,11 @@ class _OverlayLegs:
         # decode partner WKBs once per ACTOR (broadcast side is small), not
         # per value with .as_py() in the batch loop
         self.rwkb_list = right.column(right_geometry).to_pylist()
+        # rectilinear decomposition once per right row (False = checked,
+        # not rectilinear): pairs against it skip the pairwise sweep
+        self.r_regions = [
+            rectilinear_region(self.rg, j) or False for j in range(len(self.rg))
+        ]
         self.how = how
         self.geometry = geometry
         self.right_geometry = right_geometry
@@ -235,12 +315,40 @@ class _OverlayLegs:
         lg = from_wkb(batch.column(self.geometry))
         lb = K.bounds(lg)
         qi, ti = self.tree.query_boxes(lb)
+        l_regions: dict[int, object] = {}
+        inter_cache: dict[tuple[int, int], bytes | None] = {}
+
+        def l_region(ia: int):
+            r = l_regions.get(ia)
+            if r is None:
+                r = rectilinear_region(lg, ia) or False
+                l_regions[ia] = r
+            return r
+
         if len(qi):
-            # vectorized tiered predicate (same kernel the sjoin path uses)
-            mask = eval_pairs(
-                "intersects", lg, qi, self.rg, ti,
-                l_bounds=lb, r_bounds=self.rbounds,
-            )
+            # rectilinear pairs: the (cheap) region intersection itself IS
+            # the intersects test - compute once here, reuse in the legs;
+            # everything else goes through the vectorized tiered predicate
+            mask = np.ones(len(qi), dtype=bool)
+            reg_pair = np.zeros(len(qi), dtype=bool)
+            for k in range(len(qi)):
+                ia, jb = int(qi[k]), int(ti[k])
+                rr = self.r_regions[jb]
+                if isinstance(rr, RectRegion):
+                    lr = l_region(ia)
+                    if isinstance(lr, RectRegion):
+                        reg_pair[k] = True
+                        w = _rects_to_polygon_wkb(
+                            _rects_pairwise_intersection(lr.rects, rr.rects)
+                        )
+                        inter_cache[(ia, jb)] = w
+                        mask[k] = w is not None
+            rest = ~reg_pair
+            if rest.any():
+                mask[rest] = eval_pairs(
+                    "intersects", lg, qi[rest], self.rg, ti[rest],
+                    l_bounds=lb, r_bounds=self.rbounds,
+                )
             li, ri = qi[mask], ti[mask]
         else:
             li, ri = qi, ti
@@ -252,10 +360,16 @@ class _OverlayLegs:
         need_diff1 = self.how in ("difference", "union", "identity", "symmetric_difference")
         if need_inter:
             for a, b in zip(li, ri):
-                w = pair_intersection_wkb(lg, int(a), self.rg, int(b))
+                ia, jb = int(a), int(b)
+                if (ia, jb) in inter_cache:
+                    w = inter_cache[(ia, jb)]
+                else:
+                    w = pair_intersection_wkb(
+                        lg, ia, self.rg, jb, l_reg=l_region(ia), r_reg=self.r_regions[jb]
+                    )
                 if w is not None:
-                    out_li.append(int(a))
-                    out_ri.append(int(b))
+                    out_li.append(ia)
+                    out_ri.append(jb)
                     out_geom.append(w)
                     rows["__leg"].append(0)
         if self.emit_pairs and not need_inter:
@@ -274,7 +388,26 @@ class _OverlayLegs:
             for i in range(len(lg)):
                 if lg.row_types[i] == 0:
                     continue
-                pw = [rwkb[j] for j in partners.get(i, [])]
+                pjs = partners.get(i, [])
+                lr = l_region(i) if pjs else False
+                if isinstance(lr, RectRegion) and pjs and all(
+                    isinstance(self.r_regions[j], RectRegion) for j in pjs
+                ):
+                    # all-rectilinear: region difference against the union
+                    # of partner regions, no per-partner sweep
+                    acc = lr
+                    for j in pjs:
+                        acc = region_difference(acc, self.r_regions[j])
+                        if acc.is_empty():
+                            break
+                    w = _region_to_polygon_wkb(acc)
+                    if w is not None:
+                        out_li.append(i)
+                        out_ri.append(-1)
+                        out_geom.append(w)
+                        rows["__leg"].append(1)
+                    continue
+                pw = [rwkb[j] for j in pjs]
                 w = pair_difference_wkb(lg, i, pw)
                 if w is not None:
                     out_li.append(i)
