@@ -280,6 +280,19 @@ def run_bench() -> dict:
 
     timed("knn_lsh_skewed", run_knn_lsh)
 
+    def run_cluster():
+        # full near-dup pipeline: minhash candidates -> min-label
+        # connected components (4 bounded label-propagation rounds)
+        from geopandas_ray.functions.dedup import cluster_min_label, minhash_candidate_pairs
+
+        ds = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        pairs = minhash_candidate_pairs(ds, sim_threshold=0.5)
+        return cluster_min_label(pairs, ds).count()
+
+    timed("dedup_cluster", run_cluster)
+
     def run_q1():
         from ray.data.aggregate import Count, Sum
 

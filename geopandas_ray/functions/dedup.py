@@ -335,13 +335,6 @@ def cluster_min_label(
     """
     from ..util import default_shuffle_partitions
 
-    nparts = default_shuffle_partitions()
-
-    def _part_by(df: pd.DataFrame, col: str) -> pd.DataFrame:
-        df = df.copy()
-        df["__part"] = pd.util.hash_array(df[col].to_numpy(np.int64)) % nparts
-        return df
-
     # undirected edges, both directions; consumed every round -> pin it
     edge_rows = pairs.map_batches(
         lambda df: pd.DataFrame(
@@ -351,17 +344,28 @@ def cluster_min_label(
             }
         ),
         batch_format="pandas",
-    )
+    ).materialize()
+    # every Ray all-to-all costs seconds regardless of size on a busy
+    # cluster: size the partition count to the edge volume (label volume
+    # is bounded by it) instead of always 4x CPUs
+    n_edges = edge_rows.count()
+    nparts = max(8, min(default_shuffle_partitions(), n_edges // 100_000 + 8))
+
+    def _part_by(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = pd.util.hash_array(df[col].to_numpy(np.int64)) % nparts
+        return df
+
     edges_tagged = edge_rows.map_batches(
         lambda df: _part_by(df, "peer"), batch_format="pandas"
-    ).materialize()
+    ).repartition(nparts).materialize()
 
     labels = ids.map_batches(
         lambda df: pd.DataFrame(
             {"node": df[id_col].to_numpy(np.int64), "label": df[id_col].to_numpy(np.int64)}
         ),
         batch_format="pandas",
-    ).materialize()
+    ).repartition(max(4, nparts // 2)).materialize()
 
     def merge_part(df: pd.DataFrame) -> pd.DataFrame:
         # role 1 rows: (key=node, label); role 0 rows: (key=peer, node)
@@ -413,16 +417,18 @@ def cluster_min_label(
         # keep the min of (own label, every peer label): one more hash
         # shuffle on node, vectorized per-partition groupby-min
         # Ray groupby emits one output block per INPUT block (CLAUDE.md
-        # invariant), and union stacks block lists - without a repartition
-        # the label set gains ~2x blocks per round (16 -> 1216 by round 4,
-        # 137s of pure task overhead for 500 rows)
+        # invariant), and union stacks block lists - without the round-end
+        # cap the label set gains ~2x blocks per round (16 -> 1216 by
+        # round 4, 137s of pure task overhead for 500 rows). Inputs here
+        # are already block-bounded (edges repartitioned once, labels
+        # capped each round), so no mid-loop repartition: two all-to-alls
+        # per round, not four.
         labels = (
             labels.union(prop_labels)
             .map_batches(lambda df: _part_by(df, "node"), batch_format="pandas")
-            .repartition(nparts)
             .groupby("__part")
             .map_groups(min_part, batch_format="pandas")
-            .repartition(max(8, nparts // 4))
+            .repartition(max(4, nparts // 2))
             .materialize()
         )
     return labels.map_batches(
