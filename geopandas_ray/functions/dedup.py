@@ -323,14 +323,19 @@ def minhash_candidate_pairs(
 def cluster_min_label(
     pairs: ray.data.Dataset, ids: ray.data.Dataset, id_col="doc_id", rounds: int = 4
 ) -> ray.data.Dataset:
-    """Connected components by iterative min-label propagation.
+    """Connected components by min-label propagation.
 
-    Scale-correct AND overhead-correct: each round is two hash-partitioned
-    shuffles whose per-partition work is vectorized pandas (merge +
-    groupby-min at C speed) - never a map_groups per node/peer (per-group
-    Python overhead made the first version ~100x slower than the data
-    justified). Chains longer than 2^rounds need more rounds (duplicate
-    clusters in practice are tiny and dense, so 4 is plenty).
+    Key scale fact: only nodes that APPEAR IN EDGES can change label - the
+    edge set is the dedup output (bounded by duplicate volume), not the
+    corpus. So labels are solved on the edge-node subgraph and joined back,
+    never shuffling one label per corpus row per round:
+
+    - edge set within ``edge_broadcast_cap``: EXACT vectorized min-label
+      fixpoint on the driver (np.minimum.at passes until no change -
+      converges fully, no 2^rounds chain limit), node->label broadcast via
+      ray.put, one stateless map over ids;
+    - larger edge sets: the distributed two-shuffle-per-round fixture over
+      edge nodes only, then a broadcast/partitioned join back.
     Returns (doc_id, cluster) with cluster = min doc_id in the component.
     """
     from ..util import default_shuffle_partitions
@@ -349,6 +354,59 @@ def cluster_min_label(
     # cluster: size the partition count to the edge volume (label volume
     # is bounded by it) instead of always 4x CPUs
     n_edges = edge_rows.count()
+
+    def _identity_then_patch(node_label_ref):
+        """Stateless map over ids: label = patched value for edge nodes,
+        own id otherwise (non-edge rows never change label)."""
+
+        class _Patch:
+            def __init__(self):
+                nodes, labels = ray.get(node_label_ref)
+                order = np.argsort(nodes)
+                self.nodes = nodes[order]
+                self.labels = labels[order]
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                ids_np = df[id_col].to_numpy(np.int64)
+                pos = np.searchsorted(self.nodes, ids_np)
+                pos = np.clip(pos, 0, max(len(self.nodes) - 1, 0))
+                hit = (len(self.nodes) > 0) & (self.nodes[pos] == ids_np)
+                lab = np.where(hit, self.labels[pos], ids_np)
+                return pd.DataFrame({id_col: ids_np, "cluster": lab})
+
+        return ids.map_batches(_Patch, batch_format="pandas", concurrency=default_pool())
+
+    EDGE_BROADCAST_CAP = 5_000_000
+    if n_edges == 0:
+        return ids.map_batches(
+            lambda df: pd.DataFrame(
+                {id_col: df[id_col].to_numpy(np.int64), "cluster": df[id_col].to_numpy(np.int64)}
+            ),
+            batch_format="pandas",
+        )
+    if n_edges <= EDGE_BROADCAST_CAP:
+        tbl = pa.concat_tables(ray.get(edge_rows.to_arrow_refs()), promote_options="default")
+        u = np.asarray(tbl.column("node"), dtype=np.int64)
+        v = np.asarray(tbl.column("peer"), dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[: len(u)], inv[len(u) :]
+        label = nodes.copy()
+        # vectorized min-label fixpoint: O(E) per pass, passes = graph
+        # diameter (duplicate clusters are tiny/dense); EXACT convergence
+        for _ in range(64):
+            new_lab = label.copy()
+            np.minimum.at(new_lab, ui, label[vi])
+            np.minimum.at(new_lab, vi, label[ui])
+            # pointer-jump: label <- label[label-index] where labels are ids
+            # of nodes; map via searchsorted (labels are node ids)
+            pos = np.searchsorted(nodes, new_lab)
+            new_lab = np.minimum(new_lab, label[pos])
+            if np.array_equal(new_lab, label):
+                break
+            label = new_lab
+        ref = ray.put((nodes, label))
+        return _identity_then_patch(ref)
+
     nparts = max(8, min(default_shuffle_partitions(), n_edges // 100_000 + 8))
 
     def _part_by(df: pd.DataFrame, col: str) -> pd.DataFrame:

@@ -289,3 +289,24 @@ def test_doc_spans_f1_rule():
     assert row[0]["text"] == "127-s0" and row[0]["media_ref"] == ""
     assert row[1]["media_ref"] == "ref://127/1" and row[1]["text"] == ""
     assert [s["offset"] for s in row] == list(range(len(row)))
+
+
+def test_cluster_long_chain_converges(docs):
+    # 40-hop chain: the exact driver fixpoint must collapse it fully
+    # (the old fixed-4-rounds distributed loop could not)
+    import pyarrow as pa
+    from geopandas_ray.functions.dedup import cluster_min_label
+
+    n = 41
+    ids = ray.data.from_arrow(pa.table({"doc_id": pa.array(list(range(100)), type=pa.int64())}))
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(list(range(n - 1)), type=pa.int64()),
+                "id_b": pa.array(list(range(1, n)), type=pa.int64()),
+            }
+        )
+    )
+    lab = cluster_min_label(pairs, ids).to_pandas().set_index("doc_id").cluster
+    assert (lab.loc[: n - 1] == 0).all()
+    assert (lab.loc[n:] == lab.loc[n:].index).all()
