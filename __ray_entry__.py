@@ -655,6 +655,16 @@ def q_embed_near_dup_lsh(sf_dir):
     return _select(p, ["id_a", "id_b"])
 
 
+def q_bpe_tokens(sf_dir):
+    # GPT-2-style pre-tokenizer count, RE2-compatible pattern (SQL-exact)
+    import ray.data
+
+    from geopandas_ray.functions.text import with_bpe_tokens
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _select(with_bpe_tokens(ds), ["doc_id", "n_bpe_tokens"])
+
+
 def q_span_media_flatten(sf_dir):
     # interleaved-span column (input_hint schema): synthesize spans
     # deterministically from doc_id (FIXTURES.md F1 rule), flatten via the
@@ -905,6 +915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_near_dup": q_embed_near_dup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "span_media_flatten": q_span_media_flatten,
+        "bpe_tokens": q_bpe_tokens,
         "knn_lsh": q_knn_lsh,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1212,6 +1223,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, d AS hilbert FROM h WHERE s = 0
             ORDER BY d DESC, doc_id DESC LIMIT 100
+        """,
+        "bpe_tokens": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')) AS n_bpe_tokens
+            FROM documents
         """,
         "fingerprint": (
             "SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT "

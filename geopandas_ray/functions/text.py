@@ -160,3 +160,41 @@ def with_fingerprint(ds: ray.data.Dataset, text_col: str = "text", out_col: str 
         return b.append_column(out_col, pa.array(out.astype(np.int64)))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+class BpeTokenCounter:
+    """Actor stage: GPT-2-style pre-tokenizer token count (the brief's
+    "BPE-ish regex"). The pattern is the public GPT-2 split regex with the
+    \\p{L}/\\p{N} classes narrowed to ASCII and the trailing-space
+    lookahead dropped, keeping it RE2-compatible so a DuckDB
+    regexp_extract_all oracle counts identically (verified row-exact).
+    A real BPE merge table would consume these pieces; the SPLIT is the
+    deterministic, oracle-checkable part. Regex compiled once per actor."""
+
+    def __init__(self, text_col: str = "text", out: str = "n_bpe_tokens"):
+        import re
+
+        self.rx = re.compile(BPE_SPLIT_PATTERN)
+        self.text_col = text_col
+        self.out = out
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        s = df[self.text_col].fillna("")
+        df = df.copy()
+        # Series.str.count is a C-level loop over the compiled pattern
+        df[self.out] = s.str.count(BPE_SPLIT_PATTERN).astype("int64")
+        return df
+
+
+def with_bpe_tokens(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    from ..util import default_pool
+
+    return ds.map_batches(
+        BpeTokenCounter,
+        batch_format="pandas",
+        concurrency=default_pool(),
+        fn_constructor_kwargs=dict(text_col=text_col),
+    )
