@@ -167,3 +167,94 @@ def test_trapezoid_vec_matches_loop():
                 assert rv == rl, (n1, n2, op)
     finally:
         B._trapezoids_vec = orig
+
+
+def test_boolean_area_identities_fuzz():
+    """Property fuzz over random lattice rect-unions and L-shapes:
+    inclusion-exclusion + partition identities that any correct boolean
+    kernel must satisfy exactly on integer inputs."""
+    from hypothesis import given, settings, strategies as st
+    import geopandas_ray.geom.booleans as B
+
+    def rect(x0, y0, w, h):
+        return np.array(
+            [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]],
+            dtype=float,
+        )
+
+    def lshape(x0, y0, w, h, nw, nh):
+        nw = min(nw, w - 1)
+        nh = min(nh, h - 1)
+        return np.array(
+            [
+                [x0, y0], [x0 + w, y0], [x0 + w, y0 + h - nh],
+                [x0 + w - nw, y0 + h - nh], [x0 + w - nw, y0 + h],
+                [x0, y0 + h], [x0, y0],
+            ],
+            dtype=float,
+        )
+
+    coord = st.integers(min_value=0, max_value=12)
+    size = st.integers(min_value=2, max_value=8)
+    notch = st.integers(min_value=1, max_value=6)
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        ax=coord, ay=coord, aw=size, ah=size, anw=notch, anh=notch,
+        bx=coord, by=coord, bw=size, bh=size,
+        cx=coord, cy=coord, cw=size, ch=size,
+        a_is_l=st.booleans(),
+    )
+    def check(ax, ay, aw, ah, anw, anh, bx, by, bw, bh, cx, cy, cw, ch, a_is_l):
+        A = [[lshape(ax, ay, aw, ah, anw, anh) if a_is_l else rect(ax, ay, aw, ah)]]
+        # B operand: union of two rects (possibly overlapping) as two parts
+        Bp = [[rect(bx, by, bw, bh)], [rect(cx, cy, cw, ch)]]
+        a = B.boolean_area(A, Bp, "a")
+        inter = B.boolean_area(A, Bp, "intersection")
+        diff = B.boolean_area(A, Bp, "difference")
+        uni = B.boolean_area(A, Bp, "union")
+        sym = B.boolean_area(A, Bp, "symmetric_difference")
+        b_only = B.boolean_area(Bp, A, "difference")
+        # partition identities (exact on lattice inputs)
+        assert abs((inter + diff) - a) < 1e-9
+        assert abs(uni - (inter + diff + b_only)) < 1e-9
+        assert abs(sym - (diff + b_only)) < 1e-9
+        # commutativity of intersection
+        assert abs(inter - B.boolean_area(Bp, A, "intersection")) < 1e-9
+
+    check()
+
+
+def test_boolean_area_identities_triangles_fuzz():
+    from hypothesis import assume, given, settings, strategies as st
+    import geopandas_ray.geom.booleans as B
+
+    c = st.integers(min_value=0, max_value=20)
+
+    @settings(max_examples=120, deadline=None)
+    @given(x1=c, y1=c, x2=c, y2=c, x3=c, y3=c, u1=c, v1=c, u2=c, v2=c, u3=c, v3=c)
+    def check(x1, y1, x2, y2, x3, y3, u1, v1, u2, v2, u3, v3):
+        ta = np.array([[x1, y1], [x2, y2], [x3, y3], [x1, y1]], dtype=float)
+        tb = np.array([[u1, v1], [u2, v2], [u3, v3], [u1, v1]], dtype=float)
+
+        def area2(t):
+            return abs(
+                (t[1, 0] - t[0, 0]) * (t[2, 1] - t[0, 1])
+                - (t[2, 0] - t[0, 0]) * (t[1, 1] - t[0, 1])
+            ) / 2.0
+
+        assume(area2(ta) > 0 and area2(tb) > 0)
+        A, Bp = [[ta]], [[tb]]
+        a = B.boolean_area(A, Bp, "a")
+        assert abs(a - area2(ta)) < 1e-9
+        inter = B.boolean_area(A, Bp, "intersection")
+        diff = B.boolean_area(A, Bp, "difference")
+        b_only = B.boolean_area(Bp, A, "difference")
+        uni = B.boolean_area(A, Bp, "union")
+        tol = 1e-9 * max(1.0, a)
+        assert abs((inter + diff) - a) < tol
+        assert abs(uni - (inter + diff + b_only)) < tol
+        assert abs(inter - B.boolean_area(Bp, A, "intersection")) < tol
+        assert 0.0 <= inter <= min(area2(ta), area2(tb)) + tol
+
+    check()
