@@ -370,6 +370,9 @@ def knn_lsh(
     - oversized buckets re-split recursively and rerank with CHUNKED top-k
       (no dense bucket^2 matrix);
     - one groupby per stage, repartitioned first (CLAUDE.md invariant).
+
+    ``id_col`` must be integer-valued (ids ride through numpy int64 in the
+    rerank); map string ids to a dense int column upstream.
     """
     from ..util import default_shuffle_partitions
 
