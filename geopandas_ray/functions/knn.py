@@ -62,25 +62,23 @@ class _BruteKnn:
             self_mask = qids[:, None] == self.corpus_ids[None, :]
             sims = np.where(self_mask, -np.inf, sims)
         k = min(self.k, sims.shape[1])
-        # top-k with deterministic tie-break: sort by (-sim, corpus_id)
+        m = len(qids)
+        # top-k with deterministic tie-break, fully vectorized: argpartition
+        # then per-row (-sim, corpus_id) ordering as two stable argsorts
         idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
-        out_q, out_n, out_r, out_s = [], [], [], []
-        rows = np.arange(len(qids))
-        part_s = sims[rows[:, None], idx]
-        for i in range(len(qids)):
-            cand = idx[i]
-            order = np.lexsort((self.corpus_ids[cand], -part_s[i]))
-            sel = cand[order]
-            out_q.append(np.full(k, qids[i], dtype=np.int64))
-            out_n.append(self.corpus_ids[sel])
-            out_r.append(np.arange(1, k + 1, dtype=np.int64))
-            out_s.append(part_s[i][order])
+        rowsel = np.arange(m)[:, None]
+        part_s = sims[rowsel, idx]
+        nids = self.corpus_ids[idx]
+        o1 = np.argsort(nids, axis=1, kind="stable")
+        part_s = part_s[rowsel, o1]
+        nids = nids[rowsel, o1]
+        o2 = np.argsort(-part_s, axis=1, kind="stable")
         return pa.table(
             {
-                self.id_col: pa.array(np.concatenate(out_q)),
-                "neighbor_id": pa.array(np.concatenate(out_n)),
-                "rank": pa.array(np.concatenate(out_r)),
-                "cosine": pa.array(np.concatenate(out_s)),
+                self.id_col: pa.array(np.repeat(qids, k)),
+                "neighbor_id": pa.array(nids[rowsel, o2].ravel()),
+                "rank": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), m)),
+                "cosine": pa.array(part_s[rowsel, o2].ravel()),
             }
         )
 
