@@ -702,6 +702,16 @@ def q_minhash_pairs(sf_dir):
     return minhash_candidate_pairs(ds, sim_threshold=0.5)
 
 
+def q_simhash_pairs(sf_dir):
+    # banded SimHash near-dup candidates (approximate scheme: rows-only)
+    import ray.data
+
+    from geopandas_ray.functions.dedup import simhash_candidate_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _select(simhash_candidate_pairs(ds, max_hamming=3), ["id_a", "id_b", "hamming"])
+
+
 def q_simhash(sf_dir):
     import ray.data
 
@@ -919,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": q_knn_lsh,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "geom_equals_join": q_geom_equals_join,

@@ -85,7 +85,7 @@ def run_bench() -> dict:
             terminal="tile_counts",
         ).count()
 
-    headline = timed("flagship_shuffle_tiling", run_flagship, reps=2)
+    headline = timed("flagship_shuffle_tiling", run_flagship, reps=3)
 
     if os.environ.get("BENCH_ONLY_HEADLINE"):
         result = {

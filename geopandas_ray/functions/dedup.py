@@ -525,6 +525,110 @@ def with_simhash(ds: ray.data.Dataset, concurrency=None, **kw) -> ray.data.Datas
     return ds.map_batches(SimHasher, batch_format="pyarrow", fn_constructor_kwargs=kw, concurrency=default_pool(concurrency))
 
 
+def simhash_candidate_pairs(
+    ds: ray.data.Dataset,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs by SimHash banding (the Charikar/Manku web-dedup
+    scheme): split the 64-bit hash into ``bands`` chunks - any pair within
+    ``max_hamming`` (< bands) differs in at most bands-1 chunks, so it
+    collides on at least one chunk. One groupby on (band, chunk_bits),
+    exact popcount verification inside the bucket, cross-band distinct.
+    Emits (id_a, id_b, hamming)."""
+    from ..util import default_shuffle_partitions
+
+    assert max_hamming < bands, "banding guarantee needs max_hamming < bands"
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    hashed = with_simhash(
+        ds.select_columns([id_col, text_col]), concurrency=concurrency,
+        text_col=text_col,
+    )
+
+    def explode_bands(b: pa.Table) -> pa.Table:
+        h = np.asarray(b.column("simhash"), dtype=np.int64).astype(np.uint64)
+        ids = np.asarray(b.column(id_col))
+        n = len(h)
+        band = np.tile(np.arange(bands, dtype=np.int32), n)
+        chunk = np.empty(n * bands, dtype=np.int64)
+        for bi in range(bands):
+            chunk[bi::bands] = ((h >> np.uint64(bi * width)) & mask).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, bands)),
+                "simhash": pa.array(np.repeat(h.astype(np.int64), bands)),
+                "band": pa.array(band),
+                "chunk": pa.array(chunk),
+            }
+        )
+
+    banded = hashed.map_batches(explode_bands, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "hamming": np.int64}
+            )
+        df = df.drop_duplicates(id_col)
+        ids = df[id_col].to_numpy(np.int64)
+        hs = df["simhash"].to_numpy(np.int64).astype(np.uint64)
+        outs = []
+        # chunked scan: never a dense |bucket|^2 matrix (the r1 knn_lsh
+        # lesson) - each chunk allocates (chunk x |bucket|) only
+        for s0 in range(0, len(ids), 2048):
+            e = min(s0 + 2048, len(ids))
+            x = hs[s0:e, None] ^ hs[None, :]
+            bts = x.view(np.uint8).reshape(e - s0, len(ids), 8)
+            ham = _POPCNT[bts].sum(axis=2).astype(np.int64)
+            ai, bi = np.nonzero(
+                (ham <= max_hamming) & (ids[s0:e, None] < ids[None, :])
+            )
+            if len(ai):
+                outs.append((ids[s0 + ai], ids[bi], ham[ai, bi]))
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "hamming": np.int64}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate([o[0] for o in outs]),
+                "id_b": np.concatenate([o[1] for o in outs]),
+                "hamming": np.concatenate([o[2] for o in outs]),
+            }
+        )
+
+    nparts = default_shuffle_partitions()
+    pairs = (
+        banded.repartition(nparts)
+        .groupby(["band", "chunk"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = pd.util.hash_array(
+            (df["id_a"].to_numpy(np.int64) << np.int64(20)) ^ df["id_b"].to_numpy(np.int64)
+        ) % nparts
+        return df
+
+    def distinct_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b", "hamming"]]
+
+    return (
+        pairs.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(distinct_part, batch_format="pandas")
+    )
+
+
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard verification (exact, for candidate pairs)
 # ---------------------------------------------------------------------------

@@ -310,3 +310,19 @@ def test_cluster_long_chain_converges(docs):
     lab = cluster_min_label(pairs, ids).to_pandas().set_index("doc_id").cluster
     assert (lab.loc[: n - 1] == 0).all()
     assert (lab.loc[n:] == lab.loc[n:].index).all()
+
+
+def test_simhash_candidate_pairs(docs):
+    from geopandas_ray.functions.dedup import simhash_candidate_pairs, with_simhash
+
+    pairs = simhash_candidate_pairs(docs, max_hamming=3).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 3) in got  # exact dup: hamming 0
+    # verify every emitted pair really is within the hamming bound
+    s = with_simhash(docs).to_pandas().set_index("doc_id").simhash
+    for a, b, h in pairs[["id_a", "id_b", "hamming"]].to_numpy():
+        true_h = bin(int(np.uint64(s.loc[a])) ^ int(np.uint64(s.loc[b]))).count("1")
+        assert true_h == h <= 3
+    # determinism
+    again = simhash_candidate_pairs(docs, max_hamming=3).to_pandas()
+    assert set(map(tuple, again[["id_a", "id_b"]].to_numpy())) == got
