@@ -31,16 +31,31 @@ def exact_dedup(
     one groupby on the key, per-group min-id row.
     """
 
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(id_col, kind="stable").drop_duplicates(key_col, keep="first")
+    from ..util import default_shuffle_partitions
 
-    def first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(id_col, kind="stable").head(1)
+    nparts = default_shuffle_partitions()
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch combiner, then hash-partition tag for the shuffle
+        df = df.sort_values(id_col, kind="stable").drop_duplicates(key_col, keep="first")
+        df = df.copy()
+        df["__part"] = pd.util.hash_array(df[key_col].to_numpy()) % nparts
+        return df
+
+    def first_part(df: pd.DataFrame) -> pd.DataFrame:
+        # equal keys are co-partitioned: one vectorized pass per partition,
+        # not a Python call per distinct key
+        return (
+            df.sort_values(id_col, kind="stable")
+            .drop_duplicates(key_col, keep="first")
+            .drop(columns="__part")
+        )
 
     return (
         ds.map_batches(local, batch_format="pandas")
-        .groupby(key_col)
-        .map_groups(first, batch_format="pandas")
+        .repartition(nparts)
+        .groupby("__part")
+        .map_groups(first_part, batch_format="pandas")
     )
 
 
