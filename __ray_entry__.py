@@ -682,6 +682,16 @@ def q_span_media_flatten(sf_dir):
     return _select(m, ["doc_id", "span_index", "kind", "media_ref", "span_offset"])
 
 
+def q_knn_ivf(sf_dir):
+    # approximate by construction (IVF coarse quantizer): rows-only check
+    import ray.data
+
+    from geopandas_ray.functions.knn import knn_ivf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return _select(knn_ivf(ds, k=3, nprobe=4), ["vec_id", "neighbor_id", "rank"])
+
+
 def q_knn_lsh(sf_dir):
     # approximate by construction: rows-only check
     import ray.data
@@ -927,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_media_flatten": q_span_media_flatten,
         "bpe_tokens": q_bpe_tokens,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,

@@ -433,3 +433,177 @@ def knn_lsh(
         .groupby("__part")
         .map_groups(merge_part, batch_format="pandas")
     )
+
+
+def _kmeans_fit(sample: np.ndarray, nlist: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means on a sample (seeded init, fixed
+    iteration count): the IVF coarse quantizer. Returns (nlist, dim)
+    L2-normalized centroids."""
+    rng = np.random.RandomState(seed)
+    n = len(sample)
+    nlist = min(nlist, n)
+    cent = sample[rng.choice(n, size=nlist, replace=False)].copy()
+    norms = np.linalg.norm(cent, axis=1)
+    norms[norms == 0] = 1.0
+    cent /= norms[:, None]
+    for _ in range(iters):
+        sims = sample @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(nlist):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int | None = None,
+    nprobe: int = 4,
+    sample_size: int = 65_536,
+    seed: int = 42,
+    chunk: int = 2048,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Approximate self-kNN via IVF (inverted-file) buckets - the second
+    ANN scale path next to knn_lsh: a spherical k-means coarse quantizer
+    (trained once on a driver sample, broadcast via ray.put) assigns every
+    vector to its nearest centroid's list; each vector queries its
+    ``nprobe`` nearest lists. One groupby on the list id co-locates each
+    list's members with the queries probing it; per-list rerank is a
+    chunked matmul; a hash-partitioned vectorized pass merges per-query
+    candidates. Approximate: recall grows with nprobe.
+
+    ``id_col`` must be integer-valued (same constraint as knn_lsh)."""
+    from ..util import default_shuffle_partitions
+
+    n = ds.count()
+    if nlist is None:
+        nlist = max(4, int(np.sqrt(max(n, 4))))
+    sample_tbl = ds.limit(min(sample_size, n)).take_batch(
+        min(sample_size, n), batch_format="pyarrow"
+    )
+    sample = _stack_embeddings(pa.table(sample_tbl).column(vec_col))
+    norms = np.linalg.norm(sample, axis=1)
+    norms[norms == 0] = 1.0
+    cent = _kmeans_fit(sample / norms[:, None], nlist, seed=seed)
+    cent_ref = ray.put(cent)
+
+    class _Assign:
+        """role 0 = list member (own nearest list), role 1..nprobe-1 =
+        extra probe copies of the row as a QUERY only."""
+
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            v = _stack_embeddings(b.column(vec_col))
+            nn = np.linalg.norm(v, axis=1)
+            nn[nn == 0] = 1.0
+            vs = v / nn[:, None]
+            sims = vs @ self.cent.T
+            kk = min(nprobe, sims.shape[1])
+            probes = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            # order probes so column 0 is the TRUE nearest list
+            rowsel = np.arange(len(vs))[:, None]
+            order = np.argsort(-sims[rowsel, probes], axis=1, kind="stable")
+            probes = probes[rowsel, order]
+            ids = np.asarray(b.column(id_col), dtype=np.int64)
+            flat_ids = np.repeat(ids, kk)
+            flat_list = probes.ravel().astype(np.int64)
+            member = np.zeros(len(vs) * kk, dtype=bool)
+            member[0::kk] = True
+            emb = np.repeat(vs, kk, axis=0)
+            return pa.table(
+                {
+                    id_col: pa.array(flat_ids),
+                    "list_id": pa.array(flat_list),
+                    "is_member": pa.array(member),
+                    vec_col: pa.FixedSizeListArray.from_arrays(
+                        pa.array(emb.ravel()), emb.shape[1]
+                    ),
+                }
+            )
+
+    assigned = ds.map_batches(
+        _Assign, batch_format="pyarrow", concurrency=default_pool(concurrency)
+    )
+
+    def per_list(df: pd.DataFrame) -> pd.DataFrame:
+        mem = df[df["is_member"]]
+        if len(mem) < 1 or len(df) == 0:
+            return pd.DataFrame(
+                {id_col: [], "neighbor_id": [], "rank": [], "cosine": []}
+            ).astype({id_col: np.int64, "neighbor_id": np.int64, "rank": np.int64, "cosine": np.float64})
+        cvs = np.stack(mem[vec_col].to_numpy()).astype(np.float64)
+        cids = mem[id_col].to_numpy(np.int64)
+        qvs = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        qids = df[id_col].to_numpy(np.int64)
+        outs = []
+        kk = min(k, max(len(cids) - 1, 1))
+        for s in range(0, len(qids), chunk):
+            e = min(s + chunk, len(qids))
+            sims = qvs[s:e] @ cvs.T
+            sims[qids[s:e, None] == cids[None, :]] = -np.inf  # self
+            kc = min(kk, sims.shape[1])
+            part = np.argpartition(-sims, kth=kc - 1, axis=1)[:, :kc]
+            rowsel = np.arange(e - s)[:, None]
+            psims = sims[rowsel, part]
+            pids = cids[part]
+            o1 = np.argsort(pids, axis=1, kind="stable")
+            psims = psims[rowsel, o1]
+            pids = pids[rowsel, o1]
+            o2 = np.argsort(-psims, axis=1, kind="stable")
+            keep = np.isfinite(psims[rowsel, o2])
+            outs.append(
+                (
+                    np.repeat(qids[s:e], kc)[keep.ravel()],
+                    pids[rowsel, o2].ravel()[keep.ravel()],
+                    np.tile(np.arange(1, kc + 1, dtype=np.int64), e - s)[keep.ravel()],
+                    psims[rowsel, o2].ravel()[keep.ravel()],
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {id_col: [], "neighbor_id": [], "rank": [], "cosine": []}
+            ).astype({id_col: np.int64, "neighbor_id": np.int64, "rank": np.int64, "cosine": np.float64})
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate([o[0] for o in outs]),
+                "neighbor_id": np.concatenate([o[1] for o in outs]),
+                "rank": np.concatenate([o[2] for o in outs]),
+                "cosine": np.concatenate([o[3] for o in outs]),
+            }
+        )
+
+    nparts = default_shuffle_partitions()
+    cands = (
+        assigned.repartition(nparts)
+        .groupby("list_id")
+        .map_groups(per_list, batch_format="pandas")
+    )
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = pd.util.hash_array(df[id_col].to_numpy()) % nparts
+        return df
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(
+            [id_col, "cosine", "neighbor_id"], ascending=[True, False, True], kind="stable"
+        ).drop_duplicates(subset=[id_col, "neighbor_id"])
+        d = d.groupby(id_col, sort=False).head(k).copy()
+        d["rank"] = d.groupby(id_col, sort=False).cumcount().to_numpy() + 1
+        return d[[id_col, "neighbor_id", "rank", "cosine"]]
+
+    return (
+        cands.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(merge_part, batch_format="pandas")
+    )

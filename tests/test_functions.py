@@ -326,3 +326,30 @@ def test_simhash_candidate_pairs(docs):
     # determinism
     again = simhash_candidate_pairs(docs, max_hamming=3).to_pandas()
     assert set(map(tuple, again[["id_a", "id_b"]].to_numpy())) == got
+
+
+def test_knn_ivf_recall_vs_brute(rng):
+    import pyarrow as pa
+    from geopandas_ray.functions.knn import knn_brute, knn_ivf
+
+    n, dim = 1500, 16
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n)),
+        "embedding": pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel()), dim),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    ivf = knn_ivf(ds, k=3, nlist=16, nprobe=6).to_pandas()
+    assert ivf["rank"].max() <= 3 and len(ivf) <= 3 * n
+    brute = knn_brute(ray.data.from_arrow(t), t, k=3).to_pandas()
+    bset = set(zip(brute.vec_id, brute.neighbor_id))
+    hits = sum((q, nn) in bset for q, nn in zip(ivf.vec_id, ivf.neighbor_id))
+    recall = hits / len(brute)
+    assert recall > 0.5, recall
+    # higher nprobe -> higher (or equal) recall
+    ivf1 = knn_ivf(ds, k=3, nlist=16, nprobe=1).to_pandas()
+    hits1 = sum((q, nn) in bset for q, nn in zip(ivf1.vec_id, ivf1.neighbor_id))
+    assert hits >= hits1
+    # determinism
+    again = knn_ivf(ds, k=3, nlist=16, nprobe=6).to_pandas()
+    assert set(zip(again.vec_id, again.neighbor_id)) == set(zip(ivf.vec_id, ivf.neighbor_id))
