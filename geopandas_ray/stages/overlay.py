@@ -48,24 +48,6 @@ from .sjoin import _materialize
 HOWS = ("intersection", "union", "identity", "symmetric_difference", "difference")
 
 
-def _region_to_wkb(reg: RectRegion) -> bytes | None:
-    if reg.is_empty():
-        return None
-    r = reg.rects
-    g = box_geoms(r[:, 0], r[:, 1], r[:, 2], r[:, 3])
-    if len(r) == 1:
-        return to_wkb(g)[0].as_py()
-    merged = Geoms(
-        g.coords,
-        g.ring_offsets,
-        g.part_offsets,
-        np.array([0, len(r)]),
-        g.part_types,
-        np.array([6], dtype=np.int8),
-    )
-    return to_wkb(merged)[0].as_py()
-
-
 def _ring_is_convex(ring: np.ndarray) -> bool:
     if len(ring) < 4:
         return False
@@ -181,7 +163,7 @@ def pair_intersection_wkb(
     lr = geom_rects(lg, i)
     rr = geom_rects(rg, j)
     if lr is not None and rr is not None:
-        return _region_to_wkb(region_intersection(lr, rr))
+        return _rects_to_polygon_wkb(region_intersection(lr, rr).rects)
     cb = _single_convex_ring(rg, j)
     if cb is not None:
         pieces = []
@@ -257,7 +239,7 @@ def pair_difference_wkb(lg: Geoms, i: int, partner_wkbs: list[bytes]) -> bytes |
             acc = region_difference(acc, r)
             if acc.is_empty():
                 return None
-        return _region_to_wkb(acc)
+        return _rects_to_polygon_wkb(acc.rects)
     from ..geom.booleans import clip_polyline, geom_polygons, rings_boolean
 
     b_polys = []
