@@ -154,6 +154,61 @@ def binary_union(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def binary_symmetric_difference(
+    ds: ray.data.Dataset, other, geometry: str = "geometry", out: str = "symmetric_difference"
+):
+    """base.py:3958 row-aligned symmetric difference (general simple
+    polygons via the slab-sweep kernel; point rows use set semantics;
+    a missing side passes the other through, GEOS-style)."""
+    import struct
+
+    from ..geom.booleans import polygon_boolean
+    from .clip import _parts_to_wkb
+
+    empty = struct.pack("<BII", 1, 3, 0)  # POLYGON EMPTY
+
+    def f(b: pa.Table) -> pa.Table:
+        lg, rg, ri = _two_sides(b, geometry, other)
+        vals = []
+        for i in range(len(lg)):
+            j = int(ri[i])
+            l_mis = bool(lg.is_missing[i])
+            r_mis = bool(rg.is_missing[j])
+            if l_mis and r_mis:
+                vals.append(None)
+                continue
+            if l_mis or r_mis:
+                src, row = (rg, j) if l_mis else (lg, i)
+                vals.append(to_wkb(src.take([row]))[0].as_py())
+                continue
+            tl, tr = int(lg.row_types[i]), int(rg.row_types[j])
+            if tl in (1, 4) and tr in (1, 4):
+                ax, ay = K._row_points(lg, i)
+                bx, by = K._row_points(rg, j)
+                a = {(float(x), float(y)) for x, y in zip(ax, ay)}
+                bset = {(float(x), float(y)) for x, y in zip(bx, by)}
+                keep = sorted(a ^ bset)
+                vals.append(
+                    _parts_to_wkb([(1, [np.array([[x, y]])]) for x, y in keep])
+                    if keep
+                    else empty
+                )
+                continue
+            if tl in (3, 6) and tr in (3, 6):
+                polys = polygon_boolean(lg, i, rg, j, "symmetric_difference")
+                vals.append(
+                    _parts_to_wkb([(3, rings) for rings in polys]) if polys else empty
+                )
+                continue
+            raise NotImplementedError(
+                "symmetric_difference implemented for puntal/puntal and "
+                "polygonal/polygonal row pairs (mixed-dimension pairs need GEOS)"
+            )
+        return b.append_column(out, pa.array(vals, type=pa.large_binary()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _shared_subsegments(sa: np.ndarray, sb: np.ndarray):
     """Collinear overlapping portions between segment sets ``sa``/``sb``
     ((S,4) arrays of [x0,y0,x1,y1]).

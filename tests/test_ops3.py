@@ -395,3 +395,21 @@ def test_relate_lineal_families():
         "101FF0212",  # line passing through polygon
         "0FFFFF102",  # point on line interior
     ]
+
+
+def test_binary_symmetric_difference():
+    from geopandas_ray.stages.binary import binary_symmetric_difference
+
+    sq1 = _parts_to_wkb([(W.POLYGON, [ring((0, 0), (4, 0), (4, 4), (0, 4))])])
+    sq2 = _parts_to_wkb([(W.POLYGON, [ring((2, 0), (6, 0), (6, 4), (2, 4))])])
+    pts1 = _parts_to_wkb([(W.POINT, [np.array([[0.0, 0]])]), (W.POINT, [np.array([[1.0, 1]])])])
+    pts2 = _parts_to_wkb([(W.POINT, [np.array([[1.0, 1]])]), (W.POINT, [np.array([[2.0, 2]])])])
+    d = ds_of([sq1, pts1, sq1, None], other=pa.array([sq2, pts2, None, sq2], type=pa.large_binary()))
+    out = binary_symmetric_difference(d, "other", out="sd").to_pandas().sort_values("id")
+    g = W.from_wkb([out.sd.iloc[0]])
+    assert K.area(g)[0] == 16.0  # two 2x4 slivers
+    g1 = W.from_wkb([out.sd.iloc[1]])
+    px, py = K._row_points(g1, 0)
+    assert sorted(zip(px, py)) == [(0.0, 0.0), (2.0, 2.0)]
+    # missing side passes the other through
+    assert out.sd.iloc[2] == sq1 and out.sd.iloc[3] == sq2
