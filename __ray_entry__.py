@@ -665,6 +665,31 @@ def q_bpe_tokens(sf_dir):
     return _select(with_bpe_tokens(ds), ["doc_id", "n_bpe_tokens"])
 
 
+def q_relate_point_rect(sf_dir):
+    # DE-9IM relate gets a CORRECTNESS row: point x rect matrices are
+    # SQL-expressible (inside / on-boundary / outside CASE)
+    import ray.data
+
+    from geopandas_ray.geom.wkb import boxes_to_wkb, points_to_wkb
+    from geopandas_ray.stages.binary import binary_relate
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        px = ((did * 37) % 1000).astype(np.float64)
+        py = ((did * 91) % 1000).astype(np.float64)
+        minx = ((did * 13) % 900).astype(np.float64)
+        miny = ((did * 29) % 880).astype(np.float64)
+        maxx = minx + 40 + (did % 5) * 30
+        maxy = miny + 30 + (did % 7) * 25
+        b = b.append_column("geometry", points_to_wkb(px, py))
+        return b.append_column("other", boxes_to_wkb(minx, miny, maxx, maxy))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    return _select(binary_relate(ds, "other", out="relate"), ["doc_id", "relate"])
+
+
 def q_span_media_flatten(sf_dir):
     # interleaved-span column (input_hint schema): synthesize spans
     # deterministically from doc_id (FIXTURES.md F1 rule), flatten via the
@@ -935,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_near_dup": q_embed_near_dup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "span_media_flatten": q_span_media_flatten,
+        "relate_point_rect": q_relate_point_rect,
         "bpe_tokens": q_bpe_tokens,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -1250,6 +1276,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')) AS n_bpe_tokens
             FROM documents
+        """,
+        "relate_point_rect": """
+            WITH base AS (
+              SELECT doc_id,
+                CAST((doc_id*37)%1000 AS DOUBLE) AS px, CAST((doc_id*91)%1000 AS DOUBLE) AS py,
+                CAST((doc_id*13)%900 AS DOUBLE) AS minx, CAST((doc_id*29)%880 AS DOUBLE) AS miny,
+                CAST((doc_id*13)%900 + 40 + (doc_id%5)*30 AS DOUBLE) AS maxx,
+                CAST((doc_id*29)%880 + 30 + (doc_id%7)*25 AS DOUBLE) AS maxy
+              FROM documents)
+            SELECT doc_id, CASE
+              WHEN px > minx AND px < maxx AND py > miny AND py < maxy THEN '0FFFFF212'
+              WHEN ((px = minx OR px = maxx) AND py >= miny AND py <= maxy)
+                OR ((py = miny OR py = maxy) AND px >= minx AND px <= maxx) THEN 'F0FFFF212'
+              ELSE 'FF0FFF212' END AS relate
+            FROM base
         """,
         "fingerprint": (
             "SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT "
