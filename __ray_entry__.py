@@ -690,6 +690,48 @@ def q_relate_point_rect(sf_dir):
     return _select(binary_relate(ds, "other", out="relate"), ["doc_id", "relate"])
 
 
+def q_shared_paths_len(sf_dir):
+    # shared_paths CORRECTNESS row: collinear horizontal segments derived
+    # from doc_id; shared length is exact integer interval math in SQL
+    import ray.data
+
+    from geopandas_ray.geom import kernels as _K
+    from geopandas_ray.geom.wkb import from_wkb as _fw
+    from geopandas_ray.stages.binary import binary_shared_paths
+    from geopandas_ray.stages.clip import _parts_to_wkb
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        y = ((did * 7) % 500).astype(np.float64)
+        ax0 = ((did * 13) % 900).astype(np.float64)
+        ax1 = ax0 + 40 + (did % 5) * 30
+        bx0 = ax0 + (did % 60)
+        bx1 = bx0 + 35
+        la = [
+            _parts_to_wkb([(2, [np.array([[ax0[i], y[i]], [ax1[i], y[i]]])])])
+            for i in range(len(did))
+        ]
+        lb = [
+            _parts_to_wkb([(2, [np.array([[bx0[i], y[i]], [bx1[i], y[i]]])])])
+            for i in range(len(did))
+        ]
+        b = b.append_column("geometry", pa.array(la, type=pa.large_binary()))
+        return b.append_column("other", pa.array(lb, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    sp = binary_shared_paths(ds, "other", out="sp")
+
+    def lens(b):
+        g = _fw(b.column("sp"))
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "shared_len": pa.array(_K.length(g))}
+        )
+
+    return sp.map_batches(lens, batch_format="pyarrow")
+
+
 def q_span_media_flatten(sf_dir):
     # interleaved-span column (input_hint schema): synthesize spans
     # deterministically from doc_id (FIXTURES.md F1 rule), flatten via the
@@ -961,6 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "span_media_flatten": q_span_media_flatten,
         "relate_point_rect": q_relate_point_rect,
+        "shared_paths_len": q_shared_paths_len,
         "bpe_tokens": q_bpe_tokens,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -1291,6 +1334,16 @@ def oracle_sql() -> dict[str, str]:
                 OR ((py = miny OR py = maxy) AND px >= minx AND px <= maxx) THEN 'F0FFFF212'
               ELSE 'FF0FFF212' END AS relate
             FROM base
+        """,
+        "shared_paths_len": """
+            SELECT doc_id,
+                   CAST(GREATEST(0,
+                     LEAST((doc_id*13)%900 + 40 + (doc_id%5)*30,
+                           (doc_id*13)%900 + (doc_id%60) + 35)
+                     - GREATEST((doc_id*13)%900,
+                                (doc_id*13)%900 + (doc_id%60))
+                   ) AS DOUBLE) AS shared_len
+            FROM documents
         """,
         "fingerprint": (
             "SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT "
