@@ -938,6 +938,305 @@ def q_langid(sf_dir):
     return _select(with_langid(ds), ["doc_id", "lang_pred"])
 
 
+def q_covered_by_join(sf_dir):
+    # covered_by includes boundary contact (vs within's strict interior)
+    from geopandas_ray.pipelines.datasets import doc_points, zone_table
+    from geopandas_ray.stages.sjoin import sjoin
+
+    j = sjoin(doc_points(sf_dir), zone_table(sf_dir), how="inner", predicate="covered_by")
+    return _select(j, ["doc_id", "zone_key"])
+
+
+def q_covers_join(sf_dir):
+    # zones covering points (closed containment, boundary included)
+    from geopandas_ray.pipelines.datasets import doc_points, zone_dataset
+    from geopandas_ray.stages.sjoin import _materialize, sjoin
+
+    pts = _materialize(doc_points(sf_dir))
+    j = sjoin(zone_dataset(sf_dir), pts, how="inner", predicate="covers")
+    return _select(j, ["zone_key", "doc_id"])
+
+
+def q_overlaps_join(sf_dir):
+    # same-dimension partial-interior overlap between the two rect layers
+    from geopandas_ray.pipelines.datasets import supplier_zone_table, zone_dataset
+    from geopandas_ray.stages.sjoin import sjoin
+
+    j = sjoin(zone_dataset(sf_dir), supplier_zone_table(sf_dir), how="inner", predicate="overlaps")
+    return _select(j, ["zone_key", "s_key"])
+
+
+def q_crosses_join(sf_dir):
+    # horizontal per-doc segments at half-integer y (never collinear with a
+    # rect edge) crossing zone rectangles - exercises the general DE-9IM
+    # tier behind the crosses predicate
+    import ray.data
+
+    from geopandas_ray.pipelines.datasets import zone_table
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.sjoin import sjoin
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        px = ((did * 37) % 1000).astype(np.float64)
+        y = ((did * 91) % 1000).astype(np.float64) + 0.5
+        vals = [
+            _parts_to_wkb([(2, [np.array([[px[i] - 10.0, y[i]], [px[i] + 10.0, y[i]]])])])
+            for i in range(len(did))
+        ]
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    lines = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    j = sjoin(lines, zone_table(sf_dir), how="inner", predicate="crosses")
+    return _select(j, ["doc_id", "zone_key"])
+
+
+def _paired_rects(sf_dir):
+    # row-aligned rect pairs for binary set-ops: A from the zone recipe on
+    # doc_id, B = A shifted by (did%120-60, did%90-45) - mixes overlapping
+    # and disjoint pairs
+    import ray.data
+
+    from geopandas_ray.geom.wkb import boxes_to_wkb
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        minx = ((did * 13) % 900).astype(np.float64)
+        miny = ((did * 29) % 880).astype(np.float64)
+        maxx = minx + 40 + (did % 5) * 30
+        maxy = miny + 30 + (did % 7) * 25
+        sx = (did % 120 - 60).astype(np.float64)
+        sy = (did % 90 - 45).astype(np.float64)
+        b = b.append_column("geometry", boxes_to_wkb(minx, miny, maxx, maxy))
+        return b.append_column("other", boxes_to_wkb(minx + sx, miny + sy, maxx + sx, maxy + sy))
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+
+
+def q_setop_areas(sf_dir):
+    # row-aligned intersection/union/difference/symmetric_difference through
+    # the boolean kernel; areas are integer-exact inclusion-exclusion in SQL
+    from geopandas_ray.geom import kernels as _K
+    from geopandas_ray.geom.wkb import from_wkb as _fw
+    from geopandas_ray.stages.binary import (
+        binary_difference,
+        binary_intersection,
+        binary_symmetric_difference,
+        binary_union,
+    )
+
+    ds = _paired_rects(sf_dir)
+    ds = binary_intersection(ds, "other", out="inter_g")
+    ds = binary_difference(ds, "other", out="diff_g")
+    ds = binary_union(ds, "other", out="union_g")
+    ds = binary_symmetric_difference(ds, "other", out="sym_g")
+
+    def areas(b: pa.Table) -> pa.Table:
+        out = {"doc_id": b.column("doc_id")}
+        for col, name in (
+            ("inter_g", "inter_area"),
+            ("diff_g", "diff_area"),
+            ("union_g", "union_area"),
+            ("sym_g", "sym_area"),
+        ):
+            g = _fw(b.column(col))
+            a = _K.area(g)
+            out[name] = pa.array(np.where(g.is_missing | g.is_empty, 0.0, a))
+        return pa.table(out)
+
+    return ds.map_batches(areas, batch_format="pyarrow")
+
+
+def q_holes_props(sf_dir):
+    # polygon-with-hole fixture: area nets out the hole, exterior/interiors
+    # ring CSR slices, count_interior_rings - all integer-exact
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_area, with_length
+    from geopandas_ray.stages.ops3 import (
+        with_count_interior_rings,
+        with_exterior,
+        with_interiors,
+    )
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        ox = ((did * 11) % 800).astype(np.float64)
+        oy = ((did * 17) % 800).astype(np.float64)
+        ow = (50 + (did % 4) * 20).astype(np.float64)
+        oh = (40 + (did % 6) * 15).astype(np.float64)
+        vals = []
+        for i in range(len(did)):
+            x0, y0, w, h = ox[i], oy[i], ow[i], oh[i]
+            outer = np.array(
+                [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]]
+            )
+            hx0, hy0 = x0 + 10, y0 + 8
+            hw, hh = w - 25, h - 20
+            hole = np.array(
+                [
+                    [hx0, hy0],
+                    [hx0, hy0 + hh],
+                    [hx0 + hw, hy0 + hh],
+                    [hx0 + hw, hy0],
+                    [hx0, hy0],
+                ]
+            )
+            vals.append(_parts_to_wkb([(3, [outer, hole])]))
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = with_area(ds)
+    ds = with_count_interior_rings(ds, out="n_holes")
+    ds = with_exterior(ds, out="ext_g")
+    ds = with_length(ds, geometry="ext_g", out="ext_len")
+    ds = with_interiors(ds, out="int_g")
+    ds = with_length(ds, geometry="int_g", out="int_len")
+    return _select(ds, ["doc_id", "area", "n_holes", "ext_len", "int_len"])
+
+
+def q_project_interpolate(sf_dir):
+    # project the doc point onto a length-64 horizontal segment (power-of-two
+    # length keeps the projection parameter exact) + interpolate at 25
+    import ray.data
+
+    from geopandas_ray.stages.binary import binary_project
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_xy
+    from geopandas_ray.stages.ops2 import interpolate
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        a = ((did * 13) % 900).astype(np.float64)
+        y = ((did * 7) % 500).astype(np.float64)
+        px = ((did * 37) % 1000).astype(np.float64)
+        py = ((did * 91) % 1000).astype(np.float64)
+        segs = [
+            _parts_to_wkb([(2, [np.array([[a[i], y[i]], [a[i] + 64.0, y[i]]])])])
+            for i in range(len(did))
+        ]
+        from geopandas_ray.geom.wkb import points_to_wkb
+
+        b = b.append_column("geometry", pa.array(segs, type=pa.large_binary()))
+        return b.append_column("pt", points_to_wkb(px, py))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = binary_project(ds, "pt", out="proj")
+    ds = interpolate(ds, 25.0, out="interp_g")
+    ds = with_xy(ds, geometry="interp_g")
+    ds = _rename(ds, {"x": "ix", "y": "iy"})
+    return _select(ds, ["doc_id", "proj", "ix", "iy"])
+
+
+def q_segment_distances(sf_dir):
+    # hausdorff over x-disjoint horizontal segments (every vertex projection
+    # clamps to an endpoint -> exact integer squared distances, single sqrt)
+    # and discrete Frechet over vertically-aligned segments (result is the
+    # exact integer vertical offset, but flows through the real DP)
+    import ray.data
+
+    from geopandas_ray.stages.binary import binary_frechet, binary_hausdorff
+    from geopandas_ray.stages.clip import _parts_to_wkb
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        a0 = ((did * 13) % 900).astype(np.float64)
+        a1 = a0 + 40 + (did % 5) * 30
+        y1 = ((did * 7) % 500).astype(np.float64)
+        b0 = a1 + 1 + (did % 40)
+        b1 = b0 + 30
+        y2 = y1 + 1 + (did % 20)
+        y3 = y1 + 5 + (did % 12)
+        seg_a, seg_b, seg_c = [], [], []
+        for i in range(len(did)):
+            seg_a.append(
+                _parts_to_wkb([(2, [np.array([[a0[i], y1[i]], [a1[i], y1[i]]])])])
+            )
+            seg_b.append(
+                _parts_to_wkb([(2, [np.array([[b0[i], y2[i]], [b1[i], y2[i]]])])])
+            )
+            seg_c.append(
+                _parts_to_wkb([(2, [np.array([[a0[i], y3[i]], [a1[i], y3[i]]])])])
+            )
+        b = b.append_column("geometry", pa.array(seg_a, type=pa.large_binary()))
+        b = b.append_column("other_h", pa.array(seg_b, type=pa.large_binary()))
+        return b.append_column("other_f", pa.array(seg_c, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = binary_hausdorff(ds, "other_h", out="hausdorff")
+    ds = binary_frechet(ds, "other_f", out="frechet")
+    return _select(ds, ["doc_id", "hausdorff", "frechet"])
+
+
+def q_snap_points(sf_dir):
+    # vertex snap: doc point snaps to its derived partner iff within 5 units
+    import ray.data
+
+    from geopandas_ray.geom.wkb import points_to_wkb
+    from geopandas_ray.stages.binary import binary_snap
+    from geopandas_ray.stages.ops import with_xy
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        px = ((did * 37) % 1000).astype(np.float64)
+        py = ((did * 91) % 1000).astype(np.float64)
+        qx = px + (did % 15 - 7)
+        qy = py + (did % 11 - 5)
+        b = b.append_column("geometry", points_to_wkb(px, py))
+        return b.append_column("other", points_to_wkb(qx, qy))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = with_xy(binary_snap(ds, "other", tolerance=5.0))
+    return _select(ds, ["doc_id", "x", "y"])
+
+
+def q_equals_exact_flags(sf_dir):
+    # structural equality within tolerance on derived point pairs
+    import ray.data
+
+    from geopandas_ray.geom.wkb import points_to_wkb
+    from geopandas_ray.stages.binary import binary_geom_equals_exact
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        px = ((did * 37) % 1000).astype(np.float64)
+        py = ((did * 91) % 1000).astype(np.float64)
+        qx = px + (did % 9 - 4)
+        qy = py + (did % 7 - 3)
+        b = b.append_column("geometry", points_to_wkb(px, py))
+        return b.append_column("other", points_to_wkb(qx, qy))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = binary_geom_equals_exact(ds, "other", tolerance=2.0, out="eq2")
+    return _select(ds, ["doc_id", "eq2"])
+
+
+def q_envelope_bounds(sf_dir):
+    # envelope of the concave L zones = their bbox rect
+    from geopandas_ray.pipelines.datasets import zone_l_dataset
+    from geopandas_ray.stages.ops import with_area, with_bounds, with_envelope
+
+    z = with_envelope(zone_l_dataset(sf_dir), out="env")
+    z = with_bounds(z, geometry="env")
+    z = with_area(z, geometry="env", out="env_area")
+    return _select(z, ["zone_key", "minx", "miny", "maxx", "maxy", "env_area"])
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1017,6 +1316,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "buffer_mitre_area": q_buffer_mitre_area,
         "buffer_erode_area": q_buffer_erode_area,
         "sjoin_nearest_rect": q_sjoin_nearest_rect,
+        "covered_by_join": q_covered_by_join,
+        "covers_join": q_covers_join,
+        "overlaps_join": q_overlaps_join,
+        "crosses_join": q_crosses_join,
+        "setop_areas": q_setop_areas,
+        "holes_props": q_holes_props,
+        "project_interpolate": q_project_interpolate,
+        "segment_distances": q_segment_distances,
+        "snap_points": q_snap_points,
+        "equals_exact_flags": q_equals_exact_flags,
+        "envelope_bounds": q_envelope_bounds,
         "overlay_concave": q_overlay_concave,
         "clip_concave_mask": q_clip_concave_mask,
         "make_valid_area": q_make_valid_area,
@@ -1276,6 +1586,82 @@ def oracle_sql() -> dict[str, str]:
         "intersection_all_box": (
             f"{W} SELECT CAST(0.0 AS DOUBLE) AS minx, CAST(0.0 AS DOUBLE) AS miny, "
             "1000.0 + MIN(px) AS maxx, 1000.0 + MIN(py) AS maxy FROM pts"
+        ),
+        "covered_by_join": (
+            f"{W} SELECT p.doc_id, z.zone_key FROM pts p JOIN zones z ON "
+            "p.px >= z.zminx AND p.px <= z.zmaxx AND p.py >= z.zminy AND p.py <= z.zmaxy"
+        ),
+        "covers_join": (
+            f"{W} SELECT z.zone_key, p.doc_id FROM zones z JOIN pts p ON "
+            "p.px >= z.zminx AND p.px <= z.zmaxx AND p.py >= z.zminy AND p.py <= z.zmaxy"
+        ),
+        "overlaps_join": (
+            f"{W} SELECT z.zone_key, s.s_key FROM zones z JOIN zones2 s ON "
+            "LEAST(z.zmaxx, s.smaxx) > GREATEST(z.zminx, s.sminx) AND "
+            "LEAST(z.zmaxy, s.smaxy) > GREATEST(z.zminy, s.sminy) AND "
+            "NOT (z.zminx >= s.sminx AND z.zmaxx <= s.smaxx AND z.zminy >= s.sminy AND z.zmaxy <= s.smaxy) AND "
+            "NOT (s.sminx >= z.zminx AND s.smaxx <= z.zmaxx AND s.sminy >= z.zminy AND s.smaxy <= z.zmaxy)"
+        ),
+        "crosses_join": (
+            # line at y=py+0.5 from px-10 to px+10 crosses the rect iff its
+            # interior meets the rect interior AND it pokes out of the rect
+            f"{W} SELECT p.doc_id, z.zone_key FROM pts p JOIN zones z ON "
+            "(p.py + 0.5) > z.zminy AND (p.py + 0.5) < z.zmaxy AND "
+            "LEAST(p.px + 10, z.zmaxx) > GREATEST(p.px - 10, z.zminx) AND "
+            "NOT (p.px - 10 >= z.zminx AND p.px + 10 <= z.zmaxx)"
+        ),
+        "setop_areas": (
+            "WITH r AS (SELECT doc_id, "
+            "CAST(40 + (doc_id%5)*30 AS DOUBLE) AS w, "
+            "CAST(30 + (doc_id%7)*25 AS DOUBLE) AS h, "
+            "CAST(ABS(doc_id%120 - 60) AS DOUBLE) AS adx, "
+            "CAST(ABS(doc_id%90 - 45) AS DOUBLE) AS ady FROM documents), "
+            "i AS (SELECT doc_id, w, h, "
+            "GREATEST(w - adx, 0) * GREATEST(h - ady, 0) AS ia FROM r) "
+            "SELECT doc_id, ia AS inter_area, w*h - ia AS diff_area, "
+            "2*w*h - ia AS union_area, 2*w*h - 2*ia AS sym_area FROM i"
+        ),
+        "holes_props": (
+            "WITH r AS (SELECT doc_id, CAST(50 + (doc_id%4)*20 AS DOUBLE) AS ow, "
+            "CAST(40 + (doc_id%6)*15 AS DOUBLE) AS oh FROM documents) "
+            "SELECT doc_id, ow*oh - (ow-25)*(oh-20) AS area, "
+            "CAST(1 AS BIGINT) AS n_holes, 2*(ow+oh) AS ext_len, "
+            "2*((ow-25)+(oh-20)) AS int_len FROM r"
+        ),
+        "project_interpolate": (
+            f"{W}, s AS (SELECT doc_id, px, CAST((doc_id*13)%900 AS DOUBLE) AS a, "
+            "CAST((doc_id*7)%500 AS DOUBLE) AS sy FROM pts) "
+            "SELECT doc_id, LEAST(GREATEST(px - a, 0), 64) AS proj, "
+            "a + 25 AS ix, sy AS iy FROM s"
+        ),
+        "segment_distances": (
+            # x-disjoint parallel segments: every vertex's nearest point on
+            # the partner is an endpoint, so d^2 is integer-exact; single
+            # sqrt of the max. Frechet fixture is vertically aligned: the DP
+            # result is exactly the integer vertical offset.
+            "WITH s AS (SELECT doc_id, "
+            "CAST((doc_id*13)%900 AS DOUBLE) AS a0, "
+            "CAST((doc_id*13)%900 + 40 + (doc_id%5)*30 AS DOUBLE) AS a1, "
+            "CAST(1 + doc_id%20 AS DOUBLE) AS dy FROM documents), "
+            "t AS (SELECT doc_id, a1 + 1 + (doc_id%40) AS b0, "
+            "a1 + 31 + (doc_id%40) AS b1, a0, a1, dy FROM s) "
+            "SELECT doc_id, sqrt(GREATEST("
+            "POWER(b0 - a0, 2), POWER(b0 - a1, 2), POWER(b1 - a1, 2)) + dy*dy"
+            ") AS hausdorff, CAST(5 + doc_id%12 AS DOUBLE) AS frechet FROM t"
+        ),
+        "snap_points": (
+            f"{W}, s AS (SELECT doc_id, px, py, "
+            "CAST(doc_id%15 - 7 AS DOUBLE) AS dx, CAST(doc_id%11 - 5 AS DOUBLE) AS dy FROM pts) "
+            "SELECT doc_id, CASE WHEN dx*dx + dy*dy <= 25 THEN px + dx ELSE px END AS x, "
+            "CASE WHEN dx*dx + dy*dy <= 25 THEN py + dy ELSE py END AS y FROM s"
+        ),
+        "equals_exact_flags": (
+            "SELECT doc_id, ABS(doc_id%9 - 4) <= 2 AND ABS(doc_id%7 - 3) <= 2 AS eq2 "
+            "FROM documents"
+        ),
+        "envelope_bounds": (
+            f"{W} SELECT zone_key, zminx AS minx, zminy AS miny, zmaxx AS maxx, "
+            "zmaxy AS maxy, (zmaxx-zminx)*(zmaxy-zminy) AS env_area FROM zones"
         ),
         # FNV-style polynomial rolling hash mod 2^64 (documents are ASCII so
         # ascii() == byte). HUGEINT split keeps each product under 2^128:

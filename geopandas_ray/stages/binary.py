@@ -661,6 +661,60 @@ def _line_rings(g, i):
     return [rings] if rings else []
 
 
+def _relate_pair_impl(lg, i, rg, j, lbi, rbj, lbei, rbej) -> str | None:
+    """DE-9IM matrix for one row pair (scalar bounds/bbox-equiv supplied)."""
+    if lg.is_missing[i] or rg.is_missing[j]:
+        return None
+    tl, tr = int(lg.row_types[i]), int(rg.row_types[j])
+    l_pt = tl in (1, 4)
+    r_pt = tr in (1, 4)
+    l_poly = tl in (3, 6)
+    r_poly = tr in (3, 6)
+    if tl == 1 and tr == 1:
+        eq = lbi[0] == rbj[0] and lbi[1] == rbj[1]
+        return "0FFFFFFF2" if eq else "FF0FFF0F2"
+    if l_pt and r_pt:
+        return _relate_points_points(lg, i, rg, j)
+    if tl == 1 and rbej and r_poly:
+        return _de9im_point_rect(lbi[0], lbi[1], rbj)
+    if tr == 1 and lbei and l_poly:
+        return _transpose_de9im(_de9im_point_rect(rbj[0], rbj[1], lbi))
+    if l_pt and r_poly:
+        return _relate_points_poly(lg, i, rg, j)
+    if r_pt and l_poly:
+        return _transpose_de9im(_relate_points_poly(rg, j, lg, i))
+    if l_poly and r_poly and lbei and rbej:
+        return _de9im_rect_rect(tuple(lbi), tuple(rbj))
+    if l_poly and r_poly:
+        return _relate_poly_poly(lg, i, rg, j)
+    l_line = tl in (2, 5)
+    r_line = tr in (2, 5)
+    if l_line and r_line:
+        return _relate_line_line(lg, i, rg, j)
+    if l_pt and r_line:
+        return _relate_points_line(lg, i, rg, j)
+    if l_line and r_pt:
+        return _transpose_de9im(_relate_points_line(rg, j, lg, i))
+    if l_line and r_poly:
+        return _relate_line_poly(lg, i, rg, j)
+    if l_poly and r_line:
+        return _transpose_de9im(_relate_line_poly(rg, j, lg, i))
+    raise NotImplementedError(
+        f"relate for type pair ({tl},{tr}) (collections need GEOS)"
+    )
+
+
+def relate_pair(lg, i, rg, j) -> str | None:
+    """DE-9IM matrix for one row pair, computing per-row bounds on demand
+    (used by the crosses/overlaps predicates in stages/core.py)."""
+    li, rj = lg.take([i]), rg.take([j])
+    return _relate_pair_impl(
+        lg, i, rg, j,
+        K.bounds(li)[0], K.bounds(rj)[0],
+        bool(bbox_equiv_mask(li)[0]), bool(bbox_equiv_mask(rj)[0]),
+    )
+
+
 def binary_relate(ds: ray.data.Dataset, other, geometry="geometry", out="relate"):
     """base.py:4924 - DE-9IM matrix string, all type families: exact
     point/rect fast paths; puntal x lineal / puntal x polygonal / lineal x
@@ -677,50 +731,9 @@ def binary_relate(ds: ray.data.Dataset, other, geometry="geometry", out="relate"
         vals = []
         for i in range(len(lg)):
             j = int(ri[i])
-            if lg.is_missing[i] or rg.is_missing[j]:
-                vals.append(None)
-                continue
-            tl, tr = int(lg.row_types[i]), int(rg.row_types[j])
-            l_pt = tl in (1, 4)
-            r_pt = tr in (1, 4)
-            l_poly = tl in (3, 6)
-            r_poly = tr in (3, 6)
-            if tl == 1 and tr == 1:
-                eq = lb[i, 0] == rb[j, 0] and lb[i, 1] == rb[j, 1]
-                vals.append("0FFFFFFF2" if eq else "FF0FFF0F2")
-            elif l_pt and r_pt:
-                vals.append(_relate_points_points(lg, i, rg, j))
-            elif tl == 1 and rbe[j] and r_poly:
-                vals.append(_de9im_point_rect(lb[i, 0], lb[i, 1], rb[j]))
-            elif tr == 1 and lbe[i] and l_poly:
-                vals.append(
-                    _transpose_de9im(_de9im_point_rect(rb[j, 0], rb[j, 1], lb[i]))
-                )
-            elif l_pt and r_poly:
-                vals.append(_relate_points_poly(lg, i, rg, j))
-            elif r_pt and l_poly:
-                vals.append(_transpose_de9im(_relate_points_poly(rg, j, lg, i)))
-            elif l_poly and r_poly and lbe[i] and rbe[j]:
-                vals.append(_de9im_rect_rect(tuple(lb[i]), tuple(rb[j])))
-            elif l_poly and r_poly:
-                vals.append(_relate_poly_poly(lg, i, rg, j))
-            else:
-                l_line = tl in (2, 5)
-                r_line = tr in (2, 5)
-                if l_line and r_line:
-                    vals.append(_relate_line_line(lg, i, rg, j))
-                elif l_pt and r_line:
-                    vals.append(_relate_points_line(lg, i, rg, j))
-                elif l_line and r_pt:
-                    vals.append(_transpose_de9im(_relate_points_line(rg, j, lg, i)))
-                elif l_line and r_poly:
-                    vals.append(_relate_line_poly(lg, i, rg, j))
-                elif l_poly and r_line:
-                    vals.append(_transpose_de9im(_relate_line_poly(rg, j, lg, i)))
-                else:
-                    raise NotImplementedError(
-                        f"relate for type pair ({tl},{tr}) (collections need GEOS)"
-                    )
+            vals.append(
+                _relate_pair_impl(lg, i, rg, j, lb[i], rb[j], bool(lbe[i]), bool(rbe[j]))
+            )
         return b.append_column(out, pa.array(vals, type=pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")

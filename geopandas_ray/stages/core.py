@@ -25,7 +25,27 @@ VALID_PREDICATES = {
     "touches",
     "dwithin",
     "geom_equals",
+    "crosses",
+    "overlaps",
+    "disjoint",
 }
+
+# disjoint is complement-shaped: a bbox-candidate search CANNOT drive it
+# (the matches are exactly the pairs a bbox tree prunes), so joins reject it
+# while the element-wise binary_predicate path accepts it.
+JOIN_PREDICATES = VALID_PREDICATES - {"disjoint"}
+
+
+def _row_dim(g: Geoms, i: int) -> int:
+    """Topological dimension of row i (0 puntal, 1 lineal, 2 polygonal)."""
+    t = int(g.row_types[i])
+    return 0 if t in (1, 4) else (1 if t in (2, 5) else 2)
+
+
+def _de9im_match(m: str, pattern: str) -> bool:
+    return all(
+        p == "*" or (p == "T" and c in "012") or p == c for p, c in zip(pattern, m)
+    )
 
 
 def decode_geoms(batch: pa.Table, col: str = "geometry") -> Geoms:
@@ -97,6 +117,8 @@ def eval_pairs_bbox(
     overlap = (ox >= 0) & (oy >= 0)
     if pred in (None, "intersects"):
         return overlap
+    if pred == "disjoint":
+        return ~overlap
     if pred == "dwithin":
         dx = np.maximum(np.maximum(rb[:, 0] - lb[:, 2], lb[:, 0] - rb[:, 2]), 0.0)
         dy = np.maximum(np.maximum(rb[:, 1] - lb[:, 3], lb[:, 1] - rb[:, 3]), 0.0)
@@ -148,6 +170,20 @@ def eval_pairs_bbox(
             ),
         )
         return overlap & ~interiors
+    if pred == "crosses":
+        # crosses needs dim(A∩B) < max(dim A, dim B) with interiors meeting
+        # on both sides' interior AND exterior; no point/rect combination can
+        # satisfy it (single points have no splittable interior, equal-dim
+        # rects never cross)
+        return np.zeros(len(lb), dtype=bool)
+    if pred == "overlaps":
+        # same-dimension partial interior overlap: only rect x rect can
+        # qualify; interiors must meet (positive-area overlap) and neither
+        # may cover the other
+        return (
+            ~l_is_point & ~r_is_point & (ox > 0) & (oy > 0)
+            & ~inside_closed & ~contains_closed
+        )
     raise ValueError(f"unsupported predicate {pred!r}")
 
 
@@ -167,6 +203,13 @@ def _point_vs_geom_mask(
     interior, boundary = K.points_in_geom(g, row, px, py)
     if pred in (None, "intersects"):
         return interior | boundary
+    if pred == "disjoint":
+        return ~(interior | boundary)
+    if pred in ("crosses", "overlaps"):
+        # a single point can never cross anything (its interior cannot lie
+        # both inside and outside the partner) and never overlaps (either
+        # II or IE/EI is empty for every partner dimension)
+        return np.zeros(len(px), dtype=bool)
     if pred == "geom_equals":
         # a point equals a geometry only when that geometry is spatially the
         # same single point (base.py:2391 spatial equality)
@@ -250,6 +293,28 @@ def _pair_predicate(pred: str, lg: Geoms, i: int, rg: Geoms, j: int, distance) -
         # spatial equality = mutual containment (base.py:2391); exact for
         # the same geometry families geom_within_geom is exact for
         return K.geom_within_geom(lg, i, rg, j) and K.geom_within_geom(rg, j, lg, i)
+    if pred == "disjoint":
+        return not K.geom_intersects_geom(lg, i, rg, j)
+    if pred in ("crosses", "overlaps"):
+        # DE-9IM definitions (OGC SFA 6.1.15.3) evaluated off the full relate
+        # matrix the engine already computes for every type-pair family
+        from .binary import relate_pair  # lazy: binary.py imports this module
+
+        m = relate_pair(lg, i, rg, j)
+        if m is None:
+            return False
+        da, db = _row_dim(lg, i), _row_dim(rg, j)
+        if pred == "crosses":
+            if da < db:
+                return _de9im_match(m, "T*T******")
+            if da > db:
+                return _de9im_match(m, "T*****T**")
+            if da == 1:
+                return m[0] == "0"  # line/line: point intersection only
+            return False
+        if da != db:
+            return False
+        return _de9im_match(m, "1*T***T**" if da == 1 else "T*T***T**")
     raise ValueError(f"unsupported predicate {pred!r}")
 
 

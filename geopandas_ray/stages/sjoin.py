@@ -47,7 +47,7 @@ from ..geom import kernels as K
 from ..geom.index import BBoxTree
 from ..geom.wkb import from_wkb
 from ..grid import DEFAULT_DOMAIN, cell_id, cells_for_bbox
-from .core import VALID_PREDICATES, eval_pairs, suffixed_columns
+from .core import JOIN_PREDICATES, eval_pairs, suffixed_columns
 
 
 def _materialize(right) -> pa.Table:
@@ -64,7 +64,7 @@ def _materialize(right) -> pa.Table:
 def _basic_checks(how, predicate, left_cols, right_cols, on_attribute, lsuffix, rsuffix):
     if how not in ("inner", "left", "right"):
         raise ValueError(f"`how` was `{how}` but is expected to be in {('left', 'right', 'inner')}")
-    if predicate not in VALID_PREDICATES:
+    if predicate not in JOIN_PREDICATES:
         raise ValueError(f"`predicate` = `{predicate}` not supported")
     for frame_cols in (left_cols, right_cols):
         for idx_col in (f"index_{lsuffix}", f"index_{rsuffix}"):
@@ -477,6 +477,8 @@ _SWAPPED_PREDICATE = {
     "contains_properly": None,  # no swapped form on the shuffle path
     "covers": "covered_by",
     "covered_by": "covers",
+    "crosses": "crosses",  # symmetric: the mixed-dim patterns transpose
+    "overlaps": "overlaps",  # symmetric by definition
 }
 
 
