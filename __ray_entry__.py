@@ -1237,6 +1237,210 @@ def q_envelope_bounds(sf_dir):
     return _select(z, ["zone_key", "minx", "miny", "maxx", "maxy", "env_area"])
 
 
+def q_convex_hull_area(sf_dir):
+    # hull of a concave L drops the reflex vertex: area = bbox - cut/2
+    from geopandas_ray.pipelines.datasets import zone_l_dataset
+    from geopandas_ray.stages.ops import with_area
+    from geopandas_ray.stages.ops2 import with_convex_hull
+
+    z = with_convex_hull(zone_l_dataset(sf_dir), out="hull")
+    z = with_area(z, geometry="hull", out="hull_area")
+    return _select(z, ["zone_key", "hull_area"])
+
+
+def q_min_rotated_rect_area(sf_dir):
+    # for an axis-aligned rect the minimum rotated rectangle is itself
+    from geopandas_ray.pipelines.datasets import zone_dataset
+    from geopandas_ray.stages.ops import with_area
+    from geopandas_ray.stages.ops2 import with_min_rotated_rect
+
+    z = with_min_rotated_rect(zone_dataset(sf_dir), out="mrr")
+    z = with_area(z, geometry="mrr", out="mrr_area")
+    return _select(z, ["zone_key", "mrr_area"])
+
+
+def q_simplify_counts(sf_dir):
+    # 3-point polyline with an integer bump: Douglas-Peucker keeps the apex
+    # iff its (exact) perpendicular distance exceeds the tolerance
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_counts
+    from geopandas_ray.stages.ops2 import simplify
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        a = ((did * 13) % 900).astype(np.float64)
+        y = ((did * 7) % 500).astype(np.float64)
+        m = (20 + (did % 6) * 5).astype(np.float64)
+        bump = (did % 5).astype(np.float64)
+        vals = [
+            _parts_to_wkb(
+                [(2, [np.array([[a[i], y[i]], [a[i] + m[i], y[i] + bump[i]], [a[i] + 2 * m[i], y[i]]])])]
+            )
+            for i in range(len(did))
+        ]
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = with_counts(simplify(ds, 1.5))
+    ds = _rename(ds, {"count_coordinates": "n_coords"})
+    return _select(ds, ["doc_id", "n_coords"])
+
+
+def q_delaunay_area(sf_dir):
+    # trapezoid 4-point sets (never concyclic): triangulation covers the
+    # hull, so total area is exact inclusion math; 2 triangles always
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_area, with_counts
+    from geopandas_ray.stages.ops2 import delaunay_triangles
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        x0 = ((did * 37) % 1000).astype(np.float64)
+        y0 = ((did * 91) % 1000).astype(np.float64)
+        w = (5 + (did % 9)).astype(np.float64)
+        h = (4 + (did % 7)).astype(np.float64)
+        vals = []
+        for i in range(len(did)):
+            pts = np.array(
+                [
+                    [x0[i], y0[i]],
+                    [x0[i] + w[i], y0[i]],
+                    [x0[i], y0[i] + h[i]],
+                    [x0[i] + w[i] - 1, y0[i] + h[i]],
+                ]
+            )
+            vals.append(_parts_to_wkb([(1, [p[None, :]]) for p in pts]))
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = delaunay_triangles(ds, out="tris")
+    ds = with_area(ds, geometry="tris", out="tri_area")
+    ds = with_counts(ds, geometry="tris")
+    ds = _rename(ds, {"count_geometries": "n_tris"})
+    return _select(ds, ["doc_id", "tri_area", "n_tris"])
+
+
+def q_cx_filter(sf_dir):
+    # the .cx bbox indexer over the document points
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.ops import cx_filter, with_xy
+
+    c = cx_filter(doc_points(sf_dir), *CLIP_RECT)
+    return _select(with_xy(c), ["doc_id", "x", "y"])
+
+
+def q_concat_sources(sf_dir):
+    # axis=0 concat of two point layers (reference pd.concat semantics)
+    import ray.data
+
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.merge import concat_rows
+    from geopandas_ray.stages.ops import with_xy
+
+    def tag(src, dx, dy):
+        def f(b: pa.Table) -> pa.Table:
+            did = np.asarray(b.column("doc_id"), dtype=np.int64)
+            from geopandas_ray.geom.wkb import points_to_wkb
+
+            px = ((did * 37) % 1000).astype(np.float64) + dx
+            py = ((did * 91) % 1000).astype(np.float64) + dy
+            t = pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "src": pa.array([src] * len(b)),
+                    "geometry": points_to_wkb(px, py),
+                }
+            )
+            return t
+
+        return f
+
+    base = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    a = base.map_batches(tag("a", 0.0, 0.0), batch_format="pyarrow")
+    b2 = base.map_batches(tag("b", 3.0, -2.0), batch_format="pyarrow")
+    c = concat_rows([a, b2])
+    return _select(with_xy(c), ["doc_id", "src", "x", "y"])
+
+
+def q_geom_value_counts(sf_dir):
+    # distinct-geometry counts (array.py:567 value_counts) over doc points
+    from geopandas_ray.functions.geom_dedup import geometry_value_counts
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.ops import with_xy
+
+    vc = geometry_value_counts(doc_points(sf_dir))
+    vc = with_xy(vc)
+    return _select(vc, ["x", "y", "count"])
+
+
+def q_set_precision_xy(sf_dir):
+    # grid snap with round-half-even (GEOS precision model); grid 8 keeps
+    # the quotient exact so the tie-break is observable and deterministic
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.ops import with_xy
+    from geopandas_ray.stages.ops2 import set_precision
+
+    ds = set_precision(doc_points(sf_dir), 8.0)
+    return _select(with_xy(ds), ["doc_id", "x", "y"])
+
+
+def q_get_geometry_part(sf_dir):
+    # second part of each multipoint (rows with >= 2 parts)
+    from geopandas_ray.pipelines.datasets import doc_multipoints
+    from geopandas_ray.stages.ops import with_xy
+    from geopandas_ray.stages.ops2 import get_geometry
+
+    ds = doc_multipoints(sf_dir)
+
+    def keep_multi(b: pa.Table) -> pa.Table:
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        return b.filter(pa.array(did % 3 >= 1))
+
+    ds = ds.map_batches(keep_multi, batch_format="pyarrow")
+    ds = get_geometry(ds, 1, out="part1")
+    ds = with_xy(ds, geometry="part1")
+    return _select(ds, ["doc_id", "x", "y"])
+
+
+def q_remove_repeated_count(sf_dir):
+    # run-length duplicated vertices collapse to the 3 distinct ones
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_counts
+    from geopandas_ray.stages.ops2 import remove_repeated_points
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        a = ((did * 13) % 900).astype(np.float64)
+        y = ((did * 7) % 500).astype(np.float64)
+        vals = []
+        for i in range(len(did)):
+            reps = int(did[i] % 3) + 1
+            coords = [[a[i], y[i]]] * reps + [[a[i] + 5, y[i]]] + [[a[i] + 9, y[i]]]
+            vals.append(_parts_to_wkb([(2, [np.array(coords)])]))
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = with_counts(ds)
+    ds = _rename(ds, {"count_coordinates": "n_before"})
+    ds = _select(ds, ["doc_id", "n_before", "geometry"])
+    ds = remove_repeated_points(ds)
+    ds = with_counts(ds)
+    ds = _rename(ds, {"count_coordinates": "n_after"})
+    return _select(ds, ["doc_id", "n_before", "n_after"])
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1327,6 +1531,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snap_points": q_snap_points,
         "equals_exact_flags": q_equals_exact_flags,
         "envelope_bounds": q_envelope_bounds,
+        "convex_hull_area": q_convex_hull_area,
+        "min_rotated_rect_area": q_min_rotated_rect_area,
+        "simplify_counts": q_simplify_counts,
+        "delaunay_area": q_delaunay_area,
+        "cx_filter": q_cx_filter,
+        "concat_sources": q_concat_sources,
+        "geom_value_counts": q_geom_value_counts,
+        "set_precision_xy": q_set_precision_xy,
+        "get_geometry_part": q_get_geometry_part,
+        "remove_repeated_count": q_remove_repeated_count,
         "overlay_concave": q_overlay_concave,
         "clip_concave_mask": q_clip_concave_mask,
         "make_valid_area": q_make_valid_area,
@@ -1662,6 +1876,52 @@ def oracle_sql() -> dict[str, str]:
         "envelope_bounds": (
             f"{W} SELECT zone_key, zminx AS minx, zminy AS miny, zmaxx AS maxx, "
             "zmaxy AS maxy, (zmaxx-zminx)*(zmaxy-zminy) AS env_area FROM zones"
+        ),
+        "convex_hull_area": (
+            # hull of the L drops the reflex vertex: bbox minus half the cut
+            f"{WL} SELECT zone_key, (zmaxx-zminx)*(zmaxy-zminy) - "
+            "(zmaxx-zcutx)*(zmaxy-zcuty)/2.0 AS hull_area FROM lzones"
+        ),
+        "min_rotated_rect_area": (
+            f"{W} SELECT zone_key, (zmaxx-zminx)*(zmaxy-zminy) AS mrr_area FROM zones"
+        ),
+        "simplify_counts": (
+            "SELECT doc_id, CAST(CASE WHEN doc_id%5 >= 2 THEN 3 ELSE 2 END AS BIGINT) "
+            "AS n_coords FROM documents"
+        ),
+        "delaunay_area": (
+            "SELECT doc_id, "
+            "CAST((2*(5 + doc_id%9) - 1) AS DOUBLE) * (4 + doc_id%7) / 2.0 AS tri_area, "
+            "CAST(2 AS BIGINT) AS n_tris FROM documents"
+        ),
+        "cx_filter": (
+            f"{W} SELECT doc_id, px AS x, py AS y FROM pts WHERE "
+            f"px >= {CLIP_RECT[0]} AND px <= {CLIP_RECT[2]} AND "
+            f"py >= {CLIP_RECT[1]} AND py <= {CLIP_RECT[3]}"
+        ),
+        "concat_sources": (
+            f"{W} SELECT doc_id, 'a' AS src, px AS x, py AS y FROM pts "
+            "UNION ALL SELECT doc_id, 'b' AS src, px + 3.0 AS x, py - 2.0 AS y FROM pts"
+        ),
+        "geom_value_counts": (
+            f"{W} SELECT px AS x, py AS y, COUNT(*) AS count FROM pts GROUP BY px, py"
+        ),
+        "set_precision_xy": (
+            # round-half-even onto the grid-8 lattice (ties at remainder 4)
+            f"{W}, s AS (SELECT doc_id, px, py, px - (px%8) AS bx, py - (py%8) AS by, "
+            "px%8 AS rx, py%8 AS ry FROM pts) "
+            "SELECT doc_id, "
+            "CASE WHEN rx < 4 THEN bx WHEN rx > 4 THEN bx + 8 "
+            "WHEN CAST(bx/8 AS BIGINT)%2 = 0 THEN bx ELSE bx + 8 END AS x, "
+            "CASE WHEN ry < 4 THEN by WHEN ry > 4 THEN by + 8 "
+            "WHEN CAST(by/8 AS BIGINT)%2 = 0 THEN by ELSE by + 8 END AS y FROM s"
+        ),
+        "get_geometry_part": (
+            f"{W} SELECT doc_id, px + 1.0 AS x, py - 1.0 AS y FROM pts WHERE doc_id%3 >= 1"
+        ),
+        "remove_repeated_count": (
+            "SELECT doc_id, CAST(3 + doc_id%3 AS BIGINT) AS n_before, "
+            "CAST(3 AS BIGINT) AS n_after FROM documents"
         ),
         # FNV-style polynomial rolling hash mod 2^64 (documents are ASCII so
         # ascii() == byte). HUGEINT split keeps each product under 2^128:
