@@ -1441,6 +1441,210 @@ def q_remove_repeated_count(sf_dir):
     return _select(ds, ["doc_id", "n_before", "n_after"])
 
 
+def q_to_crs_offset(sf_dir):
+    # registered affine transform (false-easting shift) through to_crs
+    from geopandas_ray.crs import to_crs
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.ops import with_xy
+
+    ds = to_crs(doc_points(sf_dir), "TEST:unit", "TEST:offset")
+    return _select(with_xy(ds), ["doc_id", "x", "y"])
+
+
+def q_feather_roundtrip(sf_dir):
+    # feather sink fragments + streamed read-back (io/arrow.py:367 parity)
+    import shutil
+    import tempfile
+
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.sources.feather import read_feather, write_feather
+    from geopandas_ray.stages.ops import with_xy
+
+    out = tempfile.mkdtemp(prefix="graft_feather_", dir="/tmp")
+    try:
+        write_feather(doc_points(sf_dir), out, crs="TEST:unit")
+        back = read_feather(out)
+        t = _select(with_xy(back), ["doc_id", "x", "y"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return t
+
+
+def q_geojson_roundtrip(sf_dir):
+    # GeoJSON FeatureCollection sink + GDAL-free read_file
+    import shutil
+    import tempfile
+
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.sources.geojson import read_file, to_file
+    from geopandas_ray.stages.ops import with_xy
+
+    out = tempfile.mkdtemp(prefix="graft_geojson_", dir="/tmp")
+    try:
+        to_file(doc_points(sf_dir), out)
+        back = read_file(out)
+        t = _select(with_xy(back), ["doc_id", "x", "y"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return t
+
+
+def q_offset_curve_bounds(sf_dir):
+    # left offset of a horizontal segment shifts it up by exactly d
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_bounds
+    from geopandas_ray.stages.ops3 import offset_curve
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        a = ((did * 13) % 900).astype(np.float64)
+        y = ((did * 7) % 500).astype(np.float64)
+        L = (30 + (did % 6) * 10).astype(np.float64)
+        vals = [
+            _parts_to_wkb([(2, [np.array([[a[i], y[i]], [a[i] + L[i], y[i]]])])])
+            for i in range(len(did))
+        ]
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = with_bounds(offset_curve(ds, 3.0))
+    return _select(ds, ["doc_id", "minx", "miny", "maxx", "maxy"])
+
+
+def q_line_merge_stats(sf_dir):
+    # two touching collinear segments merge into one 3-vertex chain
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_counts, with_length
+    from geopandas_ray.stages.ops2 import line_merge
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        a = ((did * 13) % 900).astype(np.float64)
+        y = ((did * 7) % 500).astype(np.float64)
+        vals = [
+            _parts_to_wkb(
+                [
+                    (2, [np.array([[a[i], y[i]], [a[i] + 5, y[i]]])]),
+                    (2, [np.array([[a[i] + 5, y[i]], [a[i] + 9 + did[i] % 4, y[i]]])]),
+                ]
+            )
+            for i in range(len(did))
+        ]
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = with_counts(line_merge(ds))
+    ds = with_length(ds)
+    ds = _rename(ds, {"count_coordinates": "n_coords", "count_geometries": "n_parts"})
+    return _select(ds, ["doc_id", "n_coords", "n_parts", "length"])
+
+
+def q_force_3d_z(sf_dir):
+    # force_3d stamps a constant z; with_z reads it back (WKB Z plumbing)
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.ops3 import force_3d, with_z
+
+    ds = with_z(force_3d(doc_points(sf_dir), z=7.5))
+    return _select(ds, ["doc_id", "z"])
+
+
+def q_ring_flags(sf_dir):
+    # closed square ring (ccw) for even docs, open polyline for odd
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops2 import with_ring_flags
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        a = ((did * 13) % 900).astype(np.float64)
+        y = ((did * 7) % 500).astype(np.float64)
+        vals = []
+        for i in range(len(did)):
+            x0, y0 = a[i], y[i]
+            if did[i] % 2 == 0:
+                coords = np.array(
+                    [[x0, y0], [x0 + 10, y0], [x0 + 10, y0 + 10], [x0, y0 + 10], [x0, y0]]
+                )
+            else:
+                coords = np.array([[x0, y0], [x0 + 10, y0], [x0 + 10, y0 + 10]])
+            vals.append(_parts_to_wkb([(2, [coords])]))
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = with_ring_flags(ds)
+    return _select(ds, ["doc_id", "is_ring", "is_ccw", "is_closed", "is_simple"])
+
+
+def q_validity_flags(sf_dir):
+    # valid rects vs bowtie rings: is_valid + the GEOS-style reason string
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops2 import with_is_valid
+    from geopandas_ray.stages.ops3 import with_is_valid_reason
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        a = ((did * 13) % 900).astype(np.float64)
+        y = ((did * 7) % 500).astype(np.float64)
+        vals = []
+        for i in range(len(did)):
+            x0, y0 = a[i], y[i]
+            if did[i] % 2 == 0:
+                ring = np.array(
+                    [[x0, y0], [x0 + 10, y0], [x0 + 10, y0 + 8], [x0, y0 + 8], [x0, y0]]
+                )
+            else:  # bowtie: self-intersecting ring
+                ring = np.array(
+                    [[x0, y0], [x0 + 10, y0 + 8], [x0 + 10, y0], [x0, y0 + 8], [x0, y0]]
+                )
+            vals.append(_parts_to_wkb([(3, [ring])]))
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = with_is_valid(ds)
+    ds = with_is_valid_reason(ds, out="reason")
+    return _select(ds, ["doc_id", "is_valid", "reason"])
+
+
+def q_min_clearance(sf_dir):
+    # a rect's minimum clearance is its shorter side (exact vertex-to-edge)
+    from geopandas_ray.pipelines.datasets import zone_dataset
+    from geopandas_ray.stages.ops3 import with_minimum_clearance
+
+    z = with_minimum_clearance(zone_dataset(sf_dir), out="clearance")
+    return _select(z, ["zone_key", "clearance"])
+
+
+def q_dissolve_minmax(sf_dir):
+    # dict/list aggfunc path: per-category weight min/max + member count
+    from geopandas_ray.pipelines.datasets import zone_dataset
+    from geopandas_ray.stages.dissolve import dissolve
+    from geopandas_ray.stages.ops import with_bounds
+
+    d = dissolve(
+        zone_dataset(sf_dir),
+        by="category",
+        aggfunc={"weight": ["min", "max"], "zone_key": ["count"]},
+    )
+    d = with_bounds(d)
+    d = _rename(d, {"weight_min": "wmin", "weight_max": "wmax", "zone_key_count": "n"})
+    return _select(d, ["category", "wmin", "wmax", "n", "minx", "maxx"])
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1541,6 +1745,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_precision_xy": q_set_precision_xy,
         "get_geometry_part": q_get_geometry_part,
         "remove_repeated_count": q_remove_repeated_count,
+        "to_crs_offset": q_to_crs_offset,
+        "feather_roundtrip": q_feather_roundtrip,
+        "geojson_roundtrip": q_geojson_roundtrip,
+        "offset_curve_bounds": q_offset_curve_bounds,
+        "line_merge_stats": q_line_merge_stats,
+        "force_3d_z": q_force_3d_z,
+        "ring_flags": q_ring_flags,
+        "validity_flags": q_validity_flags,
+        "min_clearance": q_min_clearance,
+        "dissolve_minmax": q_dissolve_minmax,
         "overlay_concave": q_overlay_concave,
         "clip_concave_mask": q_clip_concave_mask,
         "make_valid_area": q_make_valid_area,
@@ -1922,6 +2136,39 @@ def oracle_sql() -> dict[str, str]:
         "remove_repeated_count": (
             "SELECT doc_id, CAST(3 + doc_id%3 AS BIGINT) AS n_before, "
             "CAST(3 AS BIGINT) AS n_after FROM documents"
+        ),
+        "to_crs_offset": (
+            f"{W} SELECT doc_id, px + 500000.0 AS x, py AS y FROM pts"
+        ),
+        "feather_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        "geojson_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        "offset_curve_bounds": (
+            "SELECT doc_id, CAST((doc_id*13)%900 AS DOUBLE) AS minx, "
+            "CAST((doc_id*7)%500 + 3 AS DOUBLE) AS miny, "
+            "CAST((doc_id*13)%900 + 30 + (doc_id%6)*10 AS DOUBLE) AS maxx, "
+            "CAST((doc_id*7)%500 + 3 AS DOUBLE) AS maxy FROM documents"
+        ),
+        "line_merge_stats": (
+            "SELECT doc_id, CAST(3 AS BIGINT) AS n_coords, CAST(1 AS BIGINT) AS n_parts, "
+            "CAST(9 + doc_id%4 AS DOUBLE) AS length FROM documents"
+        ),
+        "force_3d_z": "SELECT doc_id, CAST(7.5 AS DOUBLE) AS z FROM documents",
+        "ring_flags": (
+            "SELECT doc_id, doc_id%2 = 0 AS is_ring, doc_id%2 = 0 AS is_ccw, "
+            "doc_id%2 = 0 AS is_closed, TRUE AS is_simple FROM documents"
+        ),
+        "validity_flags": (
+            "SELECT doc_id, doc_id%2 = 0 AS is_valid, "
+            "CASE WHEN doc_id%2 = 0 THEN 'Valid Geometry' "
+            "ELSE 'Ring Self-intersection' END AS reason FROM documents"
+        ),
+        "min_clearance": (
+            f"{W} SELECT zone_key, LEAST(zmaxx - zminx, zmaxy - zminy) AS clearance FROM zones"
+        ),
+        "dissolve_minmax": (
+            f"{W} SELECT category, MIN(weight) AS wmin, MAX(weight) AS wmax, "
+            "COUNT(*) AS n, MIN(zminx) AS minx, MAX(zmaxx) AS maxx "
+            "FROM zones GROUP BY category"
         ),
         # FNV-style polynomial rolling hash mod 2^64 (documents are ASCII so
         # ascii() == byte). HUGEINT split keeps each product under 2^128:

@@ -52,10 +52,12 @@ def write_feather(
     os.makedirs(out_dir, exist_ok=True)
     meta = create_geo_metadata(geometry=geometry, crs=crs)
 
-    def write_block(batch: pa.Table, _ctr=[0]) -> pa.Table:
-        pid = os.getpid()
-        _ctr[0] += 1
-        frag = os.path.join(out_dir, f"frag-{pid}-{_ctr[0]:05d}.feather")
+    def write_block(batch: pa.Table) -> pa.Table:
+        # unique per block: Ray re-deserializes the function per task, so a
+        # worker-local counter restarts at 0 and same-pid fragments collide
+        import uuid
+
+        frag = os.path.join(out_dir, f"frag-{os.getpid()}-{uuid.uuid4().hex[:12]}.feather")
         md = dict(batch.schema.metadata or {})
         md.update(meta)
         paf.write_feather(batch.replace_schema_metadata(md), frag)

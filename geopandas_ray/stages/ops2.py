@@ -587,7 +587,8 @@ def with_ring_flags(ds, geometry="geometry"):
                 closed = len(c) > 1 and np.array_equal(c[0], c[-1])
                 is_closed[i] = closed
                 is_ring[i] = closed and is_simple[i] and len(c) >= 4
-                if len(c) > 2:
+                # shapely is_ccw is False for non-closed lines (base.py:517)
+                if closed and len(c) > 3:
                     x, y = c[:, 0], c[:, 1]
                     is_ccw[i] = (x[:-1] * y[1:] - x[1:] * y[:-1]).sum() > 0
         b = b.append_column("is_closed", pa.array(is_closed))
