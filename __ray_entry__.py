@@ -7,9 +7,9 @@ Each ``queries()`` entry runs a REAL engine pipeline (WKB geometry,
 kernels, joins, shuffles); the matching ``oracle_sql()`` reproduces the
 result with exact integer arithmetic in DuckDB (geometry derivations
 documented in geopandas_ray/pipelines/datasets.py). Column names and dtypes
-are matched on both sides. Entries with no SQL analog (hilbert order,
-minhash/simhash, LSH knn, fingerprints, langid) have no oracle entry and
-get the driver's rows-only check.
+are matched on both sides. Entries with no SQL analog (seeded sampling,
+minhash/simhash candidate pairs, LSH/IVF approximate knn) have no oracle
+entry and get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -397,7 +397,10 @@ def q_representative_point(sf_dir):
 
 
 def q_min_circle(sf_dir):
-    # float tie-breaking of Welzl vs closed-form: rows-only check
+    # rect corners are concyclic: Welzl lands on the diagonal diameter (or
+    # the equivalent circumcircle) and np.hypot == sqrt(w^2+h^2) bit-exactly
+    # on this fixture grid (verified for all 35 (w,h) combos), so the
+    # radius is SQL-oracled
     from geopandas_ray.pipelines.datasets import zone_dataset
     from geopandas_ray.stages.ops2 import with_min_bounding_circle
 
@@ -1915,6 +1918,10 @@ def oracle_sql() -> dict[str, str]:
         "wkt_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "representative_point": (
             f"{W} SELECT zone_key, (zminx+zmaxx)/2.0 AS rx, (zminy+zmaxy)/2.0 AS ry FROM zones"
+        ),
+        "min_circle": (
+            f"{W} SELECT zone_key, SQRT((zmaxx-zminx)*(zmaxx-zminx)+(zmaxy-zminy)*(zmaxy-zminy))/2.0 "
+            "AS minimum_bounding_radius FROM zones"
         ),
         "overlay_points_intersection": f"{W} SELECT p.doc_id, z.zone_key FROM pts p {pip_join}",
         "overlay_points_difference": (
