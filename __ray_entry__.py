@@ -221,6 +221,49 @@ def q_cell_index(sf_dir):
     return _select(c, ["doc_id", "cell"])
 
 
+def q_cell_kring(sf_dir):
+    # H3 kRing analog: 1-ring of each doc's cell, off-grid dropped
+    from geopandas_ray.pipelines.datasets import DOMAIN, doc_points
+    from geopandas_ray.stages.cells import with_cell_kring
+    from geopandas_ray.stages.ops import with_cell
+
+    c = with_cell(doc_points(sf_dir), CELL_RES, domain=DOMAIN)
+    c = with_cell_kring(c, k=1)
+    return _select(c, ["doc_id", "neighbor_cell"])
+
+
+def q_cell_children(sf_dir):
+    # S2-style subdivision: each zone's res-4 center cell -> 4 res-5 children
+    from geopandas_ray.pipelines.datasets import DOMAIN, zone_dataset
+    from geopandas_ray.stages.cells import with_cell_children
+    from geopandas_ray.stages.ops import with_cell
+
+    c = with_cell(zone_dataset(sf_dir), 4, domain=DOMAIN)
+    c = with_cell_children(c, levels=1)
+    return _select(c, ["zone_key", "child_cell"])
+
+
+def q_polyfill_concave(sf_dir):
+    # exact polyfill of the concave L zones at res 5: bbox candidates +
+    # the pairwise intersects kernel (general polygon x rect)
+    from geopandas_ray.pipelines.datasets import DOMAIN, zone_l_dataset
+    from geopandas_ray.stages.cells import with_cell_cover
+
+    c = with_cell_cover(zone_l_dataset(sf_dir), 5, domain=DOMAIN)
+    return _select(c, ["zone_key", "cell"])
+
+
+def q_compact_cover(sf_dir):
+    # H3 compact: minimize each L-zone's res-5 covering (sibling quartets
+    # collapse to parents, cascading); hash-partitioned vectorized sweep
+    from geopandas_ray.pipelines.datasets import DOMAIN, zone_l_dataset
+    from geopandas_ray.stages.cells import compact_cover, with_cell_cover
+
+    c = with_cell_cover(zone_l_dataset(sf_dir), 5, domain=DOMAIN)
+    c = compact_cover(_select(c, ["zone_key", "cell"]), "zone_key")
+    return _select(c, ["zone_key", "cell"])
+
+
 def q_overlay_intersection(sf_dir):
     import ray.data
 
@@ -1693,6 +1736,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wkt_roundtrip": q_wkt_roundtrip,
         "representative_point": q_representative_point,
         "min_circle": q_min_circle,
+        "cell_kring": q_cell_kring,
+        "cell_children": q_cell_children,
+        "polyfill_concave": q_polyfill_concave,
+        "compact_cover": q_compact_cover,
         "sample_points": q_sample_points,
         "overlay_points_intersection": q_overlay_points_intersection,
         "overlay_points_difference": q_overlay_points_difference,
@@ -1860,6 +1907,55 @@ def oracle_sql() -> dict[str, str]:
         "cell_index": (
             f"{W}, cells AS (SELECT doc_id, {cellx} AS cx, {celly} AS cy FROM pts) "
             f"SELECT doc_id, CAST({CELL_RES}*288230376151711744 + {morton} AS BIGINT) AS cell FROM cells"
+        ),
+        "cell_kring": (
+            f"{W}, cells AS (SELECT doc_id, {cellx} AS cx, {celly} AS cy FROM pts), "
+            "ring AS (SELECT doc_id, cx+dx.d AS nx, cy+dy.d AS ny FROM cells "
+            "CROSS JOIN (SELECT UNNEST([-1,0,1]) AS d) dx "
+            "CROSS JOIN (SELECT UNNEST([-1,0,1]) AS d) dy "
+            "WHERE cx+dx.d BETWEEN 0 AND 255 AND cy+dy.d BETWEEN 0 AND 255) "
+            f"SELECT doc_id, CAST({CELL_RES}*288230376151711744 + {_morton_sql('nx', 'ny', CELL_RES)} "
+            "AS BIGINT) AS neighbor_cell FROM ring"
+        ),
+        "cell_children": (
+            f"{W}, pc AS (SELECT zone_key, "
+            "CAST(LEAST(floor(((zminx+zmaxx)/2.0)/64.0), 15) AS BIGINT) AS cx, "
+            "CAST(LEAST(floor(((zminy+zmaxy)/2.0)/64.0), 15) AS BIGINT) AS cy FROM zones), "
+            "ch AS (SELECT zone_key, 2*cx+dx.d AS nx, 2*cy+dy.d AS ny FROM pc "
+            "CROSS JOIN (SELECT UNNEST([0,1]) AS d) dx CROSS JOIN (SELECT UNNEST([0,1]) AS d) dy) "
+            f"SELECT zone_key, CAST(5*288230376151711744 + {_morton_sql('nx', 'ny', 5)} "
+            "AS BIGINT) AS child_cell FROM ch"
+        ),
+        "polyfill_concave": (
+            f"{WL}, cand AS (SELECT zone_key, zminx, zminy, zcutx, zcuty, gx.d AS cx, gy.d AS cy "
+            "FROM lzones CROSS JOIN (SELECT UNNEST(range(0,32)) AS d) gx "
+            "CROSS JOIN (SELECT UNNEST(range(0,32)) AS d) gy "
+            "WHERE gx.d BETWEEN CAST(floor(zminx/32.0) AS BIGINT) AND CAST(LEAST(floor(zmaxx/32.0), 31) AS BIGINT) "
+            "AND gy.d BETWEEN CAST(floor(zminy/32.0) AS BIGINT) AND CAST(LEAST(floor(zmaxy/32.0), 31) AS BIGINT)) "
+            f"SELECT zone_key, CAST(5*288230376151711744 + {_morton_sql('cx', 'cy', 5)} AS BIGINT) AS cell "
+            "FROM cand WHERE NOT (GREATEST(cx*32.0, zminx) > zcutx AND GREATEST(cy*32.0, zminy) > zcuty)"
+        ),
+        "compact_cover": (
+            # fixed-depth promote chain 5->4->3 (res<=2 promotion impossible:
+            # an L-zone bbox is < 192px, so 64 res-5 cells of a 256px square
+            # can never all intersect it)
+            f"{WL}, cov AS (SELECT zone_key, gx.d AS cx, gy.d AS cy "
+            "FROM lzones CROSS JOIN (SELECT UNNEST(range(0,32)) AS d) gx "
+            "CROSS JOIN (SELECT UNNEST(range(0,32)) AS d) gy "
+            "WHERE gx.d BETWEEN CAST(floor(zminx/32.0) AS BIGINT) AND CAST(LEAST(floor(zmaxx/32.0), 31) AS BIGINT) "
+            "AND gy.d BETWEEN CAST(floor(zminy/32.0) AS BIGINT) AND CAST(LEAST(floor(zmaxy/32.0), 31) AS BIGINT) "
+            "AND NOT (GREATEST(gx.d*32.0, zminx) > zcutx AND GREATEST(gy.d*32.0, zminy) > zcuty)), "
+            "p4 AS (SELECT zone_key, cx//2 AS cx, cy//2 AS cy FROM cov "
+            "GROUP BY zone_key, cx//2, cy//2 HAVING COUNT(*)=4), "
+            "k5 AS (SELECT c.zone_key, c.cx, c.cy FROM cov c LEFT JOIN p4 "
+            "ON p4.zone_key=c.zone_key AND p4.cx=c.cx//2 AND p4.cy=c.cy//2 WHERE p4.zone_key IS NULL), "
+            "p3 AS (SELECT zone_key, cx//2 AS cx, cy//2 AS cy FROM p4 "
+            "GROUP BY zone_key, cx//2, cy//2 HAVING COUNT(*)=4), "
+            "k4 AS (SELECT c.zone_key, c.cx, c.cy FROM p4 c LEFT JOIN p3 "
+            "ON p3.zone_key=c.zone_key AND p3.cx=c.cx//2 AND p3.cy=c.cy//2 WHERE p3.zone_key IS NULL) "
+            f"SELECT zone_key, CAST(5*288230376151711744 + {_morton_sql('cx', 'cy', 5)} AS BIGINT) AS cell FROM k5 "
+            f"UNION ALL SELECT zone_key, CAST(4*288230376151711744 + {_morton_sql('cx', 'cy', 4)} AS BIGINT) AS cell FROM k4 "
+            f"UNION ALL SELECT zone_key, CAST(3*288230376151711744 + {_morton_sql('cx', 'cy', 3)} AS BIGINT) AS cell FROM p3"
         ),
         "overlay_intersection": (
             f"{W} SELECT z.zone_key, s.s_key, "

@@ -118,6 +118,157 @@ def _compact_bits(v: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Hierarchy completion (H3/S2-style cell-set algebra): children, k-ring
+# neighbors, compact/uncompact covering minimization. All pure uint64 bit
+# math - no geometry - so they vectorize and reproduce exactly in SQL.
+# ---------------------------------------------------------------------------
+
+_POS_MASK = np.uint64((1 << 58) - 1)
+
+
+def cell_decode(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(res, cx, cy) int64 arrays for each cell id."""
+    cell = np.asarray(cell, dtype=np.uint64)
+    res = (cell >> np.uint64(58)).astype(np.int64)
+    pos = cell & _POS_MASK
+    cx = _compact_bits(pos).astype(np.int64)
+    cy = _compact_bits(pos >> np.uint64(1)).astype(np.int64)
+    return res, cx, cy
+
+
+def cell_from_coords(res, cx, cy) -> np.ndarray:
+    """Inverse of :func:`cell_decode` (res may be scalar or array)."""
+    res = np.asarray(res, dtype=np.uint64)
+    return (res << np.uint64(58)) | morton(
+        np.asarray(cx, dtype=np.uint64), np.asarray(cy, dtype=np.uint64)
+    )
+
+
+def cell_children(cell: np.ndarray, levels: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """All 4**levels descendants of each cell, Z-order contiguous.
+
+    Returns flat ``(row_index, child_id)`` arrays - the S2-style inverse of
+    :func:`cell_parent` (children of ``c`` occupy the id range
+    ``pos(c)*4**levels .. +4**levels`` at ``res+levels``).
+    """
+    cell = np.asarray(cell, dtype=np.uint64)
+    res = cell >> np.uint64(58)
+    pos = cell & _POS_MASK
+    k = 4**levels
+    n = len(cell)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), k)
+    sub = np.tile(np.arange(k, dtype=np.uint64), n)
+    child = (
+        ((res[row_idx] + np.uint64(levels)) << np.uint64(58))
+        | (pos[row_idx] << np.uint64(2 * levels))
+        | sub
+    )
+    return row_idx, child
+
+
+def cell_neighbors(
+    cell: np.ndarray, k: int = 1, include_center: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """k-ring: same-res cells within Chebyshev distance ``k`` (H3 kRing
+    analog on the square grid). Off-grid neighbors are DROPPED, not
+    clamped, so border cells emit fewer rows. Returns flat
+    ``(row_index, neighbor_id)``; the center cell is included unless
+    ``include_center=False``.
+    """
+    res, cx, cy = cell_decode(cell)
+    side = 2 * k + 1
+    dx, dy = np.meshgrid(np.arange(-k, k + 1), np.arange(-k, k + 1), indexing="ij")
+    dx = dx.ravel()
+    dy = dy.ravel()
+    if not include_center:
+        keep = (dx != 0) | (dy != 0)
+        dx, dy = dx[keep], dy[keep]
+    m = len(dx)
+    n = len(cx)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), m)
+    nx = np.repeat(cx, m) + np.tile(dx, n)
+    ny = np.repeat(cy, m) + np.tile(dy, n)
+    lim = np.int64(1) << res[row_idx]
+    valid = (nx >= 0) & (ny >= 0) & (nx < lim) & (ny < lim)
+    row_idx, nx, ny = row_idx[valid], nx[valid], ny[valid]
+    ids = cell_from_coords(res[row_idx], nx, ny)
+    return row_idx, ids
+
+
+def uncompact_cells(cell: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Expand each (possibly coarser) cell to its descendants at ``res``.
+
+    Mixed input resolutions are fine; cells already at ``res`` pass through.
+    Returns flat ``(row_index, cell_id)``.
+    """
+    cell = np.asarray(cell, dtype=np.uint64)
+    cres = (cell >> np.uint64(58)).astype(np.int64)
+    if np.any(cres > res):
+        raise ValueError("uncompact_cells: input cell finer than target res")
+    dr = (res - cres).astype(np.int64)
+    counts = np.int64(1) << (2 * dr)
+    row_idx = np.repeat(np.arange(len(cell), dtype=np.int64), counts)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    local = (np.arange(int(counts.sum()), dtype=np.int64) - offs[row_idx]).astype(np.uint64)
+    pos = cell[row_idx] & _POS_MASK
+    ids = (np.uint64(res) << np.uint64(58)) | (pos << (np.uint64(2) * dr[row_idx].astype(np.uint64))) | local
+    return row_idx, ids
+
+
+def compact_cells(cells: np.ndarray) -> np.ndarray:
+    """Minimal covering: every complete sibling quartet is replaced by its
+    parent, cascading upward (H3 ``compact`` / S2 cell-union normalize).
+    Input is treated as a set; returns sorted unique uint64 ids.
+    """
+    keys, out = compact_keyed(np.zeros(len(np.atleast_1d(cells)), dtype=np.int64), cells)
+    return out
+
+
+def compact_keyed(keys: np.ndarray, cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized multi-key compact: compacts each key's cell set
+    independently in ONE pass over the flat (key, cell) pair arrays - the
+    shape a hash-partitioned Ray stage hands a worker. No per-key Python.
+    """
+    keys = np.asarray(keys)
+    cells = np.asarray(cells, dtype=np.uint64)
+    # set semantics per key
+    order = np.lexsort((cells, keys))
+    keys, cells = keys[order], cells[order]
+    if len(cells):
+        first = np.concatenate([[True], (keys[1:] != keys[:-1]) | (cells[1:] != cells[:-1])])
+        keys, cells = keys[first], cells[first]
+    res = (cells >> np.uint64(58)).astype(np.int64)
+    for r in range(int(res.max(initial=0)), 0, -1):
+        at = res == r
+        if not at.any():
+            continue
+        sub_keys = keys[at]
+        sub = cells[at]
+        parent = cell_parent(sub)
+        # quartet detection: pairs are unique, so 4 identical (key, parent)
+        # rows mean all 4 children are present
+        order = np.lexsort((parent, sub_keys))
+        sk, sp = sub_keys[order], parent[order]
+        new_grp = np.concatenate([[True], (sk[1:] != sk[:-1]) | (sp[1:] != sp[:-1])])
+        gid = np.cumsum(new_grp) - 1
+        sizes = np.bincount(gid)
+        full = sizes[gid] == 4
+        # drop the 4 children, add the parent once per full group
+        drop = np.zeros(at.sum(), dtype=bool)
+        drop[order] = full
+        add_mask = new_grp & full
+        add_keys = sk[add_mask]
+        add_cells = sp[add_mask]
+        keep = np.ones(len(cells), dtype=bool)
+        keep[np.nonzero(at)[0][drop]] = False
+        keys = np.concatenate([keys[keep], add_keys])
+        cells = np.concatenate([cells[keep], add_cells])
+        res = (cells >> np.uint64(58)).astype(np.int64)
+    order = np.lexsort((cells, keys))
+    return keys[order], cells[order]
+
+
+# ---------------------------------------------------------------------------
 # Hilbert distance (spatial sort key) - reference tools/hilbert_curve.py:4-108:
 # midpoint of bounds, discretized to a 2^level grid, mapped to curve position.
 # ---------------------------------------------------------------------------
