@@ -203,6 +203,16 @@ def q_tile_assign(sf_dir):
     return _select(t, ["doc_id", "tile_x", "tile_y", "tile_id"])
 
 
+def q_tile_assign_zones(sf_dir):
+    # polygon (concave L) rows through the exact tile filter: half-open
+    # candidate enumeration + batched closed-rect intersects kernel
+    from geopandas_ray.pipelines.datasets import DOMAIN, zone_l_dataset
+    from geopandas_ray.stages.tiles import assign_tiles
+
+    t = assign_tiles(zone_l_dataset(sf_dir), TILE_Z, domain=DOMAIN)
+    return _select(t, ["zone_key", "tile_id"])
+
+
 def q_tile_counts(sf_dir):
     from ray.data.aggregate import Count
 
@@ -1717,6 +1727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sjoin_nearest_shuffle": q_sjoin_nearest_shuffle,
         "clip_rect": q_clip_rect,
         "tile_assign": q_tile_assign,
+        "tile_assign_zones": q_tile_assign_zones,
         "tile_counts": q_tile_counts,
         "cell_index": q_cell_index,
         "overlay_intersection": q_overlay_intersection,
@@ -1907,6 +1918,20 @@ def oracle_sql() -> dict[str, str]:
         "cell_index": (
             f"{W}, cells AS (SELECT doc_id, {cellx} AS cx, {celly} AS cy FROM pts) "
             f"SELECT doc_id, CAST({CELL_RES}*288230376151711744 + {morton} AS BIGINT) AS cell FROM cells"
+        ),
+        "tile_assign_zones": (
+            # half-open tile enumeration of the L bbox (a max edge exactly on
+            # a tile boundary stays in the lower tile), then the closed-rect
+            # cut-quadrant exclusion
+            f"{WL}, cand AS (SELECT zone_key, zminx, zminy, zcutx, zcuty, gx.d AS tx, gy.d AS ty "
+            "FROM lzones CROSS JOIN (SELECT UNNEST(range(0,34)) AS d) gx "
+            "CROSS JOIN (SELECT UNNEST(range(0,34)) AS d) gy "
+            "WHERE gx.d BETWEEN CAST(floor(zminx/32.0) AS BIGINT) AND "
+            "CAST(floor(zmaxx/32.0) AS BIGINT) - CASE WHEN zmaxx = 32.0*floor(zmaxx/32.0) THEN 1 ELSE 0 END "
+            "AND gy.d BETWEEN CAST(floor(zminy/32.0) AS BIGINT) AND "
+            "CAST(floor(zmaxy/32.0) AS BIGINT) - CASE WHEN zmaxy = 32.0*floor(zmaxy/32.0) THEN 1 ELSE 0 END) "
+            "SELECT zone_key, CAST(5497558138880 + tx*1048576 + ty AS BIGINT) AS tile_id FROM cand "
+            "WHERE NOT (GREATEST(tx*32.0, zminx) > zcutx AND GREATEST(ty*32.0, zminy) > zcuty)"
         ),
         "cell_kring": (
             f"{W}, cells AS (SELECT doc_id, {cellx} AS cx, {celly} AS cy FROM pts), "

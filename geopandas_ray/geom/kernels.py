@@ -622,3 +622,158 @@ def geom_to_geom_sqdist(ga: Geoms, ia: int, gb: Geoms, ib: int) -> float:
     if best > 0.0 and geom_intersects_geom(ga, ia, gb, ib):
         return 0.0
     return best
+
+
+# ---------------------------------------------------------------------------
+# Vectorized geometry-vs-rect candidate evaluation (the polyfill / tile /
+# rect-zone hot path). One numpy pass over ALL candidate pairs - no
+# per-pair Python - for the case where one side is an axis-aligned rect.
+# ---------------------------------------------------------------------------
+
+
+def _edge_table(g: Geoms):
+    """Global flat edge list over the CSR batch.
+
+    Returns (edge_start, edge_row, edge_is_poly, row_edge_offsets):
+    ``edge_start[e]`` is the coord index of edge e's first vertex (its
+    second is ``edge_start[e]+1``, guaranteed same ring), ``edge_row`` the
+    owning row, ``edge_is_poly`` whether the edge's part is a Polygon
+    (ring bounds a region - participates in even-odd point-in-polygon),
+    and ``row_edge_offsets`` a CSR index so a row's edges are the slice
+    ``[row_edge_offsets[i], row_edge_offsets[i+1])`` of the edge arrays.
+    """
+    nc = len(g.coords)
+    in_ring = np.ones(nc, dtype=bool)
+    ring_last = g.ring_offsets[1:] - 1
+    ring_nonempty = g.ring_offsets[1:] > g.ring_offsets[:-1]
+    if nc:
+        in_ring[ring_last[ring_nonempty]] = False
+    edge_start = np.nonzero(in_ring)[0] if nc else np.empty(0, dtype=np.int64)
+    # rows' coords are contiguous in CSR order
+    row_coord_end = g.ring_offsets[g.part_offsets[g.row_offsets[1:]]]
+    edge_row = np.searchsorted(row_coord_end, edge_start, side="right")
+    ring_part = (
+        np.searchsorted(g.part_offsets, np.arange(len(g.ring_offsets) - 1), side="right") - 1
+    )
+    ring_is_poly = g.part_types[ring_part] == POLYGON if len(ring_part) else ring_part
+    edge_ring = np.searchsorted(g.ring_offsets, edge_start, side="right") - 1
+    edge_is_poly = (
+        ring_is_poly[edge_ring] if len(edge_start) else np.empty(0, dtype=bool)
+    )
+    row_edge_offsets = np.concatenate(
+        [[0], np.cumsum(np.bincount(edge_row, minlength=len(g)))]
+    ).astype(np.int64)
+    return edge_start, edge_row, edge_is_poly, row_edge_offsets
+
+
+def _csr_expand(counts: np.ndarray):
+    """(flat_parent, flat_local) enumeration of per-parent counts."""
+    total = int(counts.sum())
+    parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    local = np.arange(total, dtype=np.int64) - offs[parent]
+    return parent, local
+
+
+def pairs_intersect_rects(
+    g: Geoms, gi: np.ndarray, rects: np.ndarray
+) -> np.ndarray:
+    """Closed-set ``intersects(g[gi[k]], rect_k)`` for all candidate pairs.
+
+    Decomposition, each stage fully vectorized and only run on pairs the
+    previous stage left undecided:
+      1. any vertex of the row inside the closed rect;
+      2. any edge of the row meets the closed rect (Liang-Barsky clip
+         interval nonempty - inclusive bounds, so touches count);
+      3. rect center strictly inside the row's polygon region (even-odd
+         ray parity over polygon-ring edges) - the rect-fully-inside case
+         (a rect inside a HOLE gets even parity, correctly false). The
+         center cannot lie on a polygon edge here: stage 2 already
+         returned True for any edge meeting the rect.
+    Matches geom_intersects_geom semantics for missing/empty rows (False).
+    """
+    gi = np.asarray(gi, dtype=np.int64)
+    n = len(gi)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    rminx, rminy, rmaxx, rmaxy = rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
+
+    # --- stage 1: vertex in rect
+    row_cstart = g.ring_offsets[g.part_offsets[g.row_offsets[:-1]]]
+    row_cend = g.ring_offsets[g.part_offsets[g.row_offsets[1:]]]
+    ncoords = (row_cend - row_cstart).astype(np.int64)
+    pair_v, local_v = _csr_expand(ncoords[gi])
+    ci = row_cstart[gi[pair_v]] + local_v
+    vx = g.coords[ci, 0]
+    vy = g.coords[ci, 1]
+    inside = (
+        (vx >= rminx[pair_v])
+        & (vx <= rmaxx[pair_v])
+        & (vy >= rminy[pair_v])
+        & (vy <= rmaxy[pair_v])
+    )
+    if inside.any():
+        out[np.unique(pair_v[inside])] = True
+
+    # --- stage 2: edge clips rect (Liang-Barsky, inclusive)
+    rem = np.nonzero(~out)[0]
+    if len(rem) == 0:
+        return out
+    edge_start, _, edge_is_poly, row_eoff = _edge_table(g)
+    ecounts = (row_eoff[1:] - row_eoff[:-1]).astype(np.int64)
+    sub_rows = gi[rem]
+    pair_e, local_e = _csr_expand(ecounts[sub_rows])
+    if len(pair_e):
+        ei = row_eoff[sub_rows[pair_e]] + local_e
+        a = edge_start[ei]
+        ax, ay = g.coords[a, 0], g.coords[a, 1]
+        bx, by = g.coords[a + 1, 0], g.coords[a + 1, 1]
+        k = rem[pair_e]
+        dx = bx - ax
+        dy = by - ay
+        t0 = np.zeros(len(pair_e))
+        t1 = np.ones(len(pair_e))
+        ok = np.ones(len(pair_e), dtype=bool)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for p, q in (
+                (-dx, ax - rminx[k]),
+                (dx, rmaxx[k] - ax),
+                (-dy, ay - rminy[k]),
+                (dy, rmaxy[k] - ay),
+            ):
+                zero = p == 0
+                ok &= ~zero | (q >= 0)
+                r = np.where(zero, 0.0, q / np.where(zero, 1.0, p))
+                t0 = np.where(~zero & (p < 0), np.maximum(t0, r), t0)
+                t1 = np.where(~zero & (p > 0), np.minimum(t1, r), t1)
+        hit = ok & (t0 <= t1)
+        if hit.any():
+            out[np.unique(k[hit])] = True
+
+    # --- stage 3: rect center inside polygon region (even-odd)
+    rem = np.nonzero(~out)[0]
+    if len(rem) == 0:
+        return out
+    sub_rows = gi[rem]
+    pair_e, local_e = _csr_expand(ecounts[sub_rows])
+    if len(pair_e) == 0:
+        return out
+    ei = row_eoff[sub_rows[pair_e]] + local_e
+    poly = edge_is_poly[ei]
+    pair_e, ei = pair_e[poly], ei[poly]
+    if len(pair_e) == 0:
+        return out
+    a = edge_start[ei]
+    ax, ay = g.coords[a, 0], g.coords[a, 1]
+    bx, by = g.coords[a + 1, 0], g.coords[a + 1, 1]
+    k = rem[pair_e]
+    cx = (rminx[k] + rmaxx[k]) * 0.5
+    cy = (rminy[k] + rmaxy[k]) * 0.5
+    straddle = (ay > cy) != (by > cy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = ax + (cy - ay) * (bx - ax) / np.where(straddle, by - ay, 1.0)
+    crossing = straddle & (cx < xi)
+    parity = np.bincount(pair_e[crossing], minlength=len(rem)) % 2 == 1
+    out[rem[parity]] = True
+    return out

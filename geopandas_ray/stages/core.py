@@ -424,11 +424,48 @@ def eval_pairs(
             distance,
             l_bounds=l_bounds,
             r_bounds=r_bounds,
-            l_bbox_equiv=np.zeros(len(lg), dtype=bool),  # force slow tiers
-            r_bbox_equiv=np.zeros(len(rg), dtype=bool),
+            l_bbox_equiv=l_bbox_equiv,  # tier 1 finds nothing on the rest;
+            r_bbox_equiv=r_bbox_equiv,  # tier 1.5 (one-side rect) still can
         )
         out[rest] = sub
         return out
+    # -- tier 1.5: exactly one side is an axis-aligned rect (non-point):
+    # one vectorized geometry-vs-rect pass (the polyfill / tile hot path)
+    if pred == "intersects":
+        r_rect = r_bbox_equiv[ri] & (rg.row_types[ri] != POINT)
+        l_rect = l_bbox_equiv[li] & (lg.row_types[li] != POINT) & ~r_rect
+        if r_rect.any() or l_rect.any():
+            from ..geom import kernels as _K
+
+            if l_bounds is None:
+                l_bounds = _K.bounds(lg)
+            if r_bounds is None:
+                r_bounds = _K.bounds(rg)
+            if r_rect.any():
+                out[r_rect] = _K.pairs_intersect_rects(
+                    lg, li[r_rect], r_bounds[ri[r_rect]]
+                )
+            if l_rect.any():
+                out[l_rect] = _K.pairs_intersect_rects(
+                    rg, ri[l_rect], l_bounds[li[l_rect]]
+                )
+            done = r_rect | l_rect
+            if done.all():
+                return out
+            rest = ~done
+            out[rest] = eval_pairs(
+                pred,
+                lg,
+                li[rest],
+                rg,
+                ri[rest],
+                distance,
+                l_bounds=l_bounds,
+                r_bounds=r_bounds,
+                l_bbox_equiv=np.zeros(len(lg), dtype=bool),  # force slow tiers
+                r_bbox_equiv=np.zeros(len(rg), dtype=bool),
+            )
+            return out
     if lg.all_points:
         order = np.argsort(ri, kind="stable")
         li_s, ri_s = li[order], ri[order]

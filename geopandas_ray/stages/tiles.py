@@ -59,20 +59,27 @@ def assign_tiles(
             tx = tx0[row_idx] + local % nx
             ty = ty0[row_idx] + local // nx
             if exact and len(row_idx):
-                keep = np.ones(len(row_idx), dtype=bool)
-                pt_rows = np.isin(g.row_types[row_idx], (1, 4))
-                check = ~pt_rows
-                for k in np.nonzero(check)[0]:
-                    i = int(row_idx[k])
-                    from ..geom.wkb import box_geoms
+                from ..geom.wkb import box_geoms
+                from .core import eval_pairs
 
+                keep = np.ones(len(row_idx), dtype=bool)
+                # point rows always pass (their single tile is exact already)
+                check = ~np.isin(g.row_types[row_idx], (1, 4))
+                ck = np.nonzero(check)[0]
+                if len(ck):
                     tb = box_geoms(
-                        [x0 + tx[k] * ts_x],
-                        [y0 + ty[k] * ts_y],
-                        [x0 + (tx[k] + 1) * ts_x],
-                        [y0 + (ty[k] + 1) * ts_y],
+                        x0 + tx[ck] * ts_x,
+                        y0 + ty[ck] * ts_y,
+                        x0 + (tx[ck] + 1) * ts_x,
+                        y0 + (ty[ck] + 1) * ts_y,
                     )
-                    keep[k] = K.geom_intersects_geom(g, i, tb, 0)
+                    keep[ck] = eval_pairs(
+                        "intersects",
+                        g,
+                        row_idx[ck],
+                        tb,
+                        np.arange(len(ck), dtype=np.int64),
+                    )
                 row_idx, tx, ty = row_idx[keep], tx[keep], ty[keep]
             out = b.take(pa.array(row_idx))
         out = out.append_column("z", pa.array(np.full(len(tx), z, dtype=np.int8)))

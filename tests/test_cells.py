@@ -215,3 +215,79 @@ def test_compact_cover_stage(ray_session):
     assert len(out) == 2
     assert out.loc[0, "zone"] == 7 and out.loc[0, "cell"] == int(base[0])
     assert out.loc[1, "zone"] == 9 and out.loc[1, "cell"] == int(base[1])
+
+
+def test_pairs_intersect_rects_equiv_brute():
+    """Vectorized geom-vs-rect kernel == per-pair geom_intersects_geom on
+    random mixed fixtures (L-polygons, polygons with holes, lines, points,
+    empties), including touch-only and containment cases."""
+    from geopandas_ray.geom import kernels as K
+    from geopandas_ray.geom.wkb import from_wkb
+    from geopandas_ray.pipelines.datasets import _l_rings_wkb
+    import pyarrow as pa
+
+    rng = np.random.RandomState(11)
+    # L-shapes
+    minx = rng.randint(0, 50, 12).astype(float)
+    miny = rng.randint(0, 50, 12).astype(float)
+    wkbs = list(_l_rings_wkb(minx, miny, minx + 20, miny + 16).to_pylist())
+    # polygon with a hole (shell 0..40, hole 10..30) via WKT
+    from geopandas_ray.geom.wkt import from_wkt as geoms_from_wkt
+
+    extra = geoms_from_wkt(
+        pa.array(
+            [
+                "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0), (10 10, 10 30, 30 30, 30 10, 10 10))",
+                "LINESTRING (5 5, 25 5, 25 25)",
+                "POINT (7 7)",
+                "MULTIPOINT (1 1, 35 35)",
+                "POLYGON EMPTY",
+            ]
+        )
+    )
+    from geopandas_ray.geom.wkb import to_wkb
+
+    wkbs += list(to_wkb(extra).to_pylist())
+    g = from_wkb(pa.array(wkbs, type=pa.large_binary()))
+    n = len(g)
+    # random rects incl. tiny ones inside the hole and touch-aligned ones
+    m = 200
+    rx = rng.randint(-5, 60, m).astype(float)
+    ry = rng.randint(-5, 60, m).astype(float)
+    rw = rng.randint(1, 25, m).astype(float)
+    rects = np.column_stack([rx, ry, rx + rw, ry + rw])
+    gi = rng.randint(0, n, m).astype(np.int64)
+    got = K.pairs_intersect_rects(g, gi, rects)
+    from geopandas_ray.geom.wkb import box_geoms
+
+    boxes = box_geoms(rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3])
+    want = np.array(
+        [K.geom_intersects_geom(g, int(gi[k]), boxes, k) for k in range(m)]
+    )
+    assert (got == want).all(), np.nonzero(got != want)[0][:10]
+
+
+def test_pairs_intersect_rects_hole_case():
+    """A rect strictly inside a polygon hole is NOT intersecting; one
+    crossing the hole boundary is."""
+    import pyarrow as pa
+    from geopandas_ray.geom import kernels as K
+    from geopandas_ray.geom.wkt import from_wkt as geoms_from_wkt
+
+    g = geoms_from_wkt(
+        pa.array(
+            ["POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0), (10 10, 10 30, 30 30, 30 10, 10 10))"]
+        )
+    )
+    rects = np.array(
+        [
+            [15.0, 15.0, 25.0, 25.0],  # inside the hole -> False
+            [5.0, 15.0, 15.0, 25.0],  # crosses hole boundary -> True
+            [2.0, 2.0, 8.0, 8.0],  # inside the solid ring -> True
+            [41.0, 41.0, 50.0, 50.0],  # outside -> False
+            [40.0, 10.0, 50.0, 20.0],  # touches shell edge -> True
+            [10.0, 10.0, 30.0, 30.0],  # exactly the hole (touch ring) -> True
+        ]
+    )
+    got = K.pairs_intersect_rects(g, np.zeros(len(rects), dtype=np.int64), rects)
+    assert got.tolist() == [False, True, True, False, True, True]
