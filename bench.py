@@ -216,6 +216,20 @@ def run_bench() -> dict:
 
     timed("overlay_concave", run_overlay_concave)
 
+    def run_polyfill():
+        # exact polygon polyfill (res-6 cells, vectorized rect kernel) +
+        # per-zone covering minimization (hash-partitioned compact)
+        from geopandas_ray.pipelines.datasets import DOMAIN, zone_l_dataset
+        from geopandas_ray.stages.cells import compact_cover, with_cell_cover
+
+        ds = zone_l_dataset(SF_DIR).repartition(NUM_CPUS * 2)
+        cov = with_cell_cover(ds, 6, domain=DOMAIN)
+        return compact_cover(
+            cov.select_columns(["zone_key", "cell"]), "zone_key"
+        ).count()
+
+    timed("polyfill_compact_zones", run_polyfill)
+
     def run_buffer():
         # round-join Minkowski offset (capsule union per edge) on all zones
         from geopandas_ray.pipelines.datasets import zone_dataset

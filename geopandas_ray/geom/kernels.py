@@ -680,23 +680,41 @@ def pairs_intersect_rects(
 ) -> np.ndarray:
     """Closed-set ``intersects(g[gi[k]], rect_k)`` for all candidate pairs.
 
+    Thin wrapper over :func:`classify_rect_pairs` (kind > 0).
+    """
+    return classify_rect_pairs(g, gi, rects) > 0
+
+
+def classify_rect_pairs(
+    g: Geoms, gi: np.ndarray, rects: np.ndarray
+) -> np.ndarray:
+    """Classify each candidate (geometry row, axis-aligned rect) pair:
+    0 = disjoint, 1 = boundary (the geometry's boundary meets the rect),
+    2 = interior (the rect lies entirely inside a polygon region - every
+    point of the rect is inside the geometry).
+
+    The interior kind is what lets a covering-driven PIP join skip exact
+    point tests for fully-covered cells (quadtree interior-cell rule).
+
     Decomposition, each stage fully vectorized and only run on pairs the
     previous stage left undecided:
-      1. any vertex of the row inside the closed rect;
+      1. any vertex of the row inside the closed rect -> boundary;
       2. any edge of the row meets the closed rect (Liang-Barsky clip
-         interval nonempty - inclusive bounds, so touches count);
+         interval nonempty - inclusive bounds, so touches count)
+         -> boundary;
       3. rect center strictly inside the row's polygon region (even-odd
-         ray parity over polygon-ring edges) - the rect-fully-inside case
-         (a rect inside a HOLE gets even parity, correctly false). The
+         ray parity over polygon-ring edges) -> interior: with no vertex
+         and no edge in the rect, parity of the center decides the whole
+         rect (a rect inside a HOLE gets even parity, correctly 0). The
          center cannot lie on a polygon edge here: stage 2 already
-         returned True for any edge meeting the rect.
-    Matches geom_intersects_geom semantics for missing/empty rows (False).
+         classified any edge meeting the rect.
+    Matches geom_intersects_geom semantics for missing/empty rows (0).
     """
     gi = np.asarray(gi, dtype=np.int64)
     n = len(gi)
-    out = np.zeros(n, dtype=bool)
+    kind = np.zeros(n, dtype=np.int8)
     if n == 0:
-        return out
+        return kind
     rminx, rminy, rmaxx, rmaxy = rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
 
     # --- stage 1: vertex in rect
@@ -714,12 +732,12 @@ def pairs_intersect_rects(
         & (vy <= rmaxy[pair_v])
     )
     if inside.any():
-        out[np.unique(pair_v[inside])] = True
+        kind[np.unique(pair_v[inside])] = 1
 
     # --- stage 2: edge clips rect (Liang-Barsky, inclusive)
-    rem = np.nonzero(~out)[0]
+    rem = np.nonzero(kind == 0)[0]
     if len(rem) == 0:
-        return out
+        return kind
     edge_start, _, edge_is_poly, row_eoff = _edge_table(g)
     ecounts = (row_eoff[1:] - row_eoff[:-1]).astype(np.int64)
     sub_rows = gi[rem]
@@ -749,21 +767,21 @@ def pairs_intersect_rects(
                 t1 = np.where(~zero & (p > 0), np.minimum(t1, r), t1)
         hit = ok & (t0 <= t1)
         if hit.any():
-            out[np.unique(k[hit])] = True
+            kind[np.unique(k[hit])] = 1
 
-    # --- stage 3: rect center inside polygon region (even-odd)
-    rem = np.nonzero(~out)[0]
+    # --- stage 3: rect center inside polygon region (even-odd) -> interior
+    rem = np.nonzero(kind == 0)[0]
     if len(rem) == 0:
-        return out
+        return kind
     sub_rows = gi[rem]
     pair_e, local_e = _csr_expand(ecounts[sub_rows])
     if len(pair_e) == 0:
-        return out
+        return kind
     ei = row_eoff[sub_rows[pair_e]] + local_e
     poly = edge_is_poly[ei]
     pair_e, ei = pair_e[poly], ei[poly]
     if len(pair_e) == 0:
-        return out
+        return kind
     a = edge_start[ei]
     ax, ay = g.coords[a, 0], g.coords[a, 1]
     bx, by = g.coords[a + 1, 0], g.coords[a + 1, 1]
@@ -775,5 +793,5 @@ def pairs_intersect_rects(
         xi = ax + (cy - ay) * (bx - ax) / np.where(straddle, by - ay, 1.0)
     crossing = straddle & (cx < xi)
     parity = np.bincount(pair_e[crossing], minlength=len(rem)) % 2 == 1
-    out[rem[parity]] = True
-    return out
+    kind[rem[parity]] = 2
+    return kind
