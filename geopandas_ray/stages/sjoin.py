@@ -46,7 +46,7 @@ import ray.data
 from ..geom import kernels as K
 from ..geom.index import BBoxTree
 from ..geom.wkb import from_wkb
-from ..grid import DEFAULT_DOMAIN, cell_id, cells_for_bbox
+from ..grid import DEFAULT_DOMAIN, cell_bounds, cell_id, cells_for_bbox
 from .core import JOIN_PREDICATES, eval_pairs, suffixed_columns
 
 
@@ -407,6 +407,7 @@ def _group_join(
     if predicate == "dwithin":
         d = float(distance)
         qb = lb + np.array([-d, -d, d, d])
+    this_cell = int(batch.column("cell")[0].as_py())
     # tree over the smaller side
     if len(rt) <= len(lt):
         tree = BBoxTree(rb)
@@ -421,10 +422,54 @@ def _group_join(
         r_bbeq = bbox_equiv_mask(rg)
         if not (predicate in (None, "intersects") and l_bbeq.all() and r_bbeq.all()):
             # (bbox-equivalent intersects is already decided by the tree query)
-            mask = eval_pairs(
-                predicate, lg, li, rg, ri, distance,
-                l_bounds=lb, r_bounds=rb, l_bbox_equiv=l_bbeq, r_bbox_equiv=r_bbeq,
-            )
+            # --- covering fast path (quadtree interior-cell rule) ---------
+            # When every LEFT row is a point (degenerate bbox: the point IS
+            # in this cell), a RIGHT geometry's relation to this cell's
+            # closed rect decides ALL its pairs at once: kind 2 (cell wholly
+            # in the geometry's interior) -> True for intersects/within/
+            # covered_by, False for touches/contains/covers; kind 0 (the
+            # geometry misses the cell, its bbox notwithstanding) -> False
+            # for all seven. Only kind 1 (boundary crosses the cell) runs
+            # the exact kernel - the S2/H3 covering-join rule. Classifying
+            # a right row costs ~3 edge sweeps while an exact pair test
+            # costs ~1, so classification is ADAPTIVE: only rights with
+            # >= _CELL_CLASSIFY_MIN_PAIRS candidate pairs are classified
+            # (per-(row,cell) work must amortize over the pairs it decides;
+            # a replica-heavy/point-light cell would otherwise pay more for
+            # classification than the exact tests it saves - measured).
+            pair_kind = None
+            if (
+                predicate in _CELL_KIND_PREDICATES
+                and (lb[:, 0] == lb[:, 2]).all()
+                and (lb[:, 1] == lb[:, 3]).all()
+            ):
+                counts = np.bincount(ri, minlength=len(rt))
+                cand = np.nonzero(counts >= _CELL_CLASSIFY_MIN_PAIRS)[0]
+                if len(cand):
+                    rect = cell_bounds(np.array([this_cell], dtype=np.uint64), domain)
+                    kind = np.ones(len(rt), dtype=np.int8)  # default: exact
+                    kind[cand] = K.classify_rect_pairs(
+                        rg, cand, np.broadcast_to(rect, (len(cand), 4))
+                    )
+                    pair_kind = kind[ri]
+            if pair_kind is None:
+                mask = eval_pairs(
+                    predicate, lg, li, rg, ri, distance,
+                    l_bounds=lb, r_bounds=rb, l_bbox_equiv=l_bbeq, r_bbox_equiv=r_bbeq,
+                )
+            else:
+                mask = (
+                    (pair_kind == 2)
+                    if predicate in _CELL_KIND_TRUE
+                    else np.zeros(len(li), dtype=bool)
+                )
+                sub = np.nonzero(pair_kind == 1)[0]
+                if len(sub):
+                    m = eval_pairs(
+                        predicate, lg, li[sub], rg, ri[sub], distance,
+                        l_bounds=lb, r_bounds=rb, l_bbox_equiv=l_bbeq, r_bbox_equiv=r_bbeq,
+                    )
+                    mask[sub[m]] = True
             li, ri = li[mask], ri[mask]
     if len(li):
         # reference-point dedup: only the cell containing the bbox-overlap
@@ -432,7 +477,6 @@ def _group_join(
         refx = np.maximum(qb[li, 0], rb[ri, 0])
         refy = np.maximum(qb[li, 1], rb[ri, 1])
         ref_cell = cell_id(refx, refy, res, domain).astype(np.int64)
-        this_cell = int(batch.column("cell")[0].as_py())
         keep = ref_cell == this_cell
         li, ri = li[keep], ri[keep]
         order = np.lexsort((ri, li))
@@ -465,6 +509,21 @@ def _take_join_output(lt, rt, lgeom_col, rgeom_col, li, ri, chunk: int = 400_000
         pieces.append(pa.table(cols))
     return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
 
+
+# predicates a point-left pair can decide from the cell-vs-right-geometry
+# classification alone. Interior cell (kind 2: point in right's interior)
+# -> True for the _CELL_KIND_TRUE set, False for the rest (a point cannot
+# touch/contain/cover a geometry whose interior surrounds it). Disjoint
+# cell (kind 0: point not on right) -> False for all seven. dwithin is
+# excluded (dilated queries) and None is excluded (bbox-only matching
+# ignores the geometry).
+_CELL_KIND_PREDICATES = frozenset(
+    {"intersects", "within", "contains", "contains_properly", "covers", "covered_by", "touches"}
+)
+_CELL_KIND_TRUE = frozenset({"intersects", "within", "covered_by"})
+# classify a right row against the cell only when it has at least this many
+# candidate pairs: classification is ~3 edge sweeps, one exact test is ~1
+_CELL_CLASSIFY_MIN_PAIRS = 4
 
 _SWAPPED_PREDICATE = {
     None: None,

@@ -344,3 +344,82 @@ def test_sjoin_shuffle_left_anti_join_fallback():
     assert len(a) == len(b) and len(a) >= n
     assert a["pid"].tolist() == b["pid"].tolist()
     assert a["zid"].fillna(-1).tolist() == b["zid"].fillna(-1).tolist()
+
+
+# --- covering fast path (interior-cell rule, classify_rect_pairs) ----------
+
+
+def _l_zone_layers(rng, n_pts=500, n_zones=30):
+    """Concave L zones big enough that res-5/6 cells fall WHOLLY INSIDE
+    (kind 2), cross the boundary (kind 1) and miss entirely while the bbox
+    still covers them (kind 0 - the notch quadrant). Brute-force point
+    membership from the two-rect decomposition + 6 boundary segments."""
+    from geopandas_ray.geom.wkt import from_wkt
+    from geopandas_ray.geom.wkb import to_wkb
+
+    px = rng.uniform(0, 1000, n_pts)
+    py = rng.uniform(0, 1000, n_pts)
+    # snap half the points to the integer lattice so boundary hits
+    # (touches pairs) actually occur against the integer-coordinate zones
+    px[::2] = np.floor(px[::2])
+    py[::2] = np.floor(py[::2])
+    left = pa.table(
+        {"pid": pa.array(np.arange(n_pts)), "geometry": W.points_to_wkb(px, py)}
+    )
+    zx = np.floor(rng.uniform(0, 700, n_zones))
+    zy = np.floor(rng.uniform(0, 700, n_zones))
+    w = np.floor(rng.uniform(100, 300, n_zones))
+    h = np.floor(rng.uniform(100, 300, n_zones))
+    cutx, cuty = zx + np.floor(w / 2), zy + np.floor(h / 2)
+    wkts = [
+        f"POLYGON (({zx[j]} {zy[j]}, {zx[j]+w[j]} {zy[j]}, {zx[j]+w[j]} {cuty[j]}, "
+        f"{cutx[j]} {cuty[j]}, {cutx[j]} {zy[j]+h[j]}, {zx[j]} {zy[j]+h[j]}, {zx[j]} {zy[j]}))"
+        for j in range(n_zones)
+    ]
+    right = pa.table(
+        {"zid": pa.array(np.arange(n_zones)), "geometry": to_wkb(from_wkt(wkts))}
+    )
+    inter, within, touches = set(), set(), set()
+    for j in range(n_zones):
+        in_r1 = (px >= zx[j]) & (px <= zx[j] + w[j]) & (py >= zy[j]) & (py <= cuty[j])
+        in_r2 = (px >= zx[j]) & (px <= cutx[j]) & (py >= cuty[j]) & (py <= zy[j] + h[j])
+        closed = in_r1 | in_r2
+        vs = [
+            (zx[j], zy[j]), (zx[j] + w[j], zy[j]), (zx[j] + w[j], cuty[j]),
+            (cutx[j], cuty[j]), (cutx[j], zy[j] + h[j]), (zx[j], zy[j] + h[j]),
+            (zx[j], zy[j]),
+        ]
+        on_b = np.zeros(n_pts, dtype=bool)
+        for (x0, y0), (x1, y1) in zip(vs[:-1], vs[1:]):
+            if x0 == x1:
+                lo, hi = min(y0, y1), max(y0, y1)
+                on_b |= (px == x0) & (py >= lo) & (py <= hi)
+            else:
+                lo, hi = min(x0, x1), max(x0, x1)
+                on_b |= (py == y0) & (px >= lo) & (px <= hi)
+        for i in np.nonzero(closed)[0]:
+            inter.add((i, j))
+            (touches if on_b[i] else within).add((i, j))
+    return left, right, {"intersects": inter, "within": within, "touches": touches}
+
+
+@pytest.mark.parametrize("predicate", ["intersects", "within", "touches"])
+@pytest.mark.parametrize("res", [5, 6])
+def test_covering_fast_path_concave_oracle(rng, predicate, res):
+    left, right, expected = _l_zone_layers(rng)
+    j = sjoin_shuffle(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        predicate=predicate, res=res,
+    ).to_pandas()
+    assert set(zip(j.pid, j.zid)) == expected[predicate]
+    assert len(j) == len(expected[predicate])  # no dup pairs
+
+
+def test_covering_fast_path_point_contains_empty(rng):
+    # left point contains right polygon: interior cells must NOT fast-pair
+    left, right, _ = _l_zone_layers(rng, n_pts=200, n_zones=10)
+    n = sjoin_shuffle(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        predicate="contains", res=5,
+    ).count()
+    assert n == 0
