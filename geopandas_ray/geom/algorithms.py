@@ -350,36 +350,6 @@ def voronoi_cells(points: np.ndarray, envelope: tuple[float, float, float, float
     return cells
 
 
-def ring_self_intersects(ring: np.ndarray) -> bool:
-    """True when any two NON-ADJACENT segments of the closed ring properly
-    cross (the bowtie class of 'Ring Self-intersection'; vertex self-touches
-    are out of scope, documented subset like with_is_valid)."""
-    n = len(ring) - 1
-    if n < 4:
-        return False
-    a = np.hstack([ring[:-1], ring[1:]])
-    ax0, ay0, ax1, ay1 = a[:, 0, None], a[:, 1, None], a[:, 2, None], a[:, 3, None]
-    bx0, by0, bx1, by1 = a[None, :, 0], a[None, :, 1], a[None, :, 2], a[None, :, 3]
-
-    def orient(ox, oy, px, py, qx, qy):
-        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
-
-    d1 = orient(ax0, ay0, ax1, ay1, bx0, by0)
-    d2 = orient(ax0, ay0, ax1, ay1, bx1, by1)
-    d3 = orient(bx0, by0, bx1, by1, ax0, ay0)
-    d4 = orient(bx0, by0, bx1, by1, ax1, ay1)
-    proper = (
-        ((d1 > 0) != (d2 > 0))
-        & ((d3 > 0) != (d4 > 0))
-        & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
-    )
-    i = np.arange(n)
-    adjacent = (np.abs(i[:, None] - i[None, :]) <= 1) | (
-        np.abs(i[:, None] - i[None, :]) == n - 1
-    )
-    return bool((proper & ~adjacent).any())
-
-
 def polygon_structure_reason(parts) -> str | None:
     """Structural invalidity over assembled polygon parts (reference
     base.py:210/:249 classes beyond ring geometry): 'Hole lies outside
@@ -431,4 +401,166 @@ def polygon_structure_reason(parts) -> str | None:
                 )
                 if not in_hole:
                     return "Nested shells"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# full noding validity (OGC ring simplicity + cross-ring analysis)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_ring(ring: np.ndarray) -> np.ndarray:
+    """Drop consecutive duplicate vertices (repeated points are VALID in
+    GEOS and must not read as zero-length-segment touches) and re-close."""
+    if len(ring) < 2:
+        return ring
+    keep = np.concatenate([[True], np.any(ring[1:] != ring[:-1], axis=1)])
+    r = ring[keep]
+    if len(r) < 2 or np.array_equal(r[0], r[-1]):
+        return r
+    return np.vstack([r, r[:1]])
+
+
+def _seg_pair_flags(a0, a1, b0, b1):
+    """Vectorized segment-pair relations between two segment sets.
+
+    a0,a1: (n,2) starts/ends; b0,b1: (m,2). Returns (proper, touch,
+    overlap) boolean (n,m) matrices: proper interior crossing; single-point
+    touch (an endpoint of one lies on the other, incl. endpoint-endpoint);
+    collinear overlap in more than a point. The three are disjoint."""
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    ax0, ay0 = a0[:, 0][:, None], a0[:, 1][:, None]
+    ax1, ay1 = a1[:, 0][:, None], a1[:, 1][:, None]
+    bx0, by0 = b0[:, 0][None, :], b0[:, 1][None, :]
+    bx1, by1 = b1[:, 0][None, :], b1[:, 1][None, :]
+    d1 = orient(ax0, ay0, ax1, ay1, bx0, by0)
+    d2 = orient(ax0, ay0, ax1, ay1, bx1, by1)
+    d3 = orient(bx0, by0, bx1, by1, ax0, ay0)
+    d4 = orient(bx0, by0, bx1, by1, ax1, ay1)
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+
+    def onseg(px, py, qx, qy, rx, ry):
+        return (
+            (rx >= np.minimum(px, qx))
+            & (rx <= np.maximum(px, qx))
+            & (ry >= np.minimum(py, qy))
+            & (ry <= np.maximum(py, qy))
+        )
+
+    t = (d1 == 0) & onseg(ax0, ay0, ax1, ay1, bx0, by0)
+    t |= (d2 == 0) & onseg(ax0, ay0, ax1, ay1, bx1, by1)
+    t |= (d3 == 0) & onseg(bx0, by0, bx1, by1, ax0, ay0)
+    t |= (d4 == 0) & onseg(bx0, by0, bx1, by1, ax1, ay1)
+    col = (d1 == 0) & (d2 == 0)
+    ovx = np.maximum(np.minimum(ax0, ax1), np.minimum(bx0, bx1)) < np.minimum(
+        np.maximum(ax0, ax1), np.maximum(bx0, bx1)
+    )
+    ovy = np.maximum(np.minimum(ay0, ay1), np.minimum(by0, by1)) < np.minimum(
+        np.maximum(ay0, ay1), np.maximum(by0, by1)
+    )
+    overlap = col & (ovx | ovy)
+    touch = t & ~proper & ~overlap
+    return proper, touch, overlap
+
+
+def ring_noding_reason(ring: np.ndarray) -> str | None:
+    """OGC ring simplicity, exact: non-adjacent segments may not intersect
+    AT ALL (proper cross, vertex revisit, T-touch), adjacent segments may
+    not collinearly overlap (spike). Processed in row blocks so the pair
+    matrices stay ~32MB even for huge rings."""
+    r = _dedup_ring(ring)
+    n = len(r) - 1
+    if n < 3:
+        return "Too few points in geometry component"
+    s0, s1 = r[:-1], r[1:]
+    blk = max(1, 4_000_000 // n)
+    j = np.arange(n)[None, :]
+    for lo in range(0, n, blk):
+        hi = min(n, lo + blk)
+        proper, touch, overlap = _seg_pair_flags(s0[lo:hi], s1[lo:hi], s0, s1)
+        diff = np.abs(np.arange(lo, hi)[:, None] - j)
+        adjacent = (diff <= 1) | (diff == n - 1)
+        if (proper & ~adjacent).any():
+            return "Ring Self-intersection"
+        if ((touch | overlap) & ~adjacent).any():
+            return "Ring Self-intersection"
+        if (overlap & adjacent & (diff > 0)).any():  # spike
+            return "Ring Self-intersection"
+    return None
+
+
+def _pair_touch_points(A: np.ndarray, B: np.ndarray, touch: np.ndarray) -> set:
+    """Exact coordinates where flagged segment pairs touch (the endpoint of
+    one that lies on the other); touch pairs are few, so a Python loop."""
+    pts = set()
+    a0, a1, b0, b1 = A[:-1], A[1:], B[:-1], B[1:]
+
+    def orient(p, q, r):
+        return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+
+    def onseg(p, q, r):
+        return (
+            min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+            and min(p[1], q[1]) <= r[1] <= max(p[1], q[1])
+        )
+
+    for i, j in zip(*np.nonzero(touch)):
+        p, q = a0[i], a1[i]
+        u, v = b0[j], b1[j]
+        for r, (s, t2) in ((u, (p, q)), (v, (p, q)), (p, (u, v)), (q, (u, v))):
+            if orient(s, t2, r) == 0 and onseg(s, t2, r):
+                pts.add((float(r[0]), float(r[1])))
+    return pts
+
+
+def polygon_noding_reason(rings) -> str | None:
+    """Cross-ring noding for ONE polygon [shell, *holes]: a proper cross or
+    collinear overlap between two rings is 'Self-intersection'; single-point
+    touches are legal until they close a cycle in the ring-touch multigraph
+    (union-find; two touch points between the same pair, or a hole chain
+    back to the shell, pinch off part of the interior) -> 'Interior is
+    disconnected' (GEOS ConnectedInteriorTester)."""
+    rs = [_dedup_ring(r) for r in rings if len(r) >= 4]
+    k = len(rs)
+    if k < 2:
+        return None
+    parent = list(range(k))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(k):
+        for b in range(a + 1, k):
+            A, B = rs[a], rs[b]
+            proper, touch, overlap = _seg_pair_flags(A[:-1], A[1:], B[:-1], B[1:])
+            if proper.any() or overlap.any():
+                return "Self-intersection"
+            if touch.any():
+                for _ in _pair_touch_points(A, B, touch):
+                    ra, rb = find(a), find(b)
+                    if ra == rb:
+                        return "Interior is disconnected"
+                    parent[ra] = rb
+    return None
+
+
+def multipolygon_noding_reason(polys) -> str | None:
+    """Cross-PART ring analysis for a multipolygon (``polys`` = list of
+    [shell, *holes]): rings of distinct parts may touch at finitely many
+    points (OGC allows any finite count) but never properly cross or share
+    a collinear stretch."""
+    cleaned = [[_dedup_ring(r) for r in rings if len(r) >= 4] for rings in polys]
+    for i in range(len(cleaned)):
+        for j in range(i + 1, len(cleaned)):
+            for A in cleaned[i]:
+                for B in cleaned[j]:
+                    proper, _, overlap = _seg_pair_flags(A[:-1], A[1:], B[:-1], B[1:])
+                    if proper.any() or overlap.any():
+                        return "Self-intersection"
     return None

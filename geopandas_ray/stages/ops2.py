@@ -248,11 +248,19 @@ def sample_points(ds, size: int, seed: int = 42, geometry="geometry", key_col=No
 
 
 def with_is_valid(ds, geometry="geometry", out="is_valid"):
-    """base.py:210 - scope: ring closure + >=4 ring points + proper ring
-    self-crossings (bowties) + hole-outside-shell / nested-holes / nested-
-    shells structure; vertex self-touches need GEOS (documented subset,
-    reasons via ops3.with_is_valid_reason)."""
-    from ..geom.algorithms import polygon_structure_reason, ring_self_intersects
+    """base.py:210 - full noding validity: ring closure + >=4 ring points +
+    OGC ring simplicity (proper crossings, vertex self-touches, T-touches,
+    spikes - algorithms.ring_noding_reason) + cross-ring noding per polygon
+    (ring crossings/overlaps, interior disconnection via the touch-graph
+    cycle rule) + cross-part ring crossings + hole-outside-shell /
+    nested-holes / nested-shells structure (reasons via
+    ops3.with_is_valid_reason)."""
+    from ..geom.algorithms import (
+        multipolygon_noding_reason,
+        polygon_noding_reason,
+        polygon_structure_reason,
+        ring_noding_reason,
+    )
 
     def f(b: pa.Table) -> pa.Table:
         g = from_wkb(b.column(geometry))
@@ -268,12 +276,18 @@ def with_is_valid(ds, geometry="geometry", out="is_valid"):
                     for r in rings:
                         if len(r) < 4 or not np.array_equal(r[0], r[-1]):
                             valid = False
-                        elif ring_self_intersects(r):
+                        elif ring_noding_reason(r) is not None:
                             valid = False
                 elif t == LINESTRING and len(rings[0]) < 2:
                     valid = False
-            if valid and polygon_structure_reason(parts) is not None:
-                valid = False
+            if valid:
+                polys = [rings for t, rings in parts if t == POLYGON]
+                if any(polygon_noding_reason(rings) is not None for rings in polys):
+                    valid = False
+                elif len(polys) > 1 and multipolygon_noding_reason(polys) is not None:
+                    valid = False
+                elif polygon_structure_reason(parts) is not None:
+                    valid = False
             ok[i] = valid
         return b.append_column(out, pa.array(ok))
 

@@ -103,9 +103,16 @@ def extract_unique_points(ds, geometry="geometry", out="unique_points"):
 def with_is_valid_reason(ds, geometry="geometry", out="is_valid_reason"):
     """GEOS-style reason strings for the invalidity classes with_is_valid
     detects (base.py:249): 'Valid Geometry', 'Too few points in geometry
-    component', 'Ring Self-intersection', 'Hole lies outside shell',
-    'Holes are nested', 'Nested shells'."""
-    from ..geom.algorithms import polygon_structure_reason, ring_self_intersects
+    component', 'Ring Self-intersection' (full ring simplicity incl. vertex
+    self-touches and spikes), 'Self-intersection' (ring-pair crossing or
+    collinear overlap), 'Interior is disconnected' (touch-graph cycle),
+    'Hole lies outside shell', 'Holes are nested', 'Nested shells'."""
+    from ..geom.algorithms import (
+        multipolygon_noding_reason,
+        polygon_noding_reason,
+        polygon_structure_reason,
+        ring_noding_reason,
+    )
 
     def f(b: pa.Table) -> pa.Table:
         g = from_wkb(b.column(geometry))
@@ -122,13 +129,27 @@ def with_is_valid_reason(ds, geometry="geometry", out="is_valid_reason"):
                         if len(ring) < 4:
                             reason = "Too few points in geometry component"
                             break
-                        if ring_self_intersects(ring):
-                            reason = "Ring Self-intersection"
+                        r = ring_noding_reason(ring)
+                        if r is not None:
+                            reason = (
+                                "Ring Self-intersection"
+                                if r.startswith("Ring")
+                                else r
+                            )
                             break
                 elif t == LINESTRING and len(rings[0]) < 2:
                     reason = "Too few points in geometry component"
                 if reason != "Valid Geometry":
                     break
+            if reason == "Valid Geometry":
+                polys = [rings for t, rings in parts if t == POLYGON]
+                for rings in polys:
+                    r = polygon_noding_reason(rings)
+                    if r is not None:
+                        reason = r
+                        break
+                if reason == "Valid Geometry" and len(polys) > 1:
+                    reason = multipolygon_noding_reason(polys) or reason
             if reason == "Valid Geometry":
                 reason = polygon_structure_reason(parts) or reason
             reasons.append(reason)

@@ -413,3 +413,80 @@ def test_binary_symmetric_difference():
     assert sorted(zip(px, py)) == [(0.0, 0.0), (2.0, 2.0)]
     # missing side passes the other through
     assert out.sd.iloc[2] == sq1 and out.sd.iloc[3] == sq2
+
+
+# --- full noding validity (ring simplicity + cross-ring analysis) ----------
+
+
+def _poly(*rings_):
+    return _parts_to_wkb([(W.POLYGON, list(rings_))])
+
+
+def _multipoly(*polys):
+    return _parts_to_wkb([(W.POLYGON, list(rings_)) for rings_ in polys])
+
+
+def test_is_valid_noding_ring_classes():
+    cases = [
+        # (wkb, expected_reason)  - GEOS-canonical fixtures
+        (_poly(ring((0, 0), (10, 0), (5, 5), (10, 10), (0, 10), (5, 5))),
+         "Ring Self-intersection"),  # vertex revisit (figure-8 pinch)
+        (_poly(ring((0, 0), (4, 0), (4, 4), (2, 0), (0, 4))),
+         "Ring Self-intersection"),  # T-touch: vertex on non-adjacent edge
+        (_poly(ring((0, 0), (4, 0), (6, 0), (4, 0), (4, 4), (0, 4))),
+         "Ring Self-intersection"),  # spike (adjacent collinear overlap)
+        (_poly(ring((0, 0), (4, 0), (4, 0), (4, 4), (0, 4))),
+         "Valid Geometry"),  # repeated vertex is VALID in GEOS
+        (_poly(ring((0, 0), (1, 1), (1, 0), (0, 1))),
+         "Ring Self-intersection"),  # proper bowtie cross
+    ]
+    d = ds_of([w for w, _ in cases])
+    out = ops3.with_is_valid_reason(d).to_pandas().sort_values("id")
+    assert out.is_valid_reason.tolist() == [r for _, r in cases]
+    v = with_is_valid(d).to_pandas().sort_values("id")
+    assert v.is_valid.tolist() == [r == "Valid Geometry" for _, r in cases]
+
+
+def test_is_valid_noding_cross_ring_classes():
+    shell4 = ring((0, 0), (4, 0), (4, 4), (0, 4))
+    shell6 = ring((0, 0), (6, 0), (6, 6), (0, 6))
+    cases = [
+        # hole crosses shell edge properly
+        (_poly(shell4, ring((2, 2), (6, 2), (6, 3), (2, 3))), "Self-intersection"),
+        # hole shares a collinear stretch with the shell
+        (_poly(shell4, ring((0, 1), (2, 1), (2, 2), (0, 2))), "Self-intersection"),
+        # hole touches shell at ONE point: valid
+        (_poly(shell4, ring((1, 1), (2, 0), (3, 1), (2, 2))), "Valid Geometry"),
+        # hole touches shell at TWO points: pinches interior
+        (_poly(shell4, ring((0, 2), (2, 1), (4, 2), (2, 3))), "Interior is disconnected"),
+        # two holes crossing each other
+        (_poly(shell6, ring((1, 1), (3, 1), (3, 3), (1, 3)), ring((2, 2), (4, 2), (4, 4), (2, 4))),
+         "Self-intersection"),
+        # chain: shell-A, A-B, B-shell single-point touches close a cycle
+        (_poly(shell6, ring((0, 3), (2, 2), (3, 3)), ring((3, 3), (4, 2), (6, 3))),
+         "Interior is disconnected"),
+        # tree: A touches shell, C touches only A - interior stays connected
+        (_poly(shell6, ring((0, 3), (2, 2), (3, 3)), ring((3, 3), (4, 3.5), (4, 2.5))),
+         "Valid Geometry"),
+    ]
+    d = ds_of([w for w, _ in cases])
+    out = ops3.with_is_valid_reason(d).to_pandas().sort_values("id")
+    assert out.is_valid_reason.tolist() == [r for _, r in cases]
+    v = with_is_valid(d).to_pandas().sort_values("id")
+    assert v.is_valid.tolist() == [r == "Valid Geometry" for _, r in cases]
+
+
+def test_is_valid_noding_multipolygon_parts():
+    a = ring((0, 0), (2, 0), (2, 2), (0, 2))
+    b_touch = ring((2, 2), (4, 2), (4, 4), (2, 4))   # corner touch: valid
+    b_cross = ring((1, 1), (3, 1), (3, 3), (1, 3))   # overlapping part
+    b_edge = ring((2, 0), (4, 0), (4, 2), (2, 2))    # full shared edge
+    d = ds_of([
+        _multipoly([a], [b_touch]),
+        _multipoly([a], [b_cross]),
+        _multipoly([a], [b_edge]),
+    ])
+    out = ops3.with_is_valid_reason(d).to_pandas().sort_values("id")
+    assert out.is_valid_reason.tolist() == [
+        "Valid Geometry", "Self-intersection", "Self-intersection"
+    ]
