@@ -1676,6 +1676,57 @@ def q_validity_flags(sf_dir):
     return _select(ds, ["doc_id", "is_valid", "reason"])
 
 
+def q_validity_noding(sf_dir):
+    # six noding classes by doc_id%6 over shifted fixtures: one-point hole
+    # touch (valid), two-point hole touch (interior disconnected), hole
+    # crossing shell, vertex-revisit figure-8, spike, hole chain cycle
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops2 import with_is_valid
+    from geopandas_ray.stages.ops3 import with_is_valid_reason
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        ox = ((did * 13) % 900).astype(np.float64)
+        oy = ((did * 7) % 500).astype(np.float64)
+
+        def ring(pts, dx, dy):
+            a = np.asarray(pts, dtype=np.float64) + np.array([dx, dy])
+            return np.vstack([a, a[:1]])
+
+        vals = []
+        for i in range(len(did)):
+            x, y = ox[i], oy[i]
+            c = did[i] % 6
+            shell = ring([(0, 0), (6, 0), (6, 6), (0, 6)], x, y)
+            if c == 0:  # hole touches shell at ONE point: valid
+                rows = [shell, ring([(1, 1), (2, 0), (3, 1), (2, 2)], x, y)]
+            elif c == 1:  # hole touches shell at TWO points
+                rows = [shell, ring([(0, 3), (3, 2), (6, 3), (3, 4)], x, y)]
+            elif c == 2:  # hole crosses the shell edge
+                rows = [shell, ring([(3, 3), (8, 3), (8, 4), (3, 4)], x, y)]
+            elif c == 3:  # vertex revisit (figure-8 pinch)
+                rows = [ring([(0, 0), (6, 0), (3, 3), (6, 6), (0, 6), (3, 3)], x, y)]
+            elif c == 4:  # spike
+                rows = [ring([(0, 0), (6, 0), (8, 0), (6, 0), (6, 6), (0, 6)], x, y)]
+            else:  # hole chain: shell-A, A-B, B-shell closes a cycle
+                rows = [
+                    shell,
+                    ring([(0, 3), (2, 2), (3, 3)], x, y),
+                    ring([(3, 3), (4, 2), (6, 3)], x, y),
+                ]
+            vals.append(_parts_to_wkb([(3, rows)]))
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = with_is_valid(ds)
+    ds = with_is_valid_reason(ds, out="reason")
+    return _select(ds, ["doc_id", "is_valid", "reason"])
+
+
 def q_min_clearance(sf_dir):
     # a rect's minimum clearance is its shorter side (exact vertex-to-edge)
     from geopandas_ray.pipelines.datasets import zone_dataset
@@ -1814,6 +1865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "force_3d_z": q_force_3d_z,
         "ring_flags": q_ring_flags,
         "validity_flags": q_validity_flags,
+        "validity_noding": q_validity_noding,
         "min_clearance": q_min_clearance,
         "dissolve_minmax": q_dissolve_minmax,
         "overlay_concave": q_overlay_concave,
@@ -2289,6 +2341,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, doc_id%2 = 0 AS is_valid, "
             "CASE WHEN doc_id%2 = 0 THEN 'Valid Geometry' "
             "ELSE 'Ring Self-intersection' END AS reason FROM documents"
+        ),
+        "validity_noding": (
+            "SELECT doc_id, doc_id%6 = 0 AS is_valid, "
+            "CASE doc_id%6 WHEN 0 THEN 'Valid Geometry' "
+            "WHEN 1 THEN 'Interior is disconnected' "
+            "WHEN 2 THEN 'Self-intersection' "
+            "WHEN 3 THEN 'Ring Self-intersection' "
+            "WHEN 4 THEN 'Ring Self-intersection' "
+            "ELSE 'Interior is disconnected' END AS reason FROM documents"
         ),
         "min_clearance": (
             f"{W} SELECT zone_key, LEAST(zmaxx - zminx, zmaxy - zminy) AS clearance FROM zones"
