@@ -670,6 +670,39 @@ def q_token_stats(sf_dir):
     return _select(with_token_stats(ds), ["doc_id", "n_tokens"])
 
 
+def q_pii_scrub(sf_dir):
+    # synthetic PII (email/IPv4/phone derived from doc_id) appended to each
+    # doc, then masked by the re2 scrubber; DuckDB mirrors the construction
+    # and nests regexp_replace with the SAME re2 patterns - hash-exact
+    import pyarrow.compute as pc
+    import ray.data
+
+    from geopandas_ray.functions.text import with_pii_scrub
+
+    def augment(b):
+        did = b.column("doc_id")
+        s = pc.cast(did, pa.large_string())
+
+        def lit(v):
+            return pa.array([v] * len(b), type=pa.large_string())
+
+        aug = pc.binary_join_element_wise(
+            pc.cast(b.column("text"), pa.large_string()),
+            lit(" contact user"), s, lit("@example.com from 10."),
+            pc.cast(pc.bit_wise_and(did, 255), pa.large_string()),
+            lit(".0."),
+            pc.cast(pc.subtract(did, pc.multiply(pc.divide(did, 100), 100)), pa.large_string()),
+            lit(" tel +1415"),
+            pc.cast(pc.add(pc.subtract(did, pc.multiply(pc.divide(did, 9000), 9000)), 1000), pa.large_string()),
+            lit("555"), lit(""),
+        )
+        return b.drop_columns(["text"]).append_column("text", aug)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = with_pii_scrub(ds.map_batches(augment, batch_format="pyarrow"))
+    return _select(ds, ["doc_id", "n_email", "n_ip", "n_phone", "text_scrubbed"])
+
+
 def q_quality(sf_dir):
     import ray.data
 
@@ -1816,6 +1849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_nchars": q_dedup_nchars,
         "token_stats": q_token_stats,
+        "pii_scrub": q_pii_scrub,
         "quality": q_quality,
         "knn_cosine": q_knn_cosine,
         "embed_near_dup": q_embed_near_dup,
@@ -2144,6 +2178,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_nchars": "SELECT n_chars, MIN(doc_id) AS doc_id FROM documents GROUP BY n_chars",
         "token_stats": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "pii_scrub": (
+            "WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id || "
+            "'@example.com from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) || "
+            "' tel +1415' || (doc_id % 9000 + 1000) || '555' AS t FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
+            "CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip, "
+            "CAST(len(regexp_extract_all(t, '\\+\\d{7,15}\\b')) AS BIGINT) AS n_phone, "
+            "regexp_replace(regexp_replace(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+            "'\\+\\d{7,15}\\b', '<PHONE>', 'g') AS text_scrubbed FROM aug"
         ),
         "quality": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "

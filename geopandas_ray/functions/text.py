@@ -198,3 +198,39 @@ def with_bpe_tokens(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Da
         concurrency=default_pool(),
         fn_constructor_kwargs=dict(text_col=text_col),
     )
+
+
+# --- PII scrubbing (training-data hygiene) ---------------------------------
+
+# RE2 syntax on purpose: pyarrow's re2-backed kernels and DuckDB's re2
+# regexp_replace give IDENTICAL semantics, which is what lets the
+# pii_scrub query carry a hash-exact SQL oracle.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}\b", "<PHONE>"),
+)
+
+
+def with_pii_scrub(
+    ds: ray.data.Dataset, text_col: str = "text", out: str = "text_scrubbed"
+) -> ray.data.Dataset:
+    """Mask emails / IPv4s / E.164-ish phone numbers and count each class.
+
+    Entirely pyarrow.compute (re2, C++): count_substring_regex for the
+    per-class counts, replace_substring_regex chained in PII_PATTERNS order
+    (email before ip so `user@10.0.0.1`-style strings scrub as one email,
+    matching the SQL oracle's nesting). No Python touches a row."""
+    import pyarrow.compute as pc
+
+    def f(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column(text_col), pa.large_string())
+        for name, pat, repl in PII_PATTERNS:
+            b = b.append_column(
+                "n_" + name, pc.cast(pc.count_substring_regex(s, pat), pa.int64())
+            )
+        for name, pat, repl in PII_PATTERNS:
+            s = pc.replace_substring_regex(s, pat, repl)
+        return b.append_column(out, s)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -699,8 +699,11 @@ def _relate_pair_impl(lg, i, rg, j, lbi, rbj, lbei, rbej) -> str | None:
         return _relate_line_poly(lg, i, rg, j)
     if l_poly and r_line:
         return _transpose_de9im(_relate_line_poly(rg, j, lg, i))
-    raise NotImplementedError(
-        f"relate for type pair ({tl},{tr}) (collections need GEOS)"
+    # reference parity: GEOS/JTS RelateOp itself rejects GeometryCollection
+    # operands ("This method does not support GeometryCollection arguments"),
+    # so shapely-backed geopandas raises here too - not an engine gap.
+    raise ValueError(
+        f"relate does not support GeometryCollection arguments (type pair {tl},{tr})"
     )
 
 

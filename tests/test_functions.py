@@ -353,3 +353,32 @@ def test_knn_ivf_recall_vs_brute(rng):
     # determinism
     again = knn_ivf(ds, k=3, nlist=16, nprobe=6).to_pandas()
     assert set(zip(again.vec_id, again.neighbor_id)) == set(zip(ivf.vec_id, ivf.neighbor_id))
+
+
+def test_pii_scrub():
+    import pyarrow as pa
+    import ray.data
+
+    from geopandas_ray.functions.text import with_pii_scrub
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2]),
+            "text": pa.array(
+                [
+                    "mail a.b+c@site.org and x@y.io from 192.168.0.1",
+                    "call +4915123456789 now",
+                    "clean text, no pii here 1.2.3",  # not an IPv4
+                ]
+            ),
+        }
+    )
+    out = with_pii_scrub(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert out.n_email.tolist() == [2, 0, 0]
+    assert out.n_ip.tolist() == [1, 0, 0]
+    assert out.n_phone.tolist() == [0, 1, 0]
+    assert out.text_scrubbed.tolist() == [
+        "mail <EMAIL> and <EMAIL> from <IP>",
+        "call <PHONE> now",
+        "clean text, no pii here 1.2.3",
+    ]
