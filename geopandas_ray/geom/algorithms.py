@@ -564,3 +564,62 @@ def multipolygon_noding_reason(polys) -> str | None:
                     if proper.any() or overlap.any():
                         return "Self-intersection"
     return None
+
+
+def _dedup_line(c: np.ndarray) -> np.ndarray:
+    """Drop consecutive duplicate vertices (repeated points do not make a
+    line non-simple in GEOS)."""
+    if len(c) < 2:
+        return c
+    keep = np.concatenate([[True], np.any(c[1:] != c[:-1], axis=1)])
+    return c[keep]
+
+
+def line_is_simple(coords: np.ndarray) -> bool:
+    """OGC simplicity for one LineString, exact: the only permitted
+    self-intersection is the shared endpoint of a closed line. Catches
+    proper crossings, T-touches (an endpoint or vertex on a non-adjacent
+    segment's interior), vertex revisits, and spikes (adjacent backtracks);
+    JTS IsSimpleOp semantics."""
+    r = _dedup_line(np.asarray(coords, dtype=np.float64))
+    n = len(r) - 1
+    if n <= 0:
+        return True
+    closed = np.array_equal(r[0], r[-1])
+    s0, s1 = r[:-1], r[1:]
+    proper, touch, overlap = _seg_pair_flags(s0, s1, s0, s1)
+    diff = np.abs(np.arange(n)[:, None] - np.arange(n)[None, :])
+    adjacent = diff <= 1
+    if closed:
+        adjacent |= diff == n - 1
+    if (proper & ~adjacent).any():
+        return False
+    if ((touch | overlap) & ~adjacent).any():
+        return False
+    if (overlap & adjacent & (diff > 0)).any():  # spike
+        return False
+    return True
+
+
+def multiline_parts_simple(parts) -> bool:
+    """OGC MultiLineString simplicity across elements: two parts may meet
+    ONLY at points that are boundary points (endpoints) of BOTH (a closed
+    element has an empty boundary, so nothing may touch it)."""
+    cl = [_dedup_line(np.asarray(c, dtype=np.float64)) for c in parts]
+    ends = []
+    for r in cl:
+        e: set = set()
+        if len(r) >= 2 and not np.array_equal(r[0], r[-1]):
+            e = {(float(r[0][0]), float(r[0][1])), (float(r[-1][0]), float(r[-1][1]))}
+        ends.append(e)
+    for i in range(len(cl)):
+        for j in range(i + 1, len(cl)):
+            A, B = cl[i], cl[j]
+            if len(A) < 2 or len(B) < 2:
+                continue
+            proper, touch, overlap = _seg_pair_flags(A[:-1], A[1:], B[:-1], B[1:])
+            if proper.any() or overlap.any():
+                return False
+            if touch.any() and not _pair_touch_points(A, B, touch) <= (ends[i] & ends[j]):
+                return False
+    return True

@@ -562,9 +562,13 @@ def with_ring_flags(ds, geometry="geometry"):
     """base.py:454 is_simple / :482 is_ring / :517 is_ccw / :558 is_closed /
     :592 has_z - one pass, four boolean columns.
 
-    is_simple checks pairwise proper self-intersection of segments within
-    each line part (O(S^2) per row - rows are small); has_z is always False
-    (planar engine drops Z at decode)."""
+    is_simple is the exact JTS IsSimpleOp: within-part simplicity (proper
+    crossings, T-touches, vertex revisits, spikes - algorithms.
+    line_is_simple), cross-part line meetings only at shared boundary
+    points (multiline_parts_simple), repeated points in multipoints,
+    polygon-ring simplicity; has_z is always False (planar engine drops Z
+    at decode)."""
+    from ..geom.algorithms import line_is_simple, multiline_parts_simple
 
     def f(b: pa.Table) -> pa.Table:
         g = from_wkb(b.column(geometry))
@@ -578,6 +582,8 @@ def with_ring_flags(ds, geometry="geometry"):
                 continue
             p0, p1 = g.row_part_range(i)
             closed_all = p1 > p0
+            line_parts: list[np.ndarray] = []
+            pt_coords: list[tuple[float, float]] = []
             for p in range(p0, p1):
                 t = int(g.part_types[p])
                 r0, r1 = g.part_ring_range(p)
@@ -586,15 +592,20 @@ def with_ring_flags(ds, geometry="geometry"):
                     closed = len(c) > 1 and np.array_equal(c[0], c[-1])
                     if t == LINESTRING:
                         closed_all &= closed
-                        # self-intersection scan (proper crossings only)
-                        segs = np.hstack([c[:-1], c[1:]])
-                        for a in range(len(segs)):
-                            nb = segs[a + 2 :] if a > 0 else segs[a + 2 : len(segs) - (1 if closed else 0)]
-                            if len(nb) and K._proper_cross(segs[a : a + 1], nb):
-                                is_simple[i] = False
-                                break
+                        line_parts.append(c)
+                        if is_simple[i] and not line_is_simple(c):
+                            is_simple[i] = False
+                    elif t == POLYGON:
+                        if is_simple[i] and not line_is_simple(c):
+                            is_simple[i] = False
                     elif t == POINT:
                         closed_all = False
+                        if len(c):
+                            pt_coords.append((float(c[0, 0]), float(c[0, 1])))
+            if is_simple[i] and len(line_parts) > 1:
+                is_simple[i] = multiline_parts_simple(line_parts)
+            if is_simple[i] and len(pt_coords) > 1:
+                is_simple[i] = len(set(pt_coords)) == len(pt_coords)
             if p1 - p0 == 1 and int(g.part_types[p0]) == LINESTRING:
                 r0, _ = g.part_ring_range(p0)
                 c = g.ring_coords(r0)

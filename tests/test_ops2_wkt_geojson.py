@@ -566,3 +566,46 @@ def test_read_file_to_file_geojson(tmp_path):
 
     with pytest.raises(NotImplementedError):
         read_file(str(tmp_path / "out") + "/../whatever.shp")
+
+
+def test_is_simple_exact_noding():
+    """JTS IsSimpleOp fixtures beyond proper crossings."""
+    import numpy as np
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops2 import with_ring_flags
+
+    def line(*pts):
+        return _parts_to_wkb([(W.LINESTRING, [np.array(pts, dtype=float)])])
+
+    def mline(*parts):
+        return _parts_to_wkb(
+            [(W.LINESTRING, [np.array(p, dtype=float)]) for p in parts]
+        )
+
+    def mpoint(*pts):
+        return _parts_to_wkb([(W.POINT, [np.array([p], dtype=float)]) for p in pts])
+
+    cases = [
+        (line((0, 0), (2, 2), (2, 0), (0, 2)), False),      # proper cross
+        (line((0, 0), (4, 0), (2, 2), (2, 0)), False),      # T-touch on seg interior
+        (line((0, 0), (2, 0), (1, 0)), False),              # spike backtrack
+        (line((0, 0), (1, 0), (1, 0), (2, 0)), True),       # repeated point: simple
+        (line((0, 0), (1, 0), (1, 1), (0, 1), (0, 0)), True),  # closed ring: simple
+        (line((0, 0), (2, 0), (2, 2), (1, 0)), False),      # lollipop: end on interior
+        (mline(((0, 0), (1, 1)), ((1, 1), (2, 0))), True),  # parts meet at endpoints
+        (mline(((0, 0), (2, 2)), ((0, 2), (2, 0))), False),  # parts cross
+        (mline(((0, 0), (2, 0)), ((1, 0), (1, 2))), False),  # endpoint on interior
+        (mpoint((0, 0), (1, 1)), True),
+        (mpoint((0, 0), (1, 1), (0, 0)), False),            # repeated point in multipoint
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(list(range(len(cases))), type=pa.int64()),
+                "geometry": pa.array([w for w, _ in cases], type=pa.large_binary()),
+            }
+        )
+    )
+    out = with_ring_flags(ds).to_pandas().sort_values("id")
+    assert out.is_simple.tolist() == [e for _, e in cases]
