@@ -875,3 +875,13 @@ def binary_snap(ds: ray.data.Dataset, other, tolerance: float, geometry="geometr
         return b.set_column(idx, geometry, _to_wkb(g2))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def binary_geom_almost_equals(
+    ds: ray.data.Dataset, other, decimal: int = 6, geometry="geometry", out="geom_almost_equals"
+):
+    """base.py geom_almost_equals (deprecated in 1.0 toward
+    geom_equals_exact): tolerance = 0.5 * 10**-decimal."""
+    return binary_geom_equals_exact(
+        ds, other, tolerance=0.5 * 10.0 ** (-decimal), geometry=geometry, out=out
+    )

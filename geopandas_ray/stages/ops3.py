@@ -573,3 +573,47 @@ def offset_curve(ds, distance: float, quad_segs: int = 8, geometry="geometry"):
         return _parts_to_wkb(parts)
 
     return _map_rows_geometry(ds, fn, geometry)
+
+
+# ---------------------------------------------------------------------------
+# pandas-layer aliases + column management (completeness audit round 2)
+# ---------------------------------------------------------------------------
+
+
+def geom_isnull(ds, geometry="geometry", out="isnull"):
+    """geoseries.py isnull = alias of isna."""
+    return geom_isna(ds, geometry, out)
+
+
+def geom_notnull(ds, geometry="geometry", out="notnull"):
+    """geoseries.py notnull = alias of notna."""
+    return geom_notna(ds, geometry, out)
+
+
+def rename_geometry(ds, new_name: str, geometry="geometry"):
+    """geodataframe.py rename_geometry: rename the active geometry column
+    (pure Arrow metadata move, zero-copy per batch)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            [new_name if c == geometry else c for c in b.column_names]
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def set_geometry(ds, column: str, out: str = "geometry", drop_old: bool = False):
+    """geodataframe.py set_geometry: make ``column`` the active geometry
+    column (copied to ``out`` so downstream stages' default applies)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        col = b.column(column)
+        if out in b.column_names:
+            b = b.set_column(b.column_names.index(out), out, col)
+        else:
+            b = b.append_column(out, col)
+        if drop_old and column != out:
+            b = b.drop_columns([column])
+        return b
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -490,3 +490,43 @@ def test_is_valid_noding_multipolygon_parts():
     assert out.is_valid_reason.tolist() == [
         "Valid Geometry", "Self-intersection", "Self-intersection"
     ]
+
+
+def test_pandas_layer_aliases_and_column_management():
+    t = pa.table(
+        {
+            "id": pa.array([0, 1]),
+            "geometry": pa.array([SQUARE, None], type=pa.large_binary()),
+            "alt": pa.array([SQUARE, SQUARE], type=pa.large_binary()),
+        }
+    )
+    d = ray.data.from_arrow(t)
+    out = ops3.geom_isnull(ops3.geom_notnull(d)).to_pandas().sort_values("id")
+    assert out["isnull"].tolist() == [False, True]
+    assert out["notnull"].tolist() == [True, False]
+    r = ops3.rename_geometry(d, "geom").to_pandas()
+    assert "geom" in r.columns and "geometry" not in r.columns
+    s = ops3.set_geometry(d, "alt", drop_old=True).to_pandas().sort_values("id")
+    assert "alt" not in s.columns
+    assert s.geometry.notna().all()  # alt copied over the null geometry
+
+
+def test_geom_almost_equals_alias():
+    from geopandas_ray.stages.binary import binary_geom_almost_equals
+
+    near = _parts_to_wkb(
+        [(W.POLYGON, [ring((0, 1e-9), (1, 0), (1, 1), (0, 1))])]
+    )
+    t = pa.table(
+        {
+            "id": pa.array([0]),
+            "geometry": pa.array([SQUARE], type=pa.large_binary()),
+            "other": pa.array([near], type=pa.large_binary()),
+        }
+    )
+    out = binary_geom_almost_equals(ray.data.from_arrow(t), "other").to_pandas()
+    assert out.geom_almost_equals.tolist() == [True]
+    out2 = binary_geom_almost_equals(
+        ray.data.from_arrow(t), "other", decimal=12
+    ).to_pandas()
+    assert out2.geom_almost_equals.tolist() == [False]
