@@ -2444,7 +2444,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, d AS hilbert FROM h WHERE s = 0
             ORDER BY d DESC, doc_id DESC LIMIT 100
         """,
-        "bpe_tokens": """
+        "bpe_tokens": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')) AS n_bpe_tokens
             FROM documents

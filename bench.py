@@ -162,7 +162,7 @@ def run_bench() -> dict:
         ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
         return minhash_candidate_pairs(ds, sim_threshold=0.5).count()
 
-    timed("minhash_dedup", run_minhash)
+    timed("minhash_dedup", run_minhash, reps=2)
 
     def _skew_tables():
         import numpy as np
@@ -214,7 +214,7 @@ def run_bench() -> dict:
             zone_l_dataset(SF_DIR), supplier_l_table(SF_DIR), "intersection"
         ).count()
 
-    timed("overlay_concave", run_overlay_concave)
+    timed("overlay_concave", run_overlay_concave, reps=2)
 
     def run_polyfill():
         # exact polygon polyfill (res-6 cells, vectorized rect kernel) +
@@ -305,7 +305,7 @@ def run_bench() -> dict:
         pairs = minhash_candidate_pairs(ds, sim_threshold=0.5)
         return cluster_min_label(pairs, ds).count()
 
-    timed("dedup_cluster", run_cluster)
+    timed("dedup_cluster", run_cluster, reps=2)
 
     def run_q1():
         from ray.data.aggregate import Count, Sum
