@@ -703,6 +703,35 @@ def q_pii_scrub(sf_dir):
     return _select(ds, ["doc_id", "n_email", "n_ip", "n_phone", "text_scrubbed"])
 
 
+def q_repetition_stats(sf_dir):
+    # Gopher/C4 repetition + line-quality signals. The synthetic corpus has
+    # no newlines, so the query manufactures multi-line docs in a way DuckDB
+    # reproduces verbatim: replace the token ' data ' with a newline
+    # (replace() is left-to-right non-overlapping in both engines), then
+    # append a duplicate of the first line so every doc exercises the
+    # duplicate-line counters.
+    import pandas as pd
+    import ray.data
+
+    from geopandas_ray.functions.text import with_repetition_stats
+
+    def augment(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("").str.replace(" data ", "\n", regex=False)
+        df = df.copy()
+        df["text"] = s + "\n" + s.str.split("\n").str[0]
+        return df
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = with_repetition_stats(ds.map_batches(augment, batch_format="pandas"))
+    return _select(
+        ds,
+        [
+            "doc_id", "n_lines", "n_dup_lines", "n_dup_line_chars",
+            "n_nonterminal_lines", "n_bigrams", "top_bigram_count",
+        ],
+    )
+
+
 def q_quality(sf_dir):
     import ray.data
 
@@ -1851,6 +1880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "pii_scrub": q_pii_scrub,
         "quality": q_quality,
+        "repetition_stats": q_repetition_stats,
         "knn_cosine": q_knn_cosine,
         "embed_near_dup": q_embed_near_dup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
@@ -2192,6 +2222,38 @@ def oracle_sql() -> dict[str, str]:
             "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
             "'\\+\\d{7,15}\\b', '<PHONE>', 'g') AS text_scrubbed FROM aug"
         ),
+        "repetition_stats": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     replace(text, ' data ', chr(10)) || chr(10) ||
+                     string_split(replace(text, ' data ', chr(10)), chr(10))[1] AS t
+              FROM documents
+            ),
+            li AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM aug),
+            lg AS (SELECT doc_id, line, COUNT(*) AS c FROM li GROUP BY 1, 2),
+            ls AS (
+              SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n_lines,
+                     CAST(SUM(c - 1) AS BIGINT) AS n_dup_lines,
+                     CAST(SUM((c - 1) * length(line)) AS BIGINT) AS n_dup_line_chars,
+                     CAST(SUM(CASE WHEN line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?'
+                                   OR line LIKE '%"' THEN 0 ELSE c END) AS BIGINT) AS n_nonterminal_lines
+              FROM lg GROUP BY doc_id
+            ),
+            tk AS (SELECT doc_id, list_filter(string_split_regex(t, '[ ' || chr(10) || ']+'),
+                                              x -> x <> '') AS toks FROM aug),
+            bg AS (
+              SELECT doc_id, unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS z
+              FROM tk WHERE len(toks) >= 2
+            ),
+            bgc AS (SELECT doc_id, z, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+            tb AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                          CAST(MAX(c) AS BIGINT) AS top_bigram_count FROM bgc GROUP BY doc_id)
+            SELECT ls.doc_id, n_lines, n_dup_lines, n_dup_line_chars, n_nonterminal_lines,
+                   COALESCE(n_bigrams, 0) AS n_bigrams,
+                   COALESCE(top_bigram_count, 0) AS top_bigram_count
+            FROM ls LEFT JOIN tb ON ls.doc_id = tb.doc_id
+        """,
         "quality": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
             f"CAST(len(list_filter(string_split(text, ' '), x -> x IN ({stop_list}))) AS BIGINT) AS stopword_count "

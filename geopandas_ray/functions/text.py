@@ -200,6 +200,62 @@ def with_bpe_tokens(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Da
     )
 
 
+def with_repetition_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Gopher/C4-style repetition + line-quality signals per document.
+
+    Adds integer columns (all exactly reproducible in SQL, which is what
+    lets the `repetition_stats` query carry a hash-exact DuckDB oracle):
+
+    - ``n_lines``              lines after splitting on ``\\n``
+    - ``n_dup_lines``          line instances beyond the first occurrence
+    - ``n_dup_line_chars``     characters in those duplicate instances
+    - ``n_nonterminal_lines``  lines not ending in ``. ! ? "`` (C4 rule)
+    - ``n_bigrams``            adjacent whitespace-token pairs
+    - ``top_bigram_count``     occurrences of the most frequent bigram
+                               (Gopher top-2gram repetition signal)
+
+    Entirely vectorized: exploded-frame groupbys (C-level), no per-row
+    Python. Filter fractions (dup_line_frac = n_dup_lines / n_lines,
+    top_bigram_frac = top_bigram_count / n_bigrams) are one arithmetic
+    column away; the stage emits the integer numerators/denominators so
+    the oracle comparison stays bit-exact.
+    """
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("").reset_index(drop=True)
+        out = df.copy()
+
+        # line stats: explode split lines, count per (row, line)
+        ex = s.str.split("\n").explode()
+        lf = pd.DataFrame({"row": ex.index.values, "line": ex.values})
+        g = lf.groupby(["row", "line"], sort=False).size().reset_index(name="c")
+        per_row = g.groupby("row")["c"].agg(n_lines="sum", n_distinct="size")
+        dup_chars = ((g["c"] - 1) * g["line"].str.len()).groupby(g["row"]).sum()
+        nonterm = (~lf["line"].str.endswith((".", "!", "?", '"'))).groupby(lf["row"]).sum()
+
+        def col(v, fill=0):
+            return v.reindex(s.index, fill_value=fill).astype("int64").values
+
+        out["n_lines"] = col(per_row["n_lines"])
+        out["n_dup_lines"] = col(per_row["n_lines"] - per_row["n_distinct"])
+        out["n_dup_line_chars"] = col(dup_chars)
+        out["n_nonterminal_lines"] = col(nonterm)
+
+        # bigram stats: explode whitespace tokens, pair each with the next
+        # token of the SAME row (groupby shift), count per (row, pair)
+        tex = s.str.split().explode().dropna()
+        nxt = tex.groupby(level=0).shift(-1)
+        mask = nxt.notna()
+        big = tex[mask] + "\x01" + nxt[mask]
+        bf = pd.DataFrame({"row": big.index.values, "bg": big.values})
+        bc = bf.groupby(["row", "bg"], sort=False).size()
+        out["n_bigrams"] = col(bf.groupby("row").size())
+        out["top_bigram_count"] = col(bc.groupby(level=0).max())
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 # --- PII scrubbing (training-data hygiene) ---------------------------------
 
 # RE2 syntax on purpose: pyarrow's re2-backed kernels and DuckDB's re2

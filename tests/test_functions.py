@@ -382,3 +382,41 @@ def test_pii_scrub():
         "call <PHONE> now",
         "clean text, no pii here 1.2.3",
     ]
+
+
+def _brute_repetition(text: str) -> dict:
+    lines = text.split("\n")
+    from collections import Counter
+
+    lc = Counter(lines)
+    toks = text.split()
+    bigs = Counter(zip(toks, toks[1:]))
+    return {
+        "n_lines": len(lines),
+        "n_dup_lines": sum(c - 1 for c in lc.values()),
+        "n_dup_line_chars": sum((c - 1) * len(l) for l, c in lc.items()),
+        "n_nonterminal_lines": sum(1 for l in lines if not l.endswith((".", "!", "?", '"'))),
+        "n_bigrams": len(toks) - 1 if len(toks) >= 2 else 0,
+        "top_bigram_count": max(bigs.values()) if bigs else 0,
+    }
+
+
+def test_repetition_stats_vs_brute():
+    from geopandas_ray.functions.text import with_repetition_stats
+
+    texts = [
+        "a b\na b\nc d.",          # duplicate line + terminal line
+        "",                         # empty doc: one empty line, no bigrams
+        "solo",                     # single token: 1 line, 0 bigrams
+        "x x x x x",               # all-same tokens: top bigram = 4
+        'ends quoted"\nends bang!\nno end',
+        "a b\na b\na b\na b",      # heavy line dup + bigram dup across lines
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)})
+    )
+    got = with_repetition_stats(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(texts):
+        want = _brute_repetition(t)
+        for k, v in want.items():
+            assert got.loc[i, k] == v, (i, k, got.loc[i, k], v)
