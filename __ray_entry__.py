@@ -703,6 +703,54 @@ def q_pii_scrub(sf_dir):
     return _select(ds, ["doc_id", "n_email", "n_ip", "n_phone", "text_scrubbed"])
 
 
+def q_symdiff_mixed(sf_dir):
+    # mixed-dimension symmetric difference: a horizontal line crossing a
+    # rect at an interior scanline -> GC(rect, two outside stubs).
+    # area == w*h; length == stub lengths + rect perimeter (GEOS length of
+    # a GC sums line length + polygon perimeter) — all integer-valued
+    # doubles, exact on both sides.
+    import ray.data
+
+    from geopandas_ray.geom import kernels as _K
+    from geopandas_ray.geom.wkb import boxes_to_wkb
+    from geopandas_ray.geom.wkb import from_wkb as _fw
+    from geopandas_ray.stages.binary import binary_symmetric_difference
+    from geopandas_ray.stages.clip import _parts_to_wkb
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        x0 = ((did * 7) % 100).astype(np.float64)
+        y0 = ((did * 13) % 100).astype(np.float64)
+        w = (4 + did % 4).astype(np.float64)
+        h = (3 + did % 3).astype(np.float64)
+        yc = y0 + 1 + (did % (2 + did % 3)).astype(np.float64)  # strictly interior
+        xa = x0 - (2 + did % 3).astype(np.float64)
+        xb = x0 + w + 1 + (did % 5).astype(np.float64)
+        lines = [
+            _parts_to_wkb([(2, [np.array([[xa[i], yc[i]], [xb[i], yc[i]]])])])
+            for i in range(len(did))
+        ]
+        b = b.append_column("geometry", pa.array(lines, type=pa.large_binary()))
+        return b.append_column("other", boxes_to_wkb(x0, y0, x0 + w, y0 + h))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    sd = binary_symmetric_difference(ds, "other", out="sd")
+
+    def props(b):
+        g = _fw(b.column("sd"))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "sd_area": pa.array(_K.area(g)),
+                "sd_length": pa.array(_K.length(g)),
+            }
+        )
+
+    return sd.map_batches(props, batch_format="pyarrow")
+
+
 def q_repetition_stats(sf_dir):
     # Gopher/C4 repetition + line-quality signals. The synthetic corpus has
     # no newlines, so the query manufactures multi-line docs in a way DuckDB
@@ -1881,6 +1929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "quality": q_quality,
         "repetition_stats": q_repetition_stats,
+        "symdiff_mixed_props": q_symdiff_mixed,
         "knn_cosine": q_knn_cosine,
         "embed_near_dup": q_embed_near_dup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
@@ -2221,6 +2270,12 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
             "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
             "'\\+\\d{7,15}\\b', '<PHONE>', 'g') AS text_scrubbed FROM aug"
+        ),
+        "symdiff_mixed_props": (
+            "WITH p AS (SELECT doc_id, 4 + doc_id%4 AS w, 3 + doc_id%3 AS h, "
+            "2 + doc_id%3 AS lstub, 1 + doc_id%5 AS rstub FROM documents) "
+            "SELECT doc_id, CAST(w*h AS DOUBLE) AS sd_area, "
+            "CAST(lstub + rstub + 2*(w+h) AS DOUBLE) AS sd_length FROM p"
         ),
         "repetition_stats": r"""
             WITH aug AS (

@@ -154,18 +154,82 @@ def binary_union(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+_DIM = {1: 0, 4: 0, 2: 1, 5: 1, 3: 2, 6: 2}
+
+
+def _row_parts(g, idx: int) -> list[tuple[int, list[np.ndarray]]]:
+    """Row ``idx`` as the [(base_type, rings)] structure _parts_to_wkb takes."""
+    parts = []
+    p0, p1 = g.row_part_range(idx)
+    for p in range(p0, p1):
+        r0, r1 = g.part_ring_range(p)
+        rings = [g.ring_coords(r) for r in range(r0, r1)]
+        parts.append((int(g.part_types[p]), rings))
+    return parts
+
+
+def _segments_minus(sa: np.ndarray, sb: np.ndarray) -> list[tuple]:
+    """Sub-segments of ``sa`` not collinearly covered by ``sb`` (per-segment
+    1-D interval subtraction; crossing POINTS are measure-zero and stay,
+    matching GEOS line/line symmetric-difference point-set semantics)."""
+    out: list[tuple] = []
+    if len(sa) == 0:
+        return out
+    if len(sb) == 0:
+        return [tuple(map(float, s)) for s in sa]
+    bx0, by0, bx1, by1 = sb[:, 0], sb[:, 1], sb[:, 2], sb[:, 3]
+    for ax0, ay0, ax1, ay1 in sa:
+        dax, day = ax1 - ax0, ay1 - ay0
+        L2 = dax * dax + day * day
+        if L2 == 0:
+            continue
+        c0 = dax * (by0 - ay0) - day * (bx0 - ax0)
+        c1 = dax * (by1 - ay0) - day * (bx1 - ax0)
+        col = (c0 == 0) & (c1 == 0)
+        ivals = []
+        if col.any():
+            t0 = ((bx0 - ax0) * dax + (by0 - ay0) * day) / L2
+            t1 = ((bx1 - ax0) * dax + (by1 - ay0) * day) / L2
+            for jj in np.nonzero(col)[0]:
+                lo = max(0.0, min(t0[jj], t1[jj]))
+                hi = min(1.0, max(t0[jj], t1[jj]))
+                if hi > lo:
+                    ivals.append((lo, hi))
+        ivals.sort()
+        cur = 0.0
+        for lo, hi in ivals:
+            if lo > cur:
+                out.append((ax0 + cur * dax, ay0 + cur * day, ax0 + lo * dax, ay0 + lo * day))
+            cur = max(cur, hi)
+        if cur < 1.0:
+            out.append((ax0 + cur * dax, ay0 + cur * day, float(ax1), float(ay1)))
+    return out
+
+
 def binary_symmetric_difference(
     ds: ray.data.Dataset, other, geometry: str = "geometry", out: str = "symmetric_difference"
 ):
-    """base.py:3958 row-aligned symmetric difference (general simple
-    polygons via the slab-sweep kernel; point rows use set semantics;
-    a missing side passes the other through, GEOS-style)."""
+    """base.py:3958 row-aligned symmetric difference, all type-pair families:
+
+    - point/point: coordinate-set XOR
+    - polygon/polygon: slab-sweep boolean kernel
+    - line/line: 1-D interval subtraction of collinear overlaps both ways
+      (point-set equal to GEOS; linestrings are not re-merged/noded at
+      crossings, so the PARTITION into segments can differ from GEOS while
+      covering the identical point set)
+    - mixed dimension: GC(higher-dim geometry, lower-dim parts outside it)
+      — GEOS drops the lower-dim operand's covered portion and keeps the
+      higher-dim operand whole; parts are emitted higher-dimension first
+      (OverlayNG result order)
+
+    A missing side passes the other through, GEOS-style."""
     import struct
 
     from ..geom.booleans import polygon_boolean
     from .clip import _parts_to_wkb
 
     empty = struct.pack("<BII", 1, 3, 0)  # POLYGON EMPTY
+    empty_line = struct.pack("<BII", 1, 2, 0)  # LINESTRING EMPTY
 
     def f(b: pa.Table) -> pa.Table:
         lg, rg, ri = _two_sides(b, geometry, other)
@@ -200,10 +264,31 @@ def binary_symmetric_difference(
                     _parts_to_wkb([(3, rings) for rings in polys]) if polys else empty
                 )
                 continue
-            raise NotImplementedError(
-                "symmetric_difference implemented for puntal/puntal and "
-                "polygonal/polygonal row pairs (mixed-dimension pairs need GEOS)"
+            if tl == 7 or tr == 7:
+                # GEOS OverlayOp rejects GeometryCollection operands
+                raise ValueError(
+                    "symmetric_difference does not support GeometryCollection operands"
+                )
+            if tl in (2, 5) and tr in (2, 5):
+                sa = K._segments_of_row(lg, i)
+                sb = K._segments_of_row(rg, j)
+                rem = _segments_minus(sa, sb) + _segments_minus(sb, sa)
+                vals.append(_mls_wkb(rem) if rem else empty_line)
+                continue
+            # mixed dimension: lower-dim operand minus higher-dim operand,
+            # collected with the higher-dim operand (kept whole)
+            from .overlay import pair_difference_wkb
+
+            lo_g, lo_i, hi_g, hi_i = (
+                (lg, i, rg, j) if _DIM[tl] < _DIM[tr] else (rg, j, lg, i)
             )
+            hi_wkb = to_wkb(hi_g.take([hi_i]))[0].as_py()
+            low_rem = pair_difference_wkb(lo_g, lo_i, [hi_wkb])
+            if low_rem is None:
+                vals.append(hi_wkb)
+            else:
+                rem_g = from_wkb([low_rem])
+                vals.append(_parts_to_wkb(_row_parts(hi_g, hi_i) + _row_parts(rem_g, 0)))
         return b.append_column(out, pa.array(vals, type=pa.large_binary()))
 
     return ds.map_batches(f, batch_format="pyarrow")

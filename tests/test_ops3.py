@@ -530,3 +530,54 @@ def test_geom_almost_equals_alias():
         ray.data.from_arrow(t), "other", decimal=12
     ).to_pandas()
     assert out2.geom_almost_equals.tolist() == [False]
+
+
+def test_binary_symmetric_difference_line_and_mixed():
+    """Round-2 closure: line/line interval XOR + mixed-dim GC results."""
+    from geopandas_ray.stages.binary import binary_symmetric_difference
+
+    def line(*pts):
+        return _parts_to_wkb([(W.LINESTRING, [np.array(pts, dtype=float)])])
+
+    sq = _parts_to_wkb([(W.POLYGON, [ring((0, 0), (10, 0), (10, 10), (0, 10))])])
+    pt_in = W.points_to_wkb([5.0], [5.0])[0].as_py()
+    pt_out = W.points_to_wkb([20.0], [5.0])[0].as_py()
+    pt_on_line = W.points_to_wkb([5.0], [0.0])[0].as_py()
+    la = line((0, 0), (10, 0))
+    lb = line((5, 0), (15, 0))        # collinear partial overlap
+    lx = line((5, -5), (5, 5))        # proper crossing
+    through = line((-5, 5), (15, 5))  # crosses sq, 5 outside each side
+
+    lefts = [la, la, la, pt_in, pt_out, through, pt_on_line, pt_out]
+    rights = [lb, lx, la, sq, sq, sq, la, la]
+    d = ds_of(lefts, other=pa.array(rights, type=pa.large_binary()))
+    out = binary_symmetric_difference(d, "other", out="sd").to_pandas().sort_values("id")
+
+    # line/line collinear overlap: [0,5] + [10,15] remain, length 10
+    g = W.from_wkb([out.sd.iloc[0]])
+    assert K.length(g)[0] == 10.0 and int(g.row_types[0]) == 5
+    # proper crossing removes nothing (measure-zero intersection)
+    g = W.from_wkb([out.sd.iloc[1]])
+    assert K.length(g)[0] == 20.0
+    # identical lines -> empty
+    g = W.from_wkb([out.sd.iloc[2]])
+    assert g.ring_offsets[-1] == 0
+    # point inside polygon -> polygon alone (no GC)
+    g = W.from_wkb([out.sd.iloc[3]])
+    assert int(g.row_types[0]) == 3 and K.area(g)[0] == 100.0
+    # point outside polygon -> GC(polygon, point)
+    g = W.from_wkb([out.sd.iloc[4]])
+    assert int(g.row_types[0]) == 7 and K.area(g)[0] == 100.0
+    assert [int(t) for t in g.part_types] == [3, 1]  # polygon first (OverlayNG order)
+    r0, _ = g.part_ring_range(1)
+    assert g.ring_coords(r0).tolist() == [[20.0, 5.0]]
+    # line through polygon -> GC(polygon, outside stubs): len = 10 stubs + 40 perim
+    g = W.from_wkb([out.sd.iloc[5]])
+    assert int(g.row_types[0]) == 7
+    assert K.area(g)[0] == 100.0 and K.length(g)[0] == 50.0
+    # point on line interior -> line alone
+    g = W.from_wkb([out.sd.iloc[6]])
+    assert int(g.row_types[0]) == 2 and K.length(g)[0] == 10.0
+    # point off line -> GC(line, point)
+    g = W.from_wkb([out.sd.iloc[7]])
+    assert int(g.row_types[0]) == 7 and K.length(g)[0] == 10.0
