@@ -206,6 +206,17 @@ def _segments_minus(sa: np.ndarray, sb: np.ndarray) -> list[tuple]:
     return out
 
 
+def _pt_on_collinear_segs(x: float, y: float, segs: list[tuple]) -> bool:
+    """True when (x, y) lies on any of the given [x0,y0,x1,y1] segments
+    (exact arithmetic; used to drop crossing points already covered by a
+    dimension-1 overlap in line/line intersection)."""
+    for x0, y0, x1, y1 in segs:
+        if (x1 - x0) * (y - y0) - (y1 - y0) * (x - x0) == 0:
+            if min(x0, x1) <= x <= max(x0, x1) and min(y0, y1) <= y <= max(y0, y1):
+                return True
+    return False
+
+
 def binary_symmetric_difference(
     ds: ray.data.Dataset, other, geometry: str = "geometry", out: str = "symmetric_difference"
 ):

@@ -181,8 +181,30 @@ def pair_intersection_wkb(
     ca = _single_convex_ring(lg, i)
     if ca is not None:
         return pair_intersection_wkb(rg, j, lg, i)
-    # line-layer cases: clip the polyline to the polygonal partner
+    # line x line: collinear overlap portions (dimension-1) plus isolated
+    # common points not covered by them (GEOS LineString intersection)
     from ..geom.booleans import clip_polyline, geom_polygons, polygon_boolean
+
+    if int(lg.row_types[i]) in (2, 5) and int(rg.row_types[j]) in (2, 5):
+        from .binary import _pt_on_collinear_segs, _seg_common_points, _shared_subsegments
+
+        sa = K._segments_of_row(lg, i)
+        sb = K._segments_of_row(rg, j)
+        same, opp = _shared_subsegments(sa, sb)
+        segs = same + opp
+        pts = [
+            q
+            for q in sorted(_seg_common_points(sa, sb))
+            if not _pt_on_collinear_segs(q[0], q[1], segs)
+        ]
+        if not segs and not pts:
+            return None
+        from .clip import _parts_to_wkb
+
+        parts = [
+            (2, [np.array([[x0, y0], [x1, y1]])]) for x0, y0, x1, y1 in segs
+        ] + [(1, [np.array([[x, y]])]) for x, y in pts]
+        return _parts_to_wkb(parts)
 
     if int(lg.row_types[i]) in (2, 5):
         mask = geom_polygons(rg, j)
@@ -252,6 +274,30 @@ def pair_difference_wkb(lg: Geoms, i: int, partner_wkbs: list[bytes]) -> bytes |
         for p in range(p0, p1):
             r0, _ = lg.part_ring_range(p)
             pieces.extend(clip_polyline(lg.ring_coords(r0), b_polys, inside=False))
+        # ... then minus partner LINES: 1-D interval subtraction of
+        # collinear overlaps (GEOS line/line difference; crossings are
+        # measure-zero and stay). Splits pieces into 2-point segments when
+        # a line partner actually overlaps; point-set exact vs GEOS.
+        lsegs = [
+            K._segments_of_row(pg, k)
+            for k in range(len(pg))
+            if int(pg.row_types[k]) in (2, 5)
+        ]
+        lsegs = [s for s in lsegs if len(s)]
+        if pieces and lsegs:
+            from .binary import _segments_minus
+
+            sb = np.concatenate(lsegs)
+            out_segs = []
+            for c in pieces:
+                out_segs.extend(_segments_minus(np.hstack([c[:-1], c[1:]]), sb))
+            if not out_segs:
+                return None
+            from .clip import _parts_to_wkb
+
+            return _parts_to_wkb(
+                [(2, [np.array([[x0, y0], [x1, y1]])]) for x0, y0, x1, y1 in out_segs]
+            )
         if not pieces:
             return None
         from .clip import _parts_to_wkb

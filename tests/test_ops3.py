@@ -581,3 +581,42 @@ def test_binary_symmetric_difference_line_and_mixed():
     # point off line -> GC(line, point)
     g = W.from_wkb([out.sd.iloc[7]])
     assert int(g.row_types[0]) == 7 and K.length(g)[0] == 10.0
+
+
+def test_binary_intersection_difference_line_line():
+    """Round-2 closure: line/line intersection (overlap + crossing points)
+    and line/line difference (collinear interval subtraction)."""
+    from geopandas_ray.stages.binary import binary_difference, binary_intersection
+
+    def line(*pts):
+        return _parts_to_wkb([(W.LINESTRING, [np.array(pts, dtype=float)])])
+
+    la = line((0, 0), (10, 0))
+    lb = line((5, 0), (15, 0))   # collinear overlap [5,10]
+    lx = line((5, -5), (5, 5))   # proper crossing at (5,0)
+    lt = line((0, 0), (0, 10))   # endpoint touch at (0,0)
+    ld = line((0, 5), (10, 5))   # disjoint
+
+    lefts = [la, la, la, la, la]
+    rights = [lb, lx, lt, ld, la]
+    d = ds_of(lefts, other=pa.array(rights, type=pa.large_binary()))
+
+    out = binary_intersection(d, "other", out="ix").to_pandas().sort_values("id")
+    g = W.from_wkb([out.ix.iloc[0]])  # overlap -> LINESTRING of length 5
+    assert int(g.row_types[0]) == 2 and K.length(g)[0] == 5.0
+    g = W.from_wkb([out.ix.iloc[1]])  # crossing -> POINT (5,0)
+    assert int(g.row_types[0]) == 1 and g.ring_coords(0).tolist() == [[5.0, 0.0]]
+    g = W.from_wkb([out.ix.iloc[2]])  # touch -> POINT (0,0)
+    assert int(g.row_types[0]) == 1 and g.ring_coords(0).tolist() == [[0.0, 0.0]]
+    assert out.ix.iloc[3] is None     # disjoint -> empty
+    g = W.from_wkb([out.ix.iloc[4]])  # self -> full length
+    assert K.length(g)[0] == 10.0
+
+    out = binary_difference(d, "other", out="df").to_pandas().sort_values("id")
+    g = W.from_wkb([out.df.iloc[0]])  # [0,5] remains
+    assert K.length(g)[0] == 5.0
+    g = W.from_wkb([out.df.iloc[1]])  # crossing removes nothing
+    assert K.length(g)[0] == 10.0
+    g = W.from_wkb([out.df.iloc[3]])  # disjoint -> unchanged
+    assert K.length(g)[0] == 10.0
+    assert out.df.iloc[4] is None     # self-difference -> empty
