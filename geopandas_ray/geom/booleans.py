@@ -549,3 +549,86 @@ def clip_polyline(
     if len(cur) >= 2:
         out.append(np.asarray(cur))
     return out
+
+
+def segments_minus(sa: np.ndarray, sb: np.ndarray) -> list[tuple]:
+    """Sub-segments of ``sa`` not collinearly covered by ``sb`` (per-segment
+    1-D interval subtraction; crossing POINTS are measure-zero and stay).
+    The shared kernel behind line/line difference, symmetric_difference and
+    exact line union."""
+    out: list[tuple] = []
+    if len(sa) == 0:
+        return out
+    if len(sb) == 0:
+        return [tuple(map(float, s)) for s in sa]
+    bx0, by0, bx1, by1 = sb[:, 0], sb[:, 1], sb[:, 2], sb[:, 3]
+    for ax0, ay0, ax1, ay1 in sa:
+        dax, day = ax1 - ax0, ay1 - ay0
+        L2 = dax * dax + day * day
+        if L2 == 0:
+            continue
+        c0 = dax * (by0 - ay0) - day * (bx0 - ax0)
+        c1 = dax * (by1 - ay0) - day * (bx1 - ax0)
+        col = (c0 == 0) & (c1 == 0)
+        ivals = []
+        if col.any():
+            t0 = ((bx0 - ax0) * dax + (by0 - ay0) * day) / L2
+            t1 = ((bx1 - ax0) * dax + (by1 - ay0) * day) / L2
+            for jj in np.nonzero(col)[0]:
+                lo = max(0.0, min(t0[jj], t1[jj]))
+                hi = min(1.0, max(t0[jj], t1[jj]))
+                if hi > lo:
+                    ivals.append((lo, hi))
+        ivals.sort()
+        cur = 0.0
+        for lo, hi in ivals:
+            if lo > cur:
+                out.append((ax0 + cur * dax, ay0 + cur * day, ax0 + lo * dax, ay0 + lo * day))
+            cur = max(cur, hi)
+        if cur < 1.0:
+            out.append((ax0 + cur * dax, ay0 + cur * day, float(ax1), float(ay1)))
+    return out
+
+
+def points_on_segments(px: np.ndarray, py: np.ndarray, segs: np.ndarray) -> np.ndarray:
+    """Vectorized: which (px, py) lie ON any [x0,y0,x1,y1] segment (exact
+    collinearity + bbox containment)."""
+    if len(px) == 0 or len(segs) == 0:
+        return np.zeros(len(px), dtype=bool)
+    x0, y0, x1, y1 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    cross = (x1 - x0)[None, :] * (py[:, None] - y0[None, :]) - (y1 - y0)[None, :] * (
+        px[:, None] - x0[None, :]
+    )
+    within = (
+        (px[:, None] >= np.minimum(x0, x1)[None, :])
+        & (px[:, None] <= np.maximum(x0, x1)[None, :])
+        & (py[:, None] >= np.minimum(y0, y1)[None, :])
+        & (py[:, None] <= np.maximum(y0, y1)[None, :])
+    )
+    return ((cross == 0) & within).any(axis=1)
+
+
+def points_covered_by_polys(
+    px: np.ndarray, py: np.ndarray, polys: list[list[np.ndarray]]
+) -> np.ndarray:
+    """Which (px, py) lie in the closed even-odd region of ``polys``
+    (interior parity over all rings, plus exact on-boundary)."""
+    n = len(px)
+    if n == 0 or not polys:
+        return np.zeros(n, dtype=bool)
+    inside = np.zeros(n, dtype=bool)
+    ring_segs = []
+    for rings in polys:
+        for r in rings:
+            if len(r) >= 2:
+                ring_segs.append(np.hstack([r[:-1], r[1:]]))
+    for k in range(n):
+        cnt = 0
+        for rings in polys:
+            for r in rings:
+                if _point_in_ring(r, float(px[k]), float(py[k])):
+                    cnt += 1
+        inside[k] = cnt % 2 == 1
+    if ring_segs:
+        inside |= points_on_segments(px, py, np.concatenate(ring_segs))
+    return inside

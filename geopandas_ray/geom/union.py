@@ -5,18 +5,14 @@ set; dissolve (geodataframe.py:1325) applies it per group. Unions are
 associative + commutative, so the engine computes them as partial per-block
 unions followed by a final merge (a classic combiner - SURVEY.md §3.2).
 
-Without GEOS the union is exact for:
-- points: coordinate-set union (coincident points dedup, like GEOS);
-- axis-aligned rectangle polygons: rectilinear region union via the
-  coordinate-grid decomposition in geom/clip.py (exact area/membership;
-  output is a MultiPolygon of disjoint maximal rectangles -
-  region-equivalent, not the canonical merged outline);
-- disjoint general polygons: MultiPolygon collection.
-Overlapping non-rectilinear polygons fall back to collection with a
-documented approximation flag (their union area would double-count overlap;
-swap in shapely.union_all on a real cluster via this single chokepoint).
-Lines are collected (GEOS would also node crossings; noding is out of scope,
-SURVEY.md §7.3).
+The union is exact (point-set equal to GEOS unary_union) for:
+- points: coordinate-set union, minus points absorbed by lines/polygons;
+- lines: collinear overlaps appear once (1-D interval subtraction) and
+  portions inside the polygon cover are dropped; linestrings are not
+  re-noded at crossings (same point set, different segmentation);
+- polygons: rectilinear region union via the coordinate-grid decomposition
+  (disjoint maximal rectangles - region-equivalent outline), general simple
+  polygons via the slab-sweep even-odd union (canonical merged rings).
 """
 
 from __future__ import annotations
@@ -72,10 +68,37 @@ def union_rows(g: Geoms, rows=None) -> bytes | None:
             else:
                 rect_regions.append(rr)
 
+    # cross-dimension absorption (GEOS unary_union): points on lines or in
+    # polygons vanish; line portions inside polygons vanish; collinear line
+    # overlaps appear once. Compute the merged polygon cover lazily — only
+    # when lower-dimension parts coexist with polygons.
+    cover_polys: list[list[np.ndarray]] | None = None
+    if poly_parts and (pts or line_rings):
+        from .booleans import make_valid_rings
+
+        cover_polys = make_valid_rings(poly_parts)
+
     out_geoms: list[Geoms] = []
     if pts:
         c = np.unique(np.concatenate(pts), axis=0)
-        out_geoms.append(points_from_xy(c[:, 0], c[:, 1]))
+        keep = np.ones(len(c), dtype=bool)
+        if line_rings:
+            from .booleans import points_on_segments
+
+            segs = np.concatenate(
+                [np.hstack([r[:-1], r[1:]]) for r in line_rings if len(r) >= 2]
+                or [np.zeros((0, 4))]
+            )
+            keep &= ~points_on_segments(c[:, 0], c[:, 1], segs)
+        if cover_polys:
+            from .booleans import points_covered_by_polys
+
+            keep &= ~points_covered_by_polys(c[:, 0], c[:, 1], cover_polys)
+        if keep.any():
+            c = c[keep]
+            out_geoms.append(points_from_xy(c[:, 0], c[:, 1]))
+    if line_rings:
+        line_rings = _dedup_clip_linework(line_rings, cover_polys)
     if line_rings:
         gl = Geoms(
             np.concatenate(line_rings),
@@ -162,6 +185,69 @@ def _merge_parts(gs: list[Geoms]) -> Geoms:
         part_types,
         np.array([row_type], dtype=np.int8),
     )
+
+
+def _dedup_clip_linework(
+    line_rings: list[np.ndarray], cover_polys: list[list[np.ndarray]] | None
+) -> list[np.ndarray]:
+    """Exact line-union linework: collinear overlaps between rings appear
+    ONCE (1-D interval subtraction against the accumulated earlier rings),
+    and portions inside the polygon cover are dropped. Point-set equal to
+    GEOS unary_union's lineal component; linestrings are not re-noded at
+    crossings. The untouched fast path preserves the original polyline
+    representation (so homogeneous overlap-free unions are byte-stable)."""
+    from .booleans import segments_minus
+
+    seg_arrays = [
+        np.hstack([r[:-1], r[1:]]) if len(r) >= 2 else np.zeros((0, 4))
+        for r in line_rings
+    ]
+    acc = np.concatenate(seg_arrays) if seg_arrays else np.zeros((0, 4))
+    # overlap dedup: ring k minus rings 0..k-1
+    rem_per_ring: list[list[tuple]] = []
+    changed = False
+    off = 0
+    for segs in seg_arrays:
+        prior = acc[:off]
+        rem = segments_minus(segs, prior)
+        if len(rem) != len(segs) or any(
+            tuple(map(float, s)) != r for s, r in zip(segs, rem)
+        ):
+            changed = True
+        rem_per_ring.append(rem)
+        off += len(segs)
+
+    if not changed and not cover_polys:
+        return line_rings
+
+    if not changed and cover_polys:
+        # try polyline-preserving clip first
+        from .booleans import clip_polyline
+
+        out: list[np.ndarray] = []
+        clip_changed = False
+        for r in line_rings:
+            pieces = clip_polyline(r, cover_polys, inside=False)
+            if not (len(pieces) == 1 and np.array_equal(pieces[0], r)):
+                clip_changed = True
+            out.extend(pieces)
+        return out if clip_changed else line_rings
+
+    # overlaps removed -> emit 2-point segments (clipped against the cover)
+    segs_flat = [s for rem in rem_per_ring for s in rem]
+    out = []
+    if cover_polys:
+        from .booleans import clip_polyline
+
+        for x0, y0, x1, y1 in segs_flat:
+            out.extend(
+                clip_polyline(
+                    np.array([[x0, y0], [x1, y1]]), cover_polys, inside=False
+                )
+            )
+    else:
+        out = [np.array([[x0, y0], [x1, y1]]) for x0, y0, x1, y1 in segs_flat]
+    return out
 
 
 def union_wkb_values(wkb_values) -> bytes | None:

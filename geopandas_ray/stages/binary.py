@@ -168,42 +168,8 @@ def _row_parts(g, idx: int) -> list[tuple[int, list[np.ndarray]]]:
     return parts
 
 
-def _segments_minus(sa: np.ndarray, sb: np.ndarray) -> list[tuple]:
-    """Sub-segments of ``sa`` not collinearly covered by ``sb`` (per-segment
-    1-D interval subtraction; crossing POINTS are measure-zero and stay,
-    matching GEOS line/line symmetric-difference point-set semantics)."""
-    out: list[tuple] = []
-    if len(sa) == 0:
-        return out
-    if len(sb) == 0:
-        return [tuple(map(float, s)) for s in sa]
-    bx0, by0, bx1, by1 = sb[:, 0], sb[:, 1], sb[:, 2], sb[:, 3]
-    for ax0, ay0, ax1, ay1 in sa:
-        dax, day = ax1 - ax0, ay1 - ay0
-        L2 = dax * dax + day * day
-        if L2 == 0:
-            continue
-        c0 = dax * (by0 - ay0) - day * (bx0 - ax0)
-        c1 = dax * (by1 - ay0) - day * (bx1 - ax0)
-        col = (c0 == 0) & (c1 == 0)
-        ivals = []
-        if col.any():
-            t0 = ((bx0 - ax0) * dax + (by0 - ay0) * day) / L2
-            t1 = ((bx1 - ax0) * dax + (by1 - ay0) * day) / L2
-            for jj in np.nonzero(col)[0]:
-                lo = max(0.0, min(t0[jj], t1[jj]))
-                hi = min(1.0, max(t0[jj], t1[jj]))
-                if hi > lo:
-                    ivals.append((lo, hi))
-        ivals.sort()
-        cur = 0.0
-        for lo, hi in ivals:
-            if lo > cur:
-                out.append((ax0 + cur * dax, ay0 + cur * day, ax0 + lo * dax, ay0 + lo * day))
-            cur = max(cur, hi)
-        if cur < 1.0:
-            out.append((ax0 + cur * dax, ay0 + cur * day, float(ax1), float(ay1)))
-    return out
+# shared with geom/union.py's exact line union and overlay's line legs
+from ..geom.booleans import segments_minus as _segments_minus  # noqa: E402
 
 
 def _pt_on_collinear_segs(x: float, y: float, segs: list[tuple]) -> bool:

@@ -194,3 +194,44 @@ def test_overlay_union_fully_covered_df2_row():
     assert (1.0, 1.0, 4.0) in rows
     total = sorted(round(a, 6) for a in areas)
     assert total == [4.0, 96.0, 100.0]
+
+
+def test_union_rows_line_overlap_and_mixed_absorption():
+    """GEOS unary_union parity: overlapping linework appears once; points
+    on lines / in polygons and line portions inside polygons are absorbed."""
+    from geopandas_ray.geom.union import union_wkb_values
+    from geopandas_ray.geom import wkb as W
+    from geopandas_ray.geom import kernels as K
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    import numpy as np
+
+    def line(*pts):
+        return _parts_to_wkb([(W.LINESTRING, [np.array(pts, dtype=float)])])
+
+    sq = _parts_to_wkb(
+        [(W.POLYGON, [np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])])]
+    )
+    # two collinear overlapping lines: [0,10] + [5,15] -> length 15, not 20
+    u = union_wkb_values([line((0, 0), (10, 0)), line((5, 0), (15, 0))])
+    g = W.from_wkb([u])
+    assert K.length(g)[0] == 15.0
+    # overlap-free lines keep their original representation
+    u = union_wkb_values([line((0, 0), (10, 0)), line((0, 5), (10, 5))])
+    g = W.from_wkb([u])
+    assert K.length(g)[0] == 20.0 and int(g.row_types[0]) == 5
+    # line through polygon: inside portion absorbed -> total line length 10
+    u = union_wkb_values([line((-5, 5), (15, 5)), sq])
+    g = W.from_wkb([u])
+    # 2 outside stubs of 5 + perimeter 40
+    assert K.area(g)[0] == 100.0
+    assert abs(K.length(g)[0] - 50.0) < 1e-12
+    # points absorbed by line / polygon; surviving point kept
+    pts = W.points_to_wkb([5.0, 5.0, 50.0], [0.0, 5.0, 50.0])
+    u = union_wkb_values([pts[0].as_py(), pts[1].as_py(), pts[2].as_py(),
+                          line((0, 0), (10, 0)), sq])
+    g = W.from_wkb([u])
+    # one surviving point (50,50): find point parts
+    pt_parts = [p for p in range(len(g.part_types)) if int(g.part_types[p]) == 1]
+    assert len(pt_parts) == 1
+    r0, _ = g.part_ring_range(pt_parts[0])
+    assert g.ring_coords(r0).tolist() == [[50.0, 50.0]]
