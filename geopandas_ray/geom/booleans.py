@@ -303,13 +303,17 @@ def _stitch(traps) -> list[np.ndarray]:
     for (x0, x1, a0, a1, b0, b1) in traps:
         ys_at_x.setdefault(x0, set()).update((a0, b0))
         ys_at_x.setdefault(x1, set()).update((a1, b1))
-    ys_sorted = {x: np.array(sorted(v)) for x, v in ys_at_x.items()}
+    from bisect import bisect_left, bisect_right
+
+    ys_sorted = {x: sorted(v) for x, v in ys_at_x.items()}
 
     def vsplit(x, ylo, yhi, up: bool):
-        """Directed vertical edge split at the column's breakpoints."""
+        """Directed vertical edge split at the column's breakpoints
+        (bisect slice of the sorted column - no numpy allocs; this runs
+        once per trapezoid side and dominates small stitches)."""
         ys = ys_sorted[x]
-        inner = ys[(ys > ylo) & (ys < yhi)]
-        pts = [ylo, *inner.tolist(), yhi]
+        inner = ys[bisect_right(ys, ylo) : bisect_left(ys, yhi)]
+        pts = [ylo, *inner, yhi]
         segs = []
         for i in range(len(pts) - 1):
             if up:

@@ -115,9 +115,15 @@ def _rects_to_polygon_wkb(rects: np.ndarray) -> bytes | None:
     from .clip import _parts_to_wkb
 
     if len(rects) == 1:
+        # direct encode (byte-identical to _parts_to_wkb, asserted in
+        # tests/test_dissolve_clip_overlay.py): this is the majority case
+        # on rect-decomposed workloads and skips the Geoms round-trip
+        import struct
+
         x0, y0, x1, y1 = rects[0]
-        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
-        return _parts_to_wkb([(3, [ring])])
+        return struct.pack("<BIII", 1, 3, 1, 5) + np.array(
+            [x0, y0, x1, y0, x1, y1, x0, y1, x0, y0], dtype="<f8"
+        ).tobytes()
     from ..geom.booleans import _assemble, _stitch
 
     traps = [(r[0], r[2], r[1], r[1], r[3], r[3]) for r in rects]

@@ -235,3 +235,15 @@ def test_union_rows_line_overlap_and_mixed_absorption():
     assert len(pt_parts) == 1
     r0, _ = g.part_ring_range(pt_parts[0])
     assert g.ring_coords(r0).tolist() == [[50.0, 50.0]]
+
+
+def test_rects_to_polygon_wkb_fast_path_bytes():
+    """The single-rect direct encoder must stay byte-identical to the
+    generic _parts_to_wkb path (WKB byte stability feeds dedup hashing)."""
+    import numpy as np
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.overlay import _rects_to_polygon_wkb
+
+    x0, y0, x1, y1 = 1.5, -2.0, 7.25, 9.0
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+    assert _rects_to_polygon_wkb(np.array([[x0, y0, x1, y1]])) == _parts_to_wkb([(3, [ring])])
