@@ -703,6 +703,25 @@ def q_pii_scrub(sf_dir):
     return _select(ds, ["doc_id", "n_email", "n_ip", "n_phone", "text_scrubbed"])
 
 
+def q_decontaminate(sf_dir):
+    # benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    # "eval benchmark"; every doc is flagged with its count of DISTINCT
+    # word 3-grams leaked from the benchmark set (broadcast once via
+    # ray.put, streamed corpus side).
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geopandas_ray.functions.decontaminate import flag_contaminated
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy()
+    bench_texts = t.filter(pa.array(ids % 97 == 0)).column("text").to_pylist()
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = flag_contaminated(ds, bench_texts, n=3)
+    return _select(out, ["doc_id", "n_contaminated_ngrams", "contaminated"])
+
+
 def q_symdiff_mixed(sf_dir):
     # mixed-dimension symmetric difference: a horizontal line crossing a
     # rect at an interior scanline -> GC(rect, two outside stubs).
@@ -1930,6 +1949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "repetition_stats": q_repetition_stats,
         "symdiff_mixed_props": q_symdiff_mixed,
+        "decontaminate": q_decontaminate,
         "knn_cosine": q_knn_cosine,
         "embed_near_dup": q_embed_near_dup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
@@ -2270,6 +2290,17 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
             "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
             "'\\+\\d{7,15}\\b', '<PHONE>', 'g') AS text_scrubbed FROM aug"
+        ),
+        "decontaminate": (
+            "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "tg AS (SELECT doc_id, unnest(list_zip(toks[:len(toks)-2], toks[2:len(toks)-1], "
+            "toks[3:])) AS z FROM tok WHERE len(toks) >= 3), "
+            "g AS (SELECT DISTINCT doc_id, z FROM tg), "
+            "bench AS (SELECT DISTINCT z FROM g WHERE doc_id % 97 = 0), "
+            "hits AS (SELECT g.doc_id, COUNT(*) AS c FROM g JOIN bench USING (z) GROUP BY g.doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(h.c, 0) AS BIGINT) AS n_contaminated_ngrams, "
+            "COALESCE(h.c, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
         ),
         "symdiff_mixed_props": (
             "WITH p AS (SELECT doc_id, 4 + doc_id%4 AS w, 3 + doc_id%3 AS h, "

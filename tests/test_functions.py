@@ -420,3 +420,25 @@ def test_repetition_stats_vs_brute():
         want = _brute_repetition(t)
         for k, v in want.items():
             assert got.loc[i, k] == v, (i, k, got.loc[i, k], v)
+
+
+def test_flag_contaminated():
+    from geopandas_ray.functions.decontaminate import benchmark_ngram_set, flag_contaminated
+
+    bench = ["the quick brown fox jumps", "hello wonderful world today friends"]
+    texts = [
+        "we saw the quick brown fox jumps high",  # 3 leaked trigrams (distinct)
+        "the quick brown the quick brown fox",    # 2 distinct leaked trigrams
+        "completely clean document with nothing shared",
+        "hello wonderful world",                  # exactly one benchmark trigram
+        "",                                        # empty
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)})
+    )
+    out = flag_contaminated(ds, bench, n=3).to_pandas().sort_values("doc_id")
+    assert out.n_contaminated_ngrams.tolist() == [3, 2, 0, 1, 0]
+    assert out.contaminated.tolist() == [True, True, False, True, False]
+    # benchmark set is distinct n-grams
+    s = benchmark_ngram_set(["a b a b a b"], n=2)
+    assert len(s) == 2  # "a b" and "b a"
