@@ -68,12 +68,23 @@ def dissolve(
     geometry: str = "geometry",
     dropna: bool = True,
     pre_combine: bool = True,
+    sort: bool = True,
+    observed: bool = False,
 ) -> ray.data.Dataset:
     """Grouped geometry union + attribute aggregation.
 
     ``by=None`` dissolves everything into one row (test_dissolve.py:150-162
     analog) - computed with the same partial+final pattern under a constant
     key.
+
+    ``sort``/``observed`` follow geodataframe.py:1325 (pandas groupby
+    semantics): ``sort=True`` orders the (small, one-row-per-group) result
+    by the group keys; ``observed=False`` emits rows for unobserved
+    categories of dict-encoded (categorical) key columns — each block's
+    pandas partial carries the full category set, so unobserved groups
+    surface with None geometry and NaN/0 aggregates exactly like pandas.
+    ``as_index`` has no engine analog (Datasets have no index; keys are
+    columns).
     """
     if by is None:
         by_cols: list[str] = []
@@ -98,7 +109,7 @@ def dissolve(
 
     def combine_partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for key, grp in df.groupby(GROUP_KEY, dropna=dropna, sort=False):
+        for key, grp in df.groupby(GROUP_KEY, dropna=dropna, sort=False, observed=observed):
             key = key if isinstance(key, tuple) else (key,)
             row = dict(zip(GROUP_KEY, key))
             row[geometry] = union_wkb_values(grp[geometry].tolist())
@@ -156,8 +167,28 @@ def dissolve(
 
     if pre_ok:
         partials = work.map_batches(combine_partial, batch_format="pandas")
-        return partials.groupby(GROUP_KEY).map_groups(final_group, batch_format="pandas")
-    return work.groupby(GROUP_KEY).map_groups(direct_group, batch_format="pandas")
+        out = partials.groupby(GROUP_KEY).map_groups(final_group, batch_format="pandas")
+    else:
+        out = work.groupby(GROUP_KEY).map_groups(direct_group, batch_format="pandas")
+        # unobserved categories cannot be manufactured by a per-observed-group
+        # map; the partial path handles them (pandas emits full category sets
+        # per block). Non-combinable aggfuncs + observed=False is untestable
+        # against pandas otherwise, so be loud.
+        if not observed and by_cols:
+            import pyarrow.types as pt
+
+            sch = ds.schema().base_schema if hasattr(ds.schema(), "base_schema") else None
+            if sch is not None and any(
+                pt.is_dictionary(sch.field(c).type) for c in by_cols if c in sch.names
+            ):
+                raise NotImplementedError(
+                    "observed=False with categorical keys requires a combinable "
+                    "aggfunc (the partial-union path); use observed=True or a "
+                    "combinable aggfunc"
+                )
+    if sort and by_cols:
+        out = out.sort(by_cols)
+    return out
 
 
 def union_all(ds: ray.data.Dataset, geometry: str = "geometry") -> bytes | None:

@@ -247,3 +247,25 @@ def test_rects_to_polygon_wkb_fast_path_bytes():
     x0, y0, x1, y1 = 1.5, -2.0, 7.25, 9.0
     ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
     assert _rects_to_polygon_wkb(np.array([[x0, y0, x1, y1]])) == _parts_to_wkb([(3, [ring])])
+
+
+def test_dissolve_sort_and_observed_categorical():
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "cat": pd.Categorical(["b", "a", "b"], categories=["a", "b", "c"]),
+            "w": [1.0, 2.0, 3.0],
+        }
+    )
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    tbl = tbl.append_column("geometry", W.points_to_wkb([0.0, 1.0, 2.0], [0.0, 1.0, 2.0]))
+    ds = ray.data.from_arrow(tbl)
+    # observed=False -> category "c" appears with empty aggregates
+    d = dissolve(ds, by="cat", aggfunc={"w": "sum"}, observed=False).to_pandas()
+    assert d.cat.astype(str).tolist() == ["a", "b", "c"]  # sort=True default
+    assert d.w_sum.tolist()[:2] == [2.0, 4.0]
+    assert d.geometry.iloc[2] is None or d.geometry.isna().iloc[2]
+    # observed=True drops the unobserved category
+    d = dissolve(ds, by="cat", aggfunc={"w": "sum"}, observed=True).to_pandas()
+    assert d.cat.astype(str).tolist() == ["a", "b"]
