@@ -703,6 +703,49 @@ def q_pii_scrub(sf_dir):
     return _select(ds, ["doc_id", "n_email", "n_ip", "n_phone", "text_scrubbed"])
 
 
+def q_spans_passthrough(sf_dir):
+    # north-rule invariant: every row SURVIVING a spatial filter preserves
+    # its span sequence (kind, text, media_ref, order) exactly. Spans ride
+    # through the cx bbox filter untouched as the Arrow list<struct>
+    # column; the output signature serializes the sequence in order and
+    # the SQL oracle rebuilds it from the F1 rule.
+    import pyarrow.compute as pc
+
+    from geopandas_ray.geom.wkb import points_to_wkb
+    from geopandas_ray.pipelines.datasets import doc_spans
+    from geopandas_ray.stages.ops import cx_filter
+
+    ds = doc_spans(sf_dir)
+
+    def derive_pts(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        return b.append_column(
+            "geometry",
+            points_to_wkb(
+                ((ids * 37) % 1000).astype(np.float64), ((ids * 91) % 1000).astype(np.float64)
+            ),
+        )
+
+    kept = cx_filter(ds.map_batches(derive_pts, batch_format="pyarrow"), 100, 200, 599, 799)
+
+    def sig(b: pa.Table) -> pa.Table:
+        spans = b.column("spans").combine_chunks()
+        st = spans.flatten()  # struct array of all spans, in order
+        per_span = pc.binary_join_element_wise(
+            st.field("kind"),
+            st.field("text"),
+            st.field("media_ref"),
+            pc.cast(st.field("offset"), pa.string()),
+            ",",
+        )
+        lst = pa.ListArray.from_arrays(spans.offsets, per_span)
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "span_sig": pc.binary_join(lst, "|")}
+        )
+
+    return kept.map_batches(sig, batch_format="pyarrow")
+
+
 def q_decontaminate(sf_dir):
     # benchmark decontamination: docs with doc_id % 97 == 0 act as the
     # "eval benchmark"; every doc is flagged with its count of DISTINCT
@@ -1950,6 +1993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "symdiff_mixed_props": q_symdiff_mixed,
         "decontaminate": q_decontaminate,
+        "spans_passthrough": q_spans_passthrough,
         "knn_cosine": q_knn_cosine,
         "embed_near_dup": q_embed_near_dup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
@@ -2290,6 +2334,19 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
             "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
             "'\\+\\d{7,15}\\b', '<PHONE>', 'g') AS text_scrubbed FROM aug"
+        ),
+        "spans_passthrough": (
+            "WITH n AS (SELECT doc_id, doc_id % 5 + 1 AS ns FROM documents), "
+            "s AS (SELECT doc_id, unnest(generate_series(0, ns - 1)) AS j FROM n), "
+            "parts AS (SELECT doc_id, j, "
+            "CASE j % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image' ELSE 'audio' END || ',' || "
+            "CASE WHEN j % 3 = 0 THEN doc_id || '-s' || j ELSE '' END || ',' || "
+            "CASE WHEN j % 3 <> 0 THEN 'ref://' || doc_id || '/' || j ELSE '' END || ',' || j AS p "
+            "FROM s), "
+            "sig AS (SELECT doc_id, string_agg(p, '|' ORDER BY j) AS span_sig FROM parts GROUP BY doc_id) "
+            "SELECT doc_id, span_sig FROM sig "
+            "WHERE (doc_id * 37) % 1000 BETWEEN 100 AND 599 "
+            "AND (doc_id * 91) % 1000 BETWEEN 200 AND 799"
         ),
         "decontaminate": (
             "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
