@@ -164,6 +164,32 @@ def run_bench() -> dict:
 
     timed("minhash_dedup", run_minhash, reps=2)
 
+    def run_decontaminate():
+        # benchmark-leak flagging: broadcast n-gram set (docs with
+        # doc_id % 97 == 0 as the benchmark), streamed corpus side
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from geopandas_ray.functions.decontaminate import flag_contaminated
+
+        t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy()
+        bench_texts = t.filter(pa.array(ids % 97 == 0)).column("text").to_pylist()
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        return flag_contaminated(ds, bench_texts, n=3).count()
+
+    timed("decontaminate", run_decontaminate)
+
+    def run_repetition():
+        from geopandas_ray.functions.text import with_repetition_stats
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        return with_repetition_stats(ds).count()
+
+    timed("repetition_stats", run_repetition)
+
     def _skew_tables():
         import numpy as np
         import pyarrow as pa
