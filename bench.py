@@ -58,6 +58,39 @@ def run_bench() -> dict:
     for t in ("documents", "part", "lineitem", "embeddings"):
         ray.data.read_parquet(f"{SF_DIR}/{t}.parquet").count()
 
+    # host calibration: this VM has a documented multi-x run-to-run
+    # variance band (BASELINE.md). A fixed ALU+memory-streaming probe
+    # (16 MB per task, one task per CPU) stamps the host's state into the
+    # bench record so pipeline ratios can be read against it.
+    def _calibrate() -> dict:
+        import numpy as np
+
+        x = np.random.default_rng(0).random(2_000_000)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            float((x * x).sum())
+        single = time.perf_counter() - t0
+
+        @ray.remote
+        def burn():
+            import numpy as _np
+
+            y = _np.random.default_rng(1).random(2_000_000)
+            t1 = time.perf_counter()
+            for _ in range(20):
+                float((y * y).sum())
+            return time.perf_counter() - t1
+
+        t0 = time.perf_counter()
+        per_task = ray.get([burn.remote() for _ in range(NUM_CPUS)])
+        return {
+            "single_s": round(single, 3),
+            "parallel_wall_s": round(time.perf_counter() - t0, 3),
+            "parallel_max_task_s": round(max(per_task), 3),
+        }
+
+    host_calibration = _calibrate()
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
 
@@ -98,6 +131,7 @@ def run_bench() -> dict:
             "docs": n_docs,
             "docs_per_sec": round(n_docs / headline, 1),
             "rows": rows,
+            "host_calibration": host_calibration,
         }
         ray.shutdown()
         return result
@@ -355,6 +389,7 @@ def run_bench() -> dict:
         "docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
         "rows": rows,
+        "host_calibration": host_calibration,
     }
     ray.shutdown()
     return result

@@ -70,6 +70,7 @@ def dissolve(
     pre_combine: bool = True,
     sort: bool = True,
     observed: bool = False,
+    method: str = "unary",
 ) -> ray.data.Dataset:
     """Grouped geometry union + attribute aggregation.
 
@@ -84,8 +85,11 @@ def dissolve(
     pandas partial carries the full category set, so unobserved groups
     surface with None geometry and NaN/0 aggregates exactly like pandas.
     ``as_index`` has no engine analog (Datasets have no index; keys are
-    columns).
+    columns). ``method`` ('unary'|'coverage') is accepted for parity; see
+    union_all — both route to the same exact union here.
     """
+    if method not in ("unary", "coverage"):
+        raise ValueError(f"method must be 'unary' or 'coverage', got {method!r}")
     if by is None:
         by_cols: list[str] = []
     elif isinstance(by, str):
@@ -191,11 +195,21 @@ def dissolve(
     return out
 
 
-def union_all(ds: ray.data.Dataset, geometry: str = "geometry") -> bytes | None:
+def union_all(
+    ds: ray.data.Dataset, geometry: str = "geometry", method: str = "unary"
+) -> bytes | None:
     """Global geometry union -> single WKB scalar (base.py:1982).
+
+    ``method``: 'unary' | 'coverage' accepted for signature parity.
+    'coverage' is a GEOS performance HINT for non-overlapping inputs; this
+    engine's union is already linear for rect coverages (coordinate-grid
+    region union) and handles overlap exactly otherwise, so both methods
+    route to the same exact union.
 
     Partial per-block unions stream; the driver merges the (tiny) partials.
     """
+    if method not in ("unary", "coverage"):
+        raise ValueError(f"method must be 'unary' or 'coverage', got {method!r}")
 
     def partial(batch: pa.Table) -> pa.Table:
         w = union_wkb_values(batch.column(geometry).to_pylist())
@@ -236,10 +250,11 @@ def intersection_all(ds: ray.data.Dataset, geometry: str = "geometry") -> bytes 
     """Global geometry intersection -> single WKB scalar (base.py:2017).
 
     Intersection is associative, so per-block partial folds stream and the
-    driver folds the (tiny, one per block) partials. Scope: the pairwise
-    intersection kernel's (rectilinear region / convex / point layers -
-    stages/overlay.pair_intersection_wkb); missing rows are skipped like
-    union_all, an empty fold yields None.
+    driver folds the (tiny, one per block) partials. Scope follows the
+    pairwise kernel (stages/overlay.pair_intersection_wkb): general simple
+    polygons via the slab sweep, point layers, line/polygon clip and
+    line/line overlap+crossings; missing rows are skipped like union_all,
+    an empty fold yields None.
     """
     import struct as _struct
 

@@ -269,3 +269,15 @@ def test_dissolve_sort_and_observed_categorical():
     # observed=True drops the unobserved category
     d = dissolve(ds, by="cat", aggfunc={"w": "sum"}, observed=True).to_pandas()
     assert d.cat.astype(str).tolist() == ["a", "b"]
+
+
+def test_union_all_and_dissolve_method_param(zones):
+    from geopandas_ray.stages.dissolve import dissolve as _dis, union_all as _ua
+
+    a = _ua(zones, method="unary")
+    b = _ua(zones, method="coverage")
+    assert a == b  # same exact union; coverage is a parity-accepted hint
+    with pytest.raises(ValueError):
+        _ua(zones, method="nope")
+    with pytest.raises(ValueError):
+        _dis(zones, by="cat", method="nope")
