@@ -8,3 +8,13 @@ stages, hierarchical cell keys as the shuffle partitioning backbone.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy: keep `import geopandas_ray` cheap (no ray.data import at package
+    # import time); GeoDataset pulls in the stage modules on first touch
+    if name == "GeoDataset":
+        from .frame import GeoDataset
+
+        return GeoDataset
+    raise AttributeError(f"module 'geopandas_ray' has no attribute {name!r}")

@@ -1,0 +1,514 @@
+"""GeoPandas-shaped fluent facade over ``ray.data.Dataset``.
+
+A user of the reference writes ``gdf.buffer(10).area`` / ``gdf.sjoin(zones)``
+/ ``gdf.dissolve("region")``. This module gives that surface over the
+engine: :class:`GeoDataset` wraps a Dataset (geometry carried as WKB in an
+Arrow ``large_binary`` column, SURVEY.md §1.3) and delegates every method to
+the corresponding stage, so the fluent API and the functional stage API are
+the same physical plans.
+
+Conventions (documented deviations from pandas-object semantics):
+- scalar-out accessors (``area()``, ``length()``, ``is_valid()``, ...)
+  APPEND the named column and return the GeoDataset — a distributed engine
+  has no free-floating Series; select_columns() narrows when needed.
+- geometry-out operations (``buffer``, ``centroid``, ``simplify``, ...)
+  REPLACE the active geometry column and return a GeoDataset, matching the
+  ``gdf.geometry = gdf.buffer(...)`` idiom in one step.
+- ``cx`` is a real 2-D slice indexer: ``gd.cx[x0:x1, y0:y1]``.
+- anything not defined here falls through to the wrapped Dataset
+  (``count``, ``take_batch``, ``map_batches``, ``write_parquet``, ...).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .stages import ops as _ops
+from .stages import ops2 as _ops2
+from .stages import ops3 as _ops3
+
+
+def _swap_geometry(ds: ray.data.Dataset, tmp: str, geometry: str) -> ray.data.Dataset:
+    """Drop the old geometry column and rename ``tmp`` into its place."""
+
+    def f(b: pa.Table) -> pa.Table:
+        b = b.drop_columns([geometry])
+        return b.rename_columns([geometry if c == tmp else c for c in b.column_names])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class _CxIndexer:
+    """``gd.cx[xmin:xmax, ymin:ymax]`` bbox-intersects row filter
+    (base.py:5514)."""
+
+    def __init__(self, gd: "GeoDataset"):
+        self._gd = gd
+
+    def __getitem__(self, key):
+        xs, ys = key
+        inf = float("inf")
+        minx = -inf if xs.start is None else xs.start
+        maxx = inf if xs.stop is None else xs.stop
+        miny = -inf if ys.start is None else ys.start
+        maxy = inf if ys.stop is None else ys.stop
+        g = self._gd
+        return g._wrap(_ops.cx_filter(g.ds, minx, miny, maxx, maxy, geometry=g.geometry))
+
+
+class GeoDataset:
+    """Fluent GeoPandas-style surface over a Dataset with a WKB geometry
+    column. See the module docstring for return conventions."""
+
+    def __init__(self, ds: ray.data.Dataset, geometry: str = "geometry", crs=None):
+        self.ds = ds
+        self.geometry = geometry
+        self.crs = crs
+
+    # --- construction / IO --------------------------------------------
+    @classmethod
+    def read_parquet(cls, path, geometry: str = "geometry", crs=None, **kw) -> "GeoDataset":
+        from .sources.geoparquet import read_geoparquet
+
+        return cls(read_geoparquet(path, geometry=geometry, **kw), geometry=geometry, crs=crs)
+
+    @classmethod
+    def read_file(cls, path, geometry: str = "geometry", **kw) -> "GeoDataset":
+        from .sources.geojson import read_file
+
+        return cls(read_file(path, **kw), geometry=geometry)
+
+    @classmethod
+    def read_feather(cls, path, geometry: str = "geometry", **kw) -> "GeoDataset":
+        from .sources.feather import read_feather
+
+        return cls(read_feather(path, **kw), geometry=geometry)
+
+    def to_parquet(self, path, **kw):
+        from .sources.geoparquet import write_geoparquet
+
+        return write_geoparquet(self.ds, path, geometry=self.geometry, crs=self.crs, **kw)
+
+    def to_feather(self, path, **kw):
+        from .sources.feather import write_feather
+
+        return write_feather(self.ds, path, geometry=self.geometry, crs=self.crs, **kw)
+
+    def to_file(self, path, **kw):
+        from .sources.geojson import to_file
+
+        return to_file(self.ds, path, geometry=self.geometry, **kw)
+
+    # --- plumbing ------------------------------------------------------
+    def _wrap(self, ds: ray.data.Dataset, crs=None) -> "GeoDataset":
+        return GeoDataset(ds, geometry=self.geometry, crs=self.crs if crs is None else crs)
+
+    def _append(self, fn, **kw) -> "GeoDataset":
+        return self._wrap(fn(self.ds, geometry=self.geometry, **kw))
+
+    def _replace(self, fn, **kw) -> "GeoDataset":
+        """Geometry-out stage that appends ``out`` -> swap into geometry."""
+        tmp = "__newgeom"
+        return self._wrap(
+            _swap_geometry(fn(self.ds, geometry=self.geometry, out=tmp, **kw), tmp, self.geometry)
+        )
+
+    def _inplace(self, fn, *a, **kw) -> "GeoDataset":
+        """Stage that already replaces the geometry column in place."""
+        return self._wrap(fn(self.ds, *a, geometry=self.geometry, **kw))
+
+    def __getattr__(self, name):
+        # fall through to the wrapped Dataset (count, take, schema, ...)
+        return getattr(self.ds, name)
+
+    def __repr__(self):
+        return f"GeoDataset({self.ds!r}, geometry={self.geometry!r}, crs={self.crs!r})"
+
+    # --- scalar-out accessors (append column) --------------------------
+    def area(self):
+        return self._append(_ops.with_area)
+
+    def length(self):
+        return self._append(_ops.with_length)
+
+    def bounds(self):
+        return self._append(_ops.with_bounds)
+
+    def geom_type(self):
+        return self._append(_ops.with_geom_type)
+
+    def is_empty(self):
+        return self._append(_ops.with_is_empty)
+
+    def is_valid(self):
+        return self._append(_ops2.with_is_valid)
+
+    def is_valid_reason(self):
+        return self._append(_ops3.with_is_valid_reason)
+
+    def count_coordinates(self):
+        return self._append(_ops.with_counts)
+
+    count_geometries = count_coordinates  # with_counts emits both columns
+
+    def count_interior_rings(self):
+        return self._append(_ops3.with_count_interior_rings)
+
+    def get_precision(self):
+        return self._append(_ops2.with_get_precision)
+
+    def minimum_clearance(self):
+        return self._append(_ops3.with_minimum_clearance)
+
+    def x(self):
+        return self._append(_ops.with_xy)
+
+    y = x  # with_xy emits both columns
+
+    def z(self):
+        return self._append(_ops3.with_z)
+
+    def ring_flags(self):
+        """is_simple / is_ring / is_ccw / is_closed / has_z columns."""
+        return self._append(_ops2.with_ring_flags)
+
+    is_simple = is_ring = is_ccw = is_closed = has_z = ring_flags
+
+    def isna(self):
+        return self._append(_ops3.geom_isna)
+
+    def notna(self):
+        return self._append(_ops3.geom_notna)
+
+    def hilbert_distance(self, total_bounds, level: int = 15):
+        return self._append(_ops.with_hilbert, total_bounds=total_bounds, level=level)
+
+    # --- geometry-out (replace geometry) --------------------------------
+    def centroid(self):
+        return self._replace(_ops.with_centroid)
+
+    def envelope(self):
+        return self._replace(_ops.with_envelope)
+
+    def boundary(self):
+        return self._replace(_ops2.with_boundary)
+
+    def convex_hull(self):
+        return self._replace(_ops2.with_convex_hull)
+
+    def concave_hull(self, ratio: float = 0.5, allow_holes: bool = False):
+        return self._replace(_ops3.with_concave_hull, ratio=ratio, allow_holes=allow_holes)
+
+    def exterior(self):
+        return self._replace(_ops3.with_exterior)
+
+    def interiors(self):
+        return self._replace(_ops3.with_interiors)
+
+    def extract_unique_points(self):
+        return self._replace(_ops3.extract_unique_points)
+
+    def representative_point(self):
+        return self._replace(_ops2.with_representative_point)
+
+    def minimum_rotated_rectangle(self):
+        return self._replace(_ops2.with_min_rotated_rect)
+
+    def buffer(self, distance: float, quad_segs: int = 16, join_style: str = "round"):
+        return self._inplace(_ops2.buffer, distance, quad_segs=quad_segs, join_style=join_style)
+
+    def simplify(self, tolerance: float):
+        return self._inplace(_ops2.simplify, tolerance)
+
+    def segmentize(self, max_segment_length: float):
+        return self._inplace(_ops2.segmentize, max_segment_length)
+
+    def remove_repeated_points(self, tolerance: float = 0.0):
+        return self._inplace(_ops2.remove_repeated_points, tolerance)
+
+    def reverse(self):
+        return self._inplace(_ops2.reverse)
+
+    def normalize(self):
+        return self._inplace(_ops2.normalize)
+
+    def set_precision(self, grid_size: float):
+        return self._inplace(_ops2.set_precision, grid_size)
+
+    def force_2d(self):
+        return self._inplace(_ops2.force_2d)
+
+    def force_3d(self, z: float = 0.0):
+        return self._inplace(_ops3.force_3d, z=z)
+
+    def make_valid(self):
+        return self._inplace(_ops3.make_valid)
+
+    def line_merge(self):
+        return self._inplace(_ops2.line_merge)
+
+    def offset_curve(self, distance: float, quad_segs: int = 8):
+        return self._inplace(_ops3.offset_curve, distance, quad_segs=quad_segs)
+
+    def transform(self, fn):
+        return self._inplace(_ops3.transform_coords, fn)
+
+    def fillna(self, value=None):
+        return self._inplace(_ops3.geom_fillna, value=value)
+
+    def dropna(self):
+        return self._inplace(_ops3.geom_dropna)
+
+    def affine_transform(self, a, b, d, e, xoff, yoff):
+        return self._inplace(_ops.affine_transform, a, b, d, e, xoff, yoff)
+
+    def translate(self, xoff=0.0, yoff=0.0):
+        return self._inplace(_ops.translate, xoff=xoff, yoff=yoff)
+
+    def scale(self, xfact=1.0, yfact=1.0, origin=(0.0, 0.0)):
+        return self._inplace(_ops.scale, xfact=xfact, yfact=yfact, origin=origin)
+
+    def rotate(self, angle, origin=(0.0, 0.0), use_radians=False):
+        return self._inplace(_ops.rotate, angle, origin=origin, use_radians=use_radians)
+
+    def skew(self, xs=0.0, ys=0.0, origin=(0.0, 0.0), use_radians=False):
+        return self._inplace(_ops.skew, xs=xs, ys=ys, origin=origin, use_radians=use_radians)
+
+    def interpolate(self, distance: float, normalized: bool = False):
+        return self._replace(_ops2.interpolate, distance=distance, normalized=normalized)
+
+    def sample_points(self, size: int, seed: int = 42):
+        return self._replace(_ops2.sample_points, size=size, seed=seed)
+
+    def get_geometry(self, index: int):
+        return self._replace(_ops2.get_geometry, index=index)
+
+    def delaunay_triangles(self):
+        return self._replace(_ops2.delaunay_triangles)
+
+    def voronoi_polygons(self, extend_to=None):
+        return self._replace(_ops2.voronoi_polygons, extend_to=extend_to)
+
+    def polygonize(self):
+        return self._replace(_ops3.polygonize)
+
+    def build_area(self):
+        return self._replace(_ops3.build_area)
+
+    # --- element-wise binary vs `other` ---------------------------------
+    def _binary(self, fn, other, **kw):
+        other = other if not isinstance(other, GeoDataset) else other.geometry
+        return self._wrap(fn(self.ds, other, geometry=self.geometry, **kw))
+
+    def intersects(self, other, **kw):
+        from .stages.binary import binary_predicate
+
+        return self._wrap(binary_predicate(self.ds, "intersects", other, geometry=self.geometry, **kw))
+
+    def predicate(self, name: str, other, **kw):
+        from .stages.binary import binary_predicate
+
+        return self._wrap(binary_predicate(self.ds, name, other, geometry=self.geometry, **kw))
+
+    def within(self, other):
+        return self.predicate("within", other)
+
+    def contains(self, other):
+        return self.predicate("contains", other)
+
+    def touches(self, other):
+        return self.predicate("touches", other)
+
+    def crosses(self, other):
+        return self.predicate("crosses", other)
+
+    def overlaps(self, other):
+        return self.predicate("overlaps", other)
+
+    def covers(self, other):
+        return self.predicate("covers", other)
+
+    def covered_by(self, other):
+        return self.predicate("covered_by", other)
+
+    def disjoint(self, other):
+        return self.predicate("disjoint", other)
+
+    def geom_equals(self, other):
+        return self.predicate("geom_equals", other)
+
+    def distance(self, other, **kw):
+        from .stages.binary import binary_distance
+
+        return self._binary(binary_distance, other, **kw)
+
+    def relate(self, other, **kw):
+        from .stages.binary import binary_relate
+
+        return self._binary(binary_relate, other, **kw)
+
+    def intersection(self, other):
+        from .stages.binary import binary_intersection
+
+        tmp = "__newgeom"
+        out = binary_intersection(self.ds, other, geometry=self.geometry, out=tmp)
+        return self._wrap(_swap_geometry(out, tmp, self.geometry))
+
+    def difference(self, other):
+        from .stages.binary import binary_difference
+
+        tmp = "__newgeom"
+        out = binary_difference(self.ds, other, geometry=self.geometry, out=tmp)
+        return self._wrap(_swap_geometry(out, tmp, self.geometry))
+
+    def union(self, other):
+        from .stages.binary import binary_union
+
+        tmp = "__newgeom"
+        out = binary_union(self.ds, other, geometry=self.geometry, out=tmp)
+        return self._wrap(_swap_geometry(out, tmp, self.geometry))
+
+    def symmetric_difference(self, other):
+        from .stages.binary import binary_symmetric_difference
+
+        tmp = "__newgeom"
+        out = binary_symmetric_difference(self.ds, other, geometry=self.geometry, out=tmp)
+        return self._wrap(_swap_geometry(out, tmp, self.geometry))
+
+    def hausdorff_distance(self, other, **kw):
+        from .stages.binary import binary_hausdorff
+
+        return self._binary(binary_hausdorff, other, **kw)
+
+    def frechet_distance(self, other, **kw):
+        from .stages.binary import binary_frechet
+
+        return self._binary(binary_frechet, other, **kw)
+
+    def shortest_line(self, other, **kw):
+        from .stages.binary import binary_shortest_line
+
+        return self._binary(binary_shortest_line, other, **kw)
+
+    def project(self, other, normalized: bool = False):
+        from .stages.binary import binary_project
+
+        return self._binary(binary_project, other, normalized=normalized)
+
+    def snap(self, other, tolerance: float):
+        from .stages.binary import binary_snap
+
+        return self._binary(binary_snap, other, tolerance=tolerance)
+
+    def shared_paths(self, other, **kw):
+        from .stages.binary import binary_shared_paths
+
+        return self._binary(binary_shared_paths, other, **kw)
+
+    def geom_equals_exact(self, other, tolerance: float = 0.0):
+        from .stages.binary import binary_geom_equals_exact
+
+        return self._binary(binary_geom_equals_exact, other, tolerance=tolerance)
+
+    # --- joins / table ops ----------------------------------------------
+    @staticmethod
+    def _right_side(right):
+        if isinstance(right, GeoDataset):
+            return right.ds
+        return right
+
+    def sjoin(self, right, how: str = "inner", predicate: str = "intersects", **kw):
+        from .stages.sjoin import sjoin
+
+        return self._wrap(sjoin(self.ds, self._right_side(right), how=how, predicate=predicate, **kw))
+
+    def sjoin_shuffle(self, right, predicate: str = "intersects", **kw):
+        from .stages.sjoin import sjoin_shuffle
+
+        return self._wrap(
+            sjoin_shuffle(self.ds, self._right_side(right), predicate=predicate, **kw)
+        )
+
+    def sjoin_nearest(self, right, **kw):
+        from .stages.nearest import sjoin_nearest
+
+        return self._wrap(sjoin_nearest(self.ds, self._right_side(right), **kw))
+
+    def dissolve(self, by=None, aggfunc="first", **kw):
+        from .stages.dissolve import dissolve
+
+        return self._wrap(dissolve(self.ds, by=by, aggfunc=aggfunc, geometry=self.geometry, **kw))
+
+    def union_all(self, method: str = "unary") -> bytes | None:
+        from .stages.dissolve import union_all
+
+        return union_all(self.ds, geometry=self.geometry, method=method)
+
+    def intersection_all(self) -> bytes | None:
+        from .stages.dissolve import intersection_all
+
+        return intersection_all(self.ds, geometry=self.geometry)
+
+    def total_bounds(self) -> np.ndarray:
+        from .stages.dissolve import total_bounds
+
+        return total_bounds(self.ds, geometry=self.geometry)
+
+    def overlay(self, right, how: str = "intersection", **kw):
+        from .stages.overlay import overlay
+
+        return self._wrap(overlay(self.ds, self._right_side(right), how, **kw))
+
+    def clip(self, mask):
+        from .stages.clip import clip
+
+        return self._wrap(clip(self.ds, mask, geometry=self.geometry))
+
+    def clip_by_rect(self, xmin, ymin, xmax, ymax):
+        from .stages.clip import clip_rect
+
+        return self._wrap(clip_rect(self.ds, xmin, ymin, xmax, ymax, geometry=self.geometry))
+
+    def explode(self, **kw):
+        from .stages.explode import explode
+
+        return self._wrap(explode(self.ds, geometry=self.geometry, **kw))
+
+    def get_coordinates(self, **kw):
+        from .stages.explode import get_coordinates
+
+        return get_coordinates(self.ds, geometry=self.geometry, **kw)
+
+    # --- CRS --------------------------------------------------------------
+    def set_crs(self, crs, allow_override: bool = False) -> "GeoDataset":
+        """geoseries.py set_crs semantics: assign, refusing a silent
+        override of an existing different CRS."""
+        if self.crs is not None and not allow_override and str(self.crs) != str(crs):
+            raise ValueError(
+                "The GeoDataset already has a CRS which is not equal to the "
+                "passed CRS. Use allow_override=True to replace it."
+            )
+        return GeoDataset(self.ds, geometry=self.geometry, crs=crs)
+
+    def to_crs(self, crs) -> "GeoDataset":
+        from .crs import to_crs
+
+        if self.crs is None:
+            raise ValueError("Cannot transform naive geometries. Please set a crs first.")
+        out = to_crs(self.ds, self.crs, crs, geometry=self.geometry)
+        return GeoDataset(out, geometry=self.geometry, crs=crs)
+
+    def rename_geometry(self, new_name: str) -> "GeoDataset":
+        out = _ops3.rename_geometry(self.ds, new_name, geometry=self.geometry)
+        return GeoDataset(out, geometry=new_name, crs=self.crs)
+
+    def set_geometry(self, column: str, drop_old: bool = False) -> "GeoDataset":
+        out = _ops3.set_geometry(self.ds, column, out=self.geometry, drop_old=drop_old)
+        return GeoDataset(out, geometry=self.geometry, crs=self.crs)
+
+    # --- indexers ----------------------------------------------------------
+    @property
+    def cx(self) -> _CxIndexer:
+        return _CxIndexer(self)

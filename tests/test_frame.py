@@ -1,0 +1,94 @@
+"""GeoPandas-shaped fluent facade (geopandas_ray.frame.GeoDataset)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from geopandas_ray import GeoDataset
+from geopandas_ray.geom import wkb as W
+from geopandas_ray.geom import kernels as K
+
+
+@pytest.fixture
+def boxes():
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "zid": pa.array([0, 1, 2], type=pa.int64()),
+                "cat": pa.array(["a", "a", "b"]),
+                "geometry": W.boxes_to_wkb(
+                    [0.0, 10.0, 100.0], [0.0, 10.0, 100.0], [4.0, 14.0, 104.0], [4.0, 14.0, 104.0]
+                ),
+            }
+        )
+    )
+    return GeoDataset(ds)
+
+
+def test_scalar_accessors_chain(boxes):
+    df = boxes.area().length().to_pandas().sort_values("zid")
+    assert df.area.tolist() == [16.0, 16.0, 16.0]
+    assert df.length.tolist() == [16.0, 16.0, 16.0]
+
+
+def test_geometry_out_replaces(boxes):
+    df = boxes.centroid().get_coordinates().to_pandas().sort_values("zid")
+    assert df.x.tolist() == [2.0, 12.0, 102.0]
+    # buffer keeps fluency: grown squares have exactly the mitre area
+    g = boxes.buffer(1.0, join_style="mitre").area().to_pandas()
+    assert sorted(g.area.tolist()) == [36.0, 36.0, 36.0]
+
+
+def test_cx_indexer_and_clip(boxes):
+    assert boxes.cx[0:20, 0:20].count() == 2
+    assert boxes.cx[:, 50:].count() == 1
+    assert boxes.clip_by_rect(0, 0, 2, 2).count() == 1
+
+
+def test_sjoin_and_dissolve(boxes):
+    pts = GeoDataset(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "pid": pa.array([0, 1], type=pa.int64()),
+                    "geometry": W.points_to_wkb([1.0, 11.0], [1.0, 11.0]),
+                }
+            )
+        )
+    )
+    j = pts.sjoin(boxes.ds.to_pandas().pipe(lambda d: pa.Table.from_pandas(d))).to_pandas()
+    assert sorted(j.pid.tolist()) == [0, 1]
+    d = boxes.dissolve(by="cat", aggfunc={"zid": "count"}).to_pandas()
+    assert d.cat.tolist() == ["a", "b"]  # sort=True default
+    areas = K.area(W.from_wkb(d.geometry.tolist()))
+    assert sorted(areas.tolist()) == [16.0, 32.0]
+
+
+def test_predicates_and_setops(boxes):
+    other = W.boxes_to_wkb([2.0], [2.0], [6.0], [6.0])[0].as_py()
+    p = boxes.intersects(other).to_pandas().sort_values("zid")
+    assert p.intersects.tolist() == [True, False, False]
+    inter = boxes.intersection(other).area().to_pandas().sort_values("zid")
+    assert inter.area.fillna(0).tolist() == [4.0, 0.0, 0.0]
+
+
+def test_crs_roundtrip(boxes):
+    with pytest.raises(ValueError):
+        boxes.to_crs("EPSG:3857")
+    g = boxes.set_crs("EPSG:4326")
+    with pytest.raises(ValueError):
+        g.set_crs("EPSG:3857")
+    g2 = g.set_crs("EPSG:3857", allow_override=True)
+    assert g2.crs == "EPSG:3857"
+
+
+def test_explode_and_total_bounds(boxes):
+    assert np.allclose(boxes.total_bounds(), [0, 0, 104, 104])
+    assert boxes.explode().count() == 3  # single-part stays 1:1
+
+
+def test_to_parquet_roundtrip(boxes, tmp_path):
+    boxes.to_parquet(str(tmp_path / "o"))
+    back = GeoDataset.read_parquet(str(tmp_path / "o") + "/fragments")
+    assert back.count() == 3
