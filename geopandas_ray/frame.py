@@ -86,6 +86,64 @@ class GeoDataset:
 
         return cls(read_feather(path, **kw), geometry=geometry)
 
+    @classmethod
+    def from_xy(
+        cls, ds: ray.data.Dataset, x: str = "x", y: str = "y", geometry: str = "geometry", crs=None
+    ) -> "GeoDataset":
+        """points_from_xy over columns (geoseries.py from_xy): appends a
+        point-WKB geometry column built from the x/y columns."""
+        from .geom.wkb import points_to_wkb
+
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                geometry,
+                points_to_wkb(
+                    np.asarray(b.column(x), dtype=np.float64),
+                    np.asarray(b.column(y), dtype=np.float64),
+                ),
+            )
+
+        return cls(ds.map_batches(f, batch_format="pyarrow"), geometry=geometry, crs=crs)
+
+    @classmethod
+    def from_wkt(
+        cls, ds: ray.data.Dataset, column: str = "wkt", geometry: str = "geometry", crs=None
+    ) -> "GeoDataset":
+        """GeoSeries.from_wkt over a string column -> WKB geometry column."""
+        from .geom.wkb import to_wkb
+        from .geom.wkt import from_wkt
+
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(geometry, to_wkb(from_wkt(b.column(column).to_pylist())))
+
+        return cls(ds.map_batches(f, batch_format="pyarrow"), geometry=geometry, crs=crs)
+
+    @classmethod
+    def from_features(cls, features, geometry: str = "geometry", crs=None) -> "GeoDataset":
+        from .sources.geojson import from_features
+
+        return cls(ray.data.from_arrow(from_features(list(features), geometry=geometry)),
+                   geometry=geometry, crs=crs)
+
+    def to_wkt(self, rounding_precision: int = 6, out: str = "wkt") -> "GeoDataset":
+        """Append a WKT string column (GeoSeries.to_wkt)."""
+        from .geom.wkb import from_wkb
+        from .geom.wkt import to_wkt
+
+        geometry = self.geometry
+
+        def f(b: pa.Table) -> pa.Table:
+            w = to_wkt(from_wkb(b.column(geometry)), rounding_precision=rounding_precision)
+            return b.append_column(out, pa.array(w, type=pa.large_string()))
+
+        return self._wrap(self.ds.map_batches(f, batch_format="pyarrow"))
+
+    def to_json(self, out: str = "feature_json") -> "GeoDataset":
+        """Append a GeoJSON Feature string column per row."""
+        from .sources.geojson import to_json_column
+
+        return self._wrap(to_json_column(self.ds, geometry=self.geometry, out=out))
+
     def to_parquet(self, path, **kw):
         from .sources.geoparquet import write_geoparquet
 

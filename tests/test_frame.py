@@ -92,3 +92,23 @@ def test_to_parquet_roundtrip(boxes, tmp_path):
     boxes.to_parquet(str(tmp_path / "o"))
     back = GeoDataset.read_parquet(str(tmp_path / "o") + "/fragments")
     assert back.count() == 3
+
+
+def test_constructors_and_serializers():
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array([0, 1], type=pa.int64()), "x": [1.0, 2.0], "y": [3.0, 4.0]})
+    )
+    g = GeoDataset.from_xy(ds)
+    w = g.to_wkt().to_pandas().sort_values("id")
+    assert w.wkt.tolist() == ["POINT (1 3)", "POINT (2 4)"]
+    # wkt -> geometry -> json roundtrip keeps coordinates
+    ds2 = ray.data.from_arrow(
+        pa.table({"id": pa.array([0], type=pa.int64()), "wkt": ["POINT (5 6)"]})
+    )
+    j = GeoDataset.from_wkt(ds2).to_json().to_pandas()
+    assert '"coordinates": [5.0, 6.0]' in j.feature_json.iloc[0] or "[5, 6]" in j.feature_json.iloc[0].replace(".0", "")
+    f = GeoDataset.from_features(
+        [{"type": "Feature", "properties": {"n": 1},
+          "geometry": {"type": "Point", "coordinates": [7.0, 8.0]}}]
+    )
+    assert f.to_wkt().to_pandas().wkt.tolist() == ["POINT (7 8)"]
