@@ -309,6 +309,27 @@ def q_zone_props(sf_dir):
     return _select(z, ["zone_key", "area", "perimeter", "cx", "cy"])
 
 
+def q_facade_zone_props(sf_dir):
+    # the GeoDataset fluent facade must produce byte-identical results to
+    # the stage calls (same physical plans): zone_props re-expressed as
+    # gd.area().length().centroid()... against the same oracle SQL
+    from geopandas_ray import GeoDataset
+    from geopandas_ray.pipelines.datasets import zone_dataset
+    from geopandas_ray.stages.ops import with_xy
+
+    gd = GeoDataset(zone_dataset(sf_dir)).area().length()
+    renamed = gd.ds.map_batches(
+        lambda t: t.rename_columns(
+            ["perimeter" if c == "length" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    cen = GeoDataset(renamed).centroid()  # replaces geometry with the centroid
+    z = with_xy(cen.ds, geometry="geometry")
+    z = _rename(z, {"x": "cx", "y": "cy"})
+    return _select(z, ["zone_key", "area", "perimeter", "cx", "cy"])
+
+
 def q_bounds_by_source(sf_dir):
     from ray.data.aggregate import Max, Min
 
@@ -2005,6 +2026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlay_intersection": q_overlay_intersection,
         "dissolve_zones": q_dissolve_zones,
         "zone_props": q_zone_props,
+        "facade_zone_props": q_facade_zone_props,
         "bounds_by_source": q_bounds_by_source,
         "union_bounds": q_union_bounds,
         "explode_multipoint": q_explode_multipoint,
@@ -2274,6 +2296,11 @@ def oracle_sql() -> dict[str, str]:
             "MIN(zminy) AS miny, MAX(zmaxx) AS maxx, MAX(zmaxy) AS maxy FROM zones GROUP BY category"
         ),
         "zone_props": (
+            f"{W} SELECT zone_key, CAST((zmaxx-zminx)*(zmaxy-zminy) AS DOUBLE) AS area, "
+            "CAST(2*((zmaxx-zminx)+(zmaxy-zminy)) AS DOUBLE) AS perimeter, "
+            "(zminx+zmaxx)/2.0 AS cx, (zminy+zmaxy)/2.0 AS cy FROM zones"
+        ),
+        "facade_zone_props": (
             f"{W} SELECT zone_key, CAST((zmaxx-zminx)*(zmaxy-zminy) AS DOUBLE) AS area, "
             "CAST(2*((zmaxx-zminx)+(zmaxy-zminy)) AS DOUBLE) AS perimeter, "
             "(zminx+zmaxx)/2.0 AS cx, (zminy+zmaxy)/2.0 AS cy FROM zones"
