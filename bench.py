@@ -264,6 +264,7 @@ def run_bench() -> dict:
 
     timed("skew_join_unsalted", run_skew(1))
     timed("skew_join_salt8", run_skew(8))
+    timed("skew_join_auto", run_skew("auto"))
 
     def run_overlay_concave():
         # general slab-sweep boolean kernel: concave L x concave L overlay

@@ -323,7 +323,10 @@ class _CellIndexer:
     built once per actor (north_star: 'batched stateful actor-pool stage').
     """
 
-    def __init__(self, geometry, res, domain, side, salt, prefix, out_schema_names, expand=0.0):
+    def __init__(
+        self, geometry, res, domain, side, salt, prefix, out_schema_names, expand=0.0,
+        salt_map=None,
+    ):
         self.geometry = geometry
         self.res = res
         self.domain = domain
@@ -331,6 +334,15 @@ class _CellIndexer:
         self.salt = salt
         self.prefix = prefix
         self.out_names = out_schema_names
+        # per-cell salt factors (hot cells only; everything else 1). Sorted
+        # key/value arrays -> vectorized searchsorted lookup per batch.
+        if salt_map:
+            keys = np.array(sorted(salt_map), dtype=np.int64)
+            self.salt_keys = keys
+            self.salt_vals = np.array([salt_map[k] for k in keys], dtype=np.int64)
+        else:
+            self.salt_keys = None
+            self.salt_vals = None
         # dwithin: the LEFT side's cell covering is computed from the
         # distance-dilated bbox (matching the dilated query box the per-cell
         # join uses), else cross-cell pairs within distance would be dropped.
@@ -353,7 +365,21 @@ class _CellIndexer:
         )
         keep = valid[row_idx]
         row_idx, cells = row_idx[keep], cells[keep]
-        if self.salt > 1:
+        if self.salt_keys is not None:
+            # per-cell factors: hot cells fan out, everything else stays 1
+            pos = np.searchsorted(self.salt_keys, cells)
+            posc = np.clip(pos, 0, len(self.salt_keys) - 1)
+            s_c = np.where(self.salt_keys[posc] == cells, self.salt_vals[posc], 1)
+            if self.side == 0:
+                salt = (cells.astype(np.int64) * 31 + row_idx) % s_c
+            else:
+                row_idx = np.repeat(row_idx, s_c)
+                cells = np.repeat(cells, s_c)
+                # per-row 0..s_c-1 ranges without a Python loop
+                tot = int(s_c.sum())
+                starts = np.cumsum(s_c) - s_c
+                salt = np.arange(tot, dtype=np.int64) - np.repeat(starts, s_c)
+        elif self.salt > 1:
             if self.side == 0:
                 # any deterministic-per-row bucket works for a join: each left
                 # row lands in exactly one salt bucket, the right side is
@@ -541,6 +567,47 @@ _SWAPPED_PREDICATE = {
 }
 
 
+def _estimate_salt_map(
+    ds: ray.data.Dataset,
+    geometry: str,
+    res: int,
+    domain,
+    stride: int = 16,
+    target_rows_per_shard: int = 65536,
+    cap: int = 64,
+) -> dict[int, int] | None:
+    """Sampled hot-cell detector for salt='auto': one strided pass over the
+    left side's cell assignments (every ``stride``-th row per batch), a tiny
+    per-cell-count groupby, and ONLY cells whose estimated row count exceeds
+    the shard target reach the driver. Returns {cell: salt_factor} for hot
+    cells (factor = ceil(est / target), capped) or None when nothing is hot.
+    Cost: one extra scan of the left geometry at 1/stride sampling."""
+
+    def part(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        bb = K.bounds(g)[::stride]
+        bb = bb[~np.isnan(bb).any(axis=1)]
+        if not len(bb):
+            return pa.table({"cell": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        _, cells = cells_for_bbox(bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], res, domain)
+        u, c = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(u.astype(np.int64)), "n": pa.array(c.astype(np.int64))})
+
+    est = ds.map_batches(part, batch_format="pyarrow").groupby("cell").sum("n")
+
+    def hot(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("sum(n)"), dtype=np.int64)
+        return b.filter(pa.array(n * stride > target_rows_per_shard))
+
+    rows = est.map_batches(hot, batch_format="pyarrow").take_all()  # hot cells only
+    out: dict[int, int] = {}
+    for r in rows:
+        s = int(min(-(-int(r["sum(n)"]) * stride // target_rows_per_shard), cap))
+        if s > 1:
+            out[int(r["cell"])] = s
+    return out or None
+
+
 def sjoin_shuffle(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -550,7 +617,7 @@ def sjoin_shuffle(
     right_geometry: str | None = None,
     res: int = 7,
     domain=DEFAULT_DOMAIN,
-    salt: int = 1,
+    salt: int | str = 1,
     lsuffix: str = "left",
     rsuffix: str = "right",
     how: str = "inner",
@@ -572,6 +639,11 @@ def sjoin_shuffle(
     (the semi-join pushdown of SURVEY.md §7.3): a join with a 200x fanout
     re-materializes every carried byte per output pair, so narrow inputs
     directly multiply throughput. Geometry is always kept.
+
+    ``salt``: 1 (off), an int (uniform fan-out: every cell gets that many
+    shards, right side replicated into all of them), or 'auto' — a sampled
+    pre-pass measures per-cell left-row counts and salts ONLY hot cells,
+    each by its own factor (see _estimate_salt_map).
 
     ``how``: inner (default) / left / right (tools/sjoin.py:239-262
     _adjust_indexers - r1 was inner-only). Outer hows need ``left_id``
@@ -614,6 +686,13 @@ def sjoin_shuffle(
         )
     if how == "left" and left_id is None:
         raise ValueError("how='left' on the shuffle path requires `left_id`")
+    salt_map = None
+    if salt == "auto":
+        # measure-then-salt: sampled per-cell counts pick PER-CELL factors,
+        # so the right side replicates only into genuinely hot cells
+        # (uniform salt replicates it into every cell)
+        salt_map = _estimate_salt_map(left, geometry, res, domain)
+        salt = 1
     if left_columns is not None:
         left = left.select_columns(sorted(set(left_columns) | {geometry}))
     if right_columns is not None:
@@ -647,6 +726,7 @@ def sjoin_shuffle(
             geometry=geom, res=res, domain=domain, side=side, salt=salt,
             prefix=_L if side == 0 else _R, out_schema_names=out_names,
             expand=(float(distance) if (predicate == "dwithin" and side == 0) else 0.0),
+            salt_map=salt_map,
         )
 
         def f(batch: pa.Table) -> pa.Table:

@@ -423,3 +423,51 @@ def test_covering_fast_path_point_contains_empty(rng):
         predicate="contains", res=5,
     ).count()
     assert n == 0
+
+
+def test_sjoin_shuffle_auto_salt_matches_unsalted():
+    """salt='auto' must return the identical pair set as salt=1 on a skewed
+    corpus (one mega-hot cell)."""
+    import numpy as np
+
+    from geopandas_ray.geom import wkb as W
+    from geopandas_ray.stages.sjoin import sjoin_shuffle
+
+    rng = np.random.default_rng(11)
+    n = 40_000
+    # 60% of points inside one 8x8 "city" cell region, rest uniform
+    hot = rng.integers(0, 2, n).astype(bool)
+    hot[: int(n * 0.6)] = True
+    px = np.where(hot[:n], rng.uniform(0, 8, n), rng.uniform(0, 1024, n))
+    py = np.where(hot[:n], rng.uniform(0, 8, n), rng.uniform(0, 1024, n))
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "pid": pa.array(np.arange(n, dtype=np.int64)),
+                "geometry": W.points_to_wkb(px, py),
+            }
+        )
+    )
+    m = 200
+    zx = rng.uniform(0, 1000, m)
+    zy = rng.uniform(0, 1000, m)
+    zones = ray.data.from_arrow(
+        pa.table(
+            {
+                "zid": pa.array(np.arange(m, dtype=np.int64)),
+                "geometry": W.boxes_to_wkb(zx, zy, zx + 24, zy + 24),
+            }
+        )
+    )
+    base = (
+        sjoin_shuffle(pts, zones, predicate="intersects", res=5, salt=1)
+        .to_pandas()[["pid", "zid"]]
+    )
+    auto = (
+        sjoin_shuffle(
+            pts, zones, predicate="intersects", res=5, salt="auto"
+        ).to_pandas()[["pid", "zid"]]
+    )
+    a = set(map(tuple, base.to_numpy()))
+    b = set(map(tuple, auto.to_numpy()))
+    assert a == b and len(a) > 0
