@@ -724,6 +724,41 @@ def q_pii_scrub(sf_dir):
     return _select(ds, ["doc_id", "n_email", "n_ip", "n_phone", "text_scrubbed"])
 
 
+def q_curation(sf_dir):
+    # the composed training-data curation pipeline, hash-exact end to end:
+    # langid -> quality gate -> PII scrub (synthetic phone appended so the
+    # scrubber has work; doc_id%50 keeps the dedup structure) -> exact dedup
+    # -> decontamination vs the doc_id%97 benchmark. near_dup stays off
+    # (approximate by construction).
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geopandas_ray.pipelines.curation import curate
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy()
+    raw = t.column("text").to_pylist()
+    aug_all = [f"{x} tel +1415{int(d) % 50 + 1000}555" for x, d in zip(raw, ids)]
+    bench_texts = [a for a, d in zip(aug_all, ids) if d % 97 == 0]
+
+    def augment(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text"] = df["text"] + " tel +1415" + (df["doc_id"] % 50 + 1000).astype(str) + "555"
+        return df
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = curate(
+        ds.map_batches(augment, batch_format="pandas"),
+        langs=("en",),
+        min_tokens=10,
+        max_stop_ratio=0.5,
+        benchmark_texts=bench_texts,
+        near_dup=False,
+    )
+    return _select(out, ["doc_id", "text", "lang_pred", "n_tokens"])
+
+
 def q_spans_passthrough(sf_dir):
     # north-rule invariant: every row SURVIVING a spatial filter preserves
     # its span sequence (kind, text, media_ref, order) exactly. Spans ride
@@ -2065,6 +2100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "symdiff_mixed_props": q_symdiff_mixed,
         "decontaminate": q_decontaminate,
         "spans_passthrough": q_spans_passthrough,
+        "curation": q_curation,
         "knn_cosine": q_knn_cosine,
         "embed_near_dup": q_embed_near_dup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
@@ -2408,10 +2444,81 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip, "
             "CAST(len(regexp_extract_all(t, '\\+\\d{7,15}\\b')) AS BIGINT) AS n_phone, "
             "regexp_replace(regexp_replace(regexp_replace(t, "
-            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
-            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
-            "'\\+\\d{7,15}\\b', '<PHONE>', 'g') AS text_scrubbed FROM aug"
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), "
+            "'\+\d{7,15}\b', '<PHONE>', 'g') AS text_scrubbed FROM aug"
         ),
+        "curation": r"""
+            WITH aug AS (
+              SELECT doc_id, text || ' tel +1415' || (doc_id % 50 + 1000) || '555' AS t
+              FROM documents
+            ),
+            lgin AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(string_split_regex(lower(t), '\s+'),
+                                               x -> x <> '')[1:200]) AS ws,
+                     regexp_matches(substr(t, 1, 200), '[一-鿿]') AS zh
+              FROM aug
+            ),
+            lh AS (
+              SELECT doc_id, zh,
+                     len(list_filter(ws, x -> x IN ('das','der','die','ein','ist','nicht','und'))) AS hde,
+                     len(list_filter(ws, x -> x IN ('and','in','is','it','of','that','the','to'))) AS hen,
+                     len(list_filter(ws, x -> x IN ('de','el','es','la','los','que','una','y'))) AS hes,
+                     len(list_filter(ws, x -> x IN ('est','et','la','le','les','que','une'))) AS hfr
+              FROM lgin
+            ),
+            lg AS (
+              SELECT doc_id,
+                     CASE WHEN zh THEN 'zh'
+                          WHEN GREATEST(hde, hen, hes, hfr) = 0 THEN 'und'
+                          WHEN hde = GREATEST(hde, hen, hes, hfr) THEN 'de'
+                          WHEN hen = GREATEST(hde, hen, hes, hfr) THEN 'en'
+                          WHEN hes = GREATEST(hde, hen, hes, hfr) THEN 'es'
+                          ELSE 'fr' END AS lang_pred
+              FROM lh
+            ),
+            q AS (
+              SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+                     len(list_filter(string_split(t, ' '),
+                         x -> x IN ('the','a','and','of','to','in','is','it'))) AS sw
+              FROM aug
+            ),
+            keep AS (
+              SELECT a.doc_id, a.t, q.n_tokens FROM aug a
+              JOIN lg USING (doc_id) JOIN q USING (doc_id)
+              WHERE lg.lang_pred = 'en' AND q.n_tokens >= 10 AND q.sw < 0.5 * q.n_tokens
+            ),
+            scrub AS (
+              SELECT doc_id, n_tokens,
+                     regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\+\d{7,15}\b', '<PHONE>', 'g') AS text
+              FROM keep
+            ),
+            dedup AS (
+              SELECT text, MIN(doc_id) AS doc_id FROM scrub GROUP BY text
+            ),
+            dd AS (
+              SELECT d.doc_id, d.text, s.n_tokens FROM dedup d
+              JOIN scrub s ON s.doc_id = d.doc_id AND s.text = d.text
+            ),
+            dtok AS (SELECT doc_id, list_filter(string_split_regex(text, '[ ]+'), x -> x <> '') AS toks FROM dd),
+            dg AS (
+              SELECT DISTINCT doc_id, unnest(list_zip(toks[:len(toks)-2], toks[2:len(toks)-1], toks[3:])) AS z
+              FROM dtok WHERE len(toks) >= 3
+            ),
+            btok AS (SELECT doc_id, list_filter(string_split_regex(t, '[ ]+'), x -> x <> '') AS toks
+                     FROM aug WHERE doc_id % 97 = 0),
+            bg AS (
+              SELECT DISTINCT unnest(list_zip(toks[:len(toks)-2], toks[2:len(toks)-1], toks[3:])) AS z
+              FROM btok WHERE len(toks) >= 3
+            ),
+            leaked AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (z))
+            SELECT dd.doc_id, dd.text, 'en' AS lang_pred, dd.n_tokens
+            FROM dd WHERE dd.doc_id NOT IN (SELECT doc_id FROM leaked)
+        """,
         "spans_passthrough": (
             "WITH n AS (SELECT doc_id, doc_id % 5 + 1 AS ns FROM documents), "
             "s AS (SELECT doc_id, unnest(generate_series(0, ns - 1)) AS j FROM n), "

@@ -216,6 +216,23 @@ def run_bench() -> dict:
 
     timed("decontaminate", run_decontaminate)
 
+    def run_curation():
+        # the composed hygiene pipeline end to end (langid -> quality ->
+        # scrub -> exact dedup -> decontaminate)
+        import pyarrow.parquet as pq
+
+        from geopandas_ray.pipelines.curation import curate
+
+        t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy()
+        bench_texts = [x for x, d in zip(t.column("text").to_pylist(), ids) if d % 97 == 0]
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        return curate(ds, langs=("en", "und"), benchmark_texts=bench_texts).count()
+
+    timed("curation", run_curation)
+
     def run_repetition():
         from geopandas_ray.functions.text import with_repetition_stats
 

@@ -442,3 +442,31 @@ def test_flag_contaminated():
     # benchmark set is distinct n-grams
     s = benchmark_ngram_set(["a b a b a b"], n=2)
     assert len(s) == 2  # "a b" and "b a"
+
+
+def test_curation_pipeline():
+    from geopandas_ray.pipelines.curation import curate
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today again and again yes",  # keeps
+        "the quick brown fox jumps over the lazy dog today again and again yes",  # exact dup -> dropped
+        "short text",                                        # too few tokens
+        "der hund ist nicht der beste freund und das ist ok gut ja nein doch",  # German -> dropped
+        "call me at +14155551234 for the data and the information you need now",  # phone scrubbed, kept
+        "the secret benchmark sentence appears here with many extra words in it today",  # contaminated
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)})
+    )
+    out = curate(
+        ds,
+        langs=("en",),
+        min_tokens=5,
+        benchmark_texts=["the secret benchmark sentence appears here"],
+    ).to_pandas().sort_values("doc_id")
+    assert out.doc_id.tolist() == [0, 4]
+    assert "<PHONE>" in out[out.doc_id == 4].text.iloc[0]
+    # near-dup removal keeps one representative of an exact-dup cluster even
+    # when ids differ in other columns downstream of exact dedup
+    out2 = curate(ds, langs=("en",), min_tokens=5, near_dup=True).to_pandas()
+    assert 0 in out2.doc_id.tolist()
