@@ -231,6 +231,17 @@ def q_cell_index(sf_dir):
     return _select(c, ["doc_id", "cell"])
 
 
+def q_hex_assign(sf_dir):
+    # H3-analog hex keys (grid_hex.py): axial transform + cube rounding is
+    # plain IEEE arithmetic with floor(x+0.5) ties, so DuckDB reproduces the
+    # packed ids bit-exactly
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.cells import with_hex_cell
+
+    c = with_hex_cell(doc_points(sf_dir), res=8)
+    return _select(c, ["doc_id", "hex_cell"])
+
+
 def q_cell_kring(sf_dir):
     # H3 kRing analog: 1-ring of each doc's cell, off-grid dropped
     from geopandas_ray.pipelines.datasets import DOMAIN, doc_points
@@ -2058,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign_zones": q_tile_assign_zones,
         "tile_counts": q_tile_counts,
         "cell_index": q_cell_index,
+        "hex_assign": q_hex_assign,
         "overlay_intersection": q_overlay_intersection,
         "dissolve_zones": q_dissolve_zones,
         "zone_props": q_zone_props,
@@ -2269,6 +2281,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(zmaxy/32.0) AS BIGINT) - CASE WHEN zmaxy = 32.0*floor(zmaxy/32.0) THEN 1 ELSE 0 END) "
             "SELECT zone_key, CAST(5497558138880 + tx*1048576 + ty AS BIGINT) AS tile_id FROM cand "
             "WHERE NOT (GREATEST(tx*32.0, zminx) > zcutx AND GREATEST(ty*32.0, zminy) > zcuty)"
+        ),
+        "hex_assign": (
+            f"{W}, hexin AS (SELECT doc_id, "
+            "(sqrt(3)/3.0*px - py/3.0)/2.0 AS qf, (2.0*py/3.0)/2.0 AS rf FROM pts), "
+            "rnd AS (SELECT doc_id, qf, rf, "
+            "floor(qf+0.5) AS rx, floor(-qf-rf+0.5) AS ry, floor(rf+0.5) AS rz FROM hexin), "
+            "fx AS (SELECT doc_id, rx, ry, rz, "
+            "abs(rx-qf) AS dx, abs(ry-(-qf-rf)) AS dy, abs(rz-rf) AS dz FROM rnd), "
+            "qr AS (SELECT doc_id, "
+            "CASE WHEN dx>dy AND dx>dz THEN -ry-rz ELSE rx END AS q, "
+            "CASE WHEN NOT (dx>dy AND dx>dz) AND NOT (dy>dz) THEN -rx-ry ELSE rz END AS r FROM fx) "
+            "SELECT doc_id, CAST(8 AS BIGINT)*4503599627370496 + "
+            "(CAST(q AS BIGINT)+33554432)*67108864 + (CAST(r AS BIGINT)+33554432) AS hex_cell FROM qr"
         ),
         "cell_kring": (
             f"{W}, cells AS (SELECT doc_id, {cellx} AS cx, {celly} AS cy FROM pts), "

@@ -167,3 +167,58 @@ def compact_cover(
     # one output partition per input block
     ds = ds.repartition(nparts)
     return ds.groupby("__part").map_groups(compact_part, batch_format="pandas")
+
+
+def with_hex_cell(ds, res: int, geometry: str = "geometry", out: str = "hex_cell"):
+    """H3-analog hex key per row (centroid-assigned for non-points, like
+    H3's cellToParent-of-centroid convention for feature bucketing).
+    Stateless vectorized map; see grid_hex.py for the id scheme."""
+    import pyarrow as pa
+
+    from ..geom import kernels as K
+    from ..geom.wkb import from_wkb
+    from ..grid_hex import hex_cell
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        bb = K.bounds(g)
+        cx = (bb[:, 0] + bb[:, 2]) / 2.0
+        cy = (bb[:, 1] + bb[:, 3]) / 2.0
+        import numpy as np
+
+        cells = np.where(
+            np.isnan(cx), -1, hex_cell(np.nan_to_num(cx), np.nan_to_num(cy), res)
+        ).astype(np.int64)
+        return b.append_column(out, pa.array(cells))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def with_hex_kring(ds, k: int, cell_col: str = "hex_cell", out: str = "hex_neighbor"):
+    """Flat-map each row to its kRing neighborhood (H3 gridDisk analog)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..grid_hex import hex_kring, hex_pack, hex_unpack
+
+    def f(b: pa.Table) -> pa.Table:
+        cells = np.asarray(b.column(cell_col), dtype=np.int64)
+        res, q0, r0 = hex_unpack(cells)
+        # vectorized disk: offsets once, broadcast over rows
+        dq, dr = [], []
+        for a in range(-k, k + 1):
+            for c in range(max(-k, -a - k), min(k, -a + k) + 1):
+                dq.append(a)
+                dr.append(c)
+        dq = np.array(dq, dtype=np.int64)
+        dr = np.array(dr, dtype=np.int64)
+        n = len(cells)
+        m = len(dq)
+        rows = np.repeat(np.arange(n, dtype=np.int64), m)
+        nq = q0[rows] + np.tile(dq, n)
+        nr = r0[rows] + np.tile(dr, n)
+        nb = hex_pack(int(res[0]) if n else 0, nq, nr)
+        t = b.take(pa.array(rows))
+        return t.append_column(out, pa.array(nb))
+
+    return ds.map_batches(f, batch_format="pyarrow")
