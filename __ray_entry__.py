@@ -2469,9 +2469,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip, "
             "CAST(len(regexp_extract_all(t, '\\+\\d{7,15}\\b')) AS BIGINT) AS n_phone, "
             "regexp_replace(regexp_replace(regexp_replace(t, "
-            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
-            "'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), "
-            "'\+\d{7,15}\b', '<PHONE>', 'g') AS text_scrubbed FROM aug"
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+            "'\\+\\d{7,15}\\b', '<PHONE>', 'g') AS text_scrubbed FROM aug"
         ),
         "curation": r"""
             WITH aug AS (
