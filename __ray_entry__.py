@@ -770,6 +770,28 @@ def q_curation(sf_dir):
     return _select(out, ["doc_id", "text", "lang_pred", "n_tokens"])
 
 
+def q_media_decode(sf_dir):
+    # multimodal plumbing through the actor-pool decoder: payloads are
+    # constant-byte runs derived from doc_id, so every fake-decoder output
+    # (bytes, mean, fake width/height) is integer arithmetic DuckDB mirrors
+    import ray.data
+
+    from geopandas_ray.functions.media import decode_media
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        n = ids % 1000 + 10
+        v = ids % 251
+        payloads = [bytes([int(vv)]) * int(nn) for vv, nn in zip(v, n)]
+        return b.append_column("payload", pa.array(payloads, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow"
+    )
+    out = decode_media(ds)
+    return _select(out, ["doc_id", "media_bytes", "media_mean", "width", "height"])
+
+
 def q_spans_passthrough(sf_dir):
     # north-rule invariant: every row SURVIVING a spatial filter preserves
     # its span sequence (kind, text, media_ref, order) exactly. Spans ride
@@ -2112,6 +2134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "symdiff_mixed_props": q_symdiff_mixed,
         "decontaminate": q_decontaminate,
         "spans_passthrough": q_spans_passthrough,
+        "media_decode": q_media_decode,
         "curation": q_curation,
         "knn_cosine": q_knn_cosine,
         "embed_near_dup": q_embed_near_dup,
@@ -2544,6 +2567,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT dd.doc_id, dd.text, 'en' AS lang_pred, dd.n_tokens
             FROM dd WHERE dd.doc_id NOT IN (SELECT doc_id FROM leaked)
         """,
+        "media_decode": (
+            "SELECT doc_id, CAST(doc_id % 1000 + 10 AS BIGINT) AS media_bytes, "
+            "CAST(doc_id % 251 AS DOUBLE) AS media_mean, "
+            "CAST((doc_id % 1000 + 10) % 640 + 1 AS INTEGER) AS width, "
+            "CAST((doc_id % 1000 + 10) % 480 + 1 AS INTEGER) AS height "
+            "FROM documents"
+        ),
         "spans_passthrough": (
             "WITH n AS (SELECT doc_id, doc_id % 5 + 1 AS ns FROM documents), "
             "s AS (SELECT doc_id, unnest(generate_series(0, ns - 1)) AS j FROM n), "
