@@ -584,8 +584,10 @@ def _estimate_salt_map(
     Cost: one extra scan of the left geometry at 1/stride sampling."""
 
     def part(b: pa.Table) -> pa.Table:
-        g = from_wkb(b.column(geometry))
-        bb = K.bounds(g)[::stride]
+        # stride BEFORE decoding: the estimator touches 1/stride of the WKB
+        sampled = b.column(geometry).take(pa.array(np.arange(0, b.num_rows, stride)))
+        g = from_wkb(sampled)
+        bb = K.bounds(g)
         bb = bb[~np.isnan(bb).any(axis=1)]
         if not len(bb):
             return pa.table({"cell": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
