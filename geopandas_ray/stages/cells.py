@@ -222,3 +222,38 @@ def with_hex_kring(ds, k: int, cell_col: str = "hex_cell", out: str = "hex_neigh
         return t.append_column(out, pa.array(nb))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def with_hex_cover(ds, res: int, geometry: str = "geometry", out: str = "hex_cell"):
+    """Flat-map each polygon row to its hex polyfill (H3 polyfill analog:
+    center-containment, grid_hex.py). Rows expand one-per-cell; non-areal
+    rows fall back to their centroid cell so every row keeps >=1 key."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..geom import kernels as K
+    from ..geom.booleans import geom_polygons
+    from ..geom.wkb import from_wkb
+    from ..grid_hex import hex_cell, hex_polyfill
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        rows: list[int] = []
+        cells: list[int] = []
+        bb = K.bounds(g)
+        for i in range(len(g)):
+            polys = geom_polygons(g, i) if int(g.row_types[i]) in (3, 6, 7) else []
+            got = []
+            if polys:
+                rings = [r for rings in polys for r in rings]
+                got = hex_polyfill(rings, res).tolist()
+            if not got and not np.isnan(bb[i, 0]):
+                cx = (bb[i, 0] + bb[i, 2]) / 2.0
+                cy = (bb[i, 1] + bb[i, 3]) / 2.0
+                got = hex_cell(np.array([cx]), np.array([cy]), res).tolist()
+            rows.extend([i] * len(got))
+            cells.extend(int(c) for c in got)
+        t = b.take(pa.array(np.array(rows, dtype=np.int64)))
+        return t.append_column(out, pa.array(np.array(cells, dtype=np.int64)))
+
+    return ds.map_batches(f, batch_format="pyarrow")

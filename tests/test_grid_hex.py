@@ -101,3 +101,24 @@ def test_with_hex_cell_stage():
     assert out.hex_cell.tolist() == exp.tolist()
     kr = with_hex_kring(with_hex_cell(pts, res=8), k=1).to_pandas()
     assert len(kr) == 2 * 7  # 1 + 3*1*2 per row
+
+
+def test_with_hex_cover_stage():
+    from geopandas_ray.stages.cells import with_hex_cover
+
+    zones = ray.data.from_arrow(
+        pa.table(
+            {
+                "zid": pa.array([0, 1], type=pa.int64()),
+                "geometry": W.boxes_to_wkb([100.0, 0.0], [100.0, 0.0], [300.0, 2.0], [260.0, 2.0]),
+            }
+        )
+    )
+    out = with_hex_cover(zones, res=6).to_pandas()
+    big = out[out.zid == 0]
+    assert len(big) > 10  # a 200x160 box at res 6 covers many hexes
+    # brute check against the module polyfill
+    ring = np.array([[100.0, 100], [300, 100], [300, 260], [100, 260], [100, 100]])
+    assert set(big.hex_cell) == set(int(c) for c in H.hex_polyfill([ring], 6))
+    # the thin box may polyfill to zero centers -> centroid fallback keeps it
+    assert (out.zid == 1).sum() >= 1
