@@ -395,10 +395,6 @@ class _CellIndexer:
         cols = {"cell": pa.array(cells.astype(np.int64))}
         cols["__salt"] = pa.array(salt.astype(np.int8))
         cols["__side"] = pa.array(np.full(len(row_idx), self.side, dtype=np.int8))
-        cols["__minx"] = pa.array(b[row_idx, 0])
-        cols["__miny"] = pa.array(b[row_idx, 1])
-        cols["__maxx"] = pa.array(b[row_idx, 2])
-        cols["__maxy"] = pa.array(b[row_idx, 3])
         for name in taken.column_names:
             cols[self.prefix + name] = taken.column(name)
         # pad with the other side's columns as nulls for a unionable schema
@@ -427,8 +423,8 @@ def _group_join(
     rt = batch.filter(pa.array(rmask))
     lg = from_wkb(lt.column(lgeom_col))
     rg = from_wkb(rt.column(rgeom_col))
-    lb = np.column_stack([np.asarray(lt.column(c)) for c in ("__minx", "__miny", "__maxx", "__maxy")])
-    rb = np.column_stack([np.asarray(rt.column(c)) for c in ("__minx", "__miny", "__maxx", "__maxy")])
+    lb = K.bounds(lg)
+    rb = K.bounds(rg)
     qb = lb
     if predicate == "dwithin":
         d = float(distance)
@@ -703,14 +699,14 @@ def sjoin_shuffle(
     rschema = right.schema()
     lmap, rmap = suffixed_columns(lschema.names, rschema.names, lsuffix, rsuffix, geometry)
     # build union schema: control cols + prefixed both sides
+    # NOTE: bboxes are NOT shipped through the shuffle — the per-cell join
+    # decodes both sides' WKB anyway and recomputes bounds in one vectorized
+    # pass; shipping 4 float64s per row costs more object-store bandwidth
+    # than the recompute costs CPU (32B/row on a ~70B narrow row).
     control = [
         ("cell", pa.int64()),
         ("__salt", pa.int8()),
         ("__side", pa.int8()),
-        ("__minx", pa.float64()),
-        ("__miny", pa.float64()),
-        ("__maxx", pa.float64()),
-        ("__maxy", pa.float64()),
     ]
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
