@@ -346,8 +346,8 @@ class _CellIndexer:
         # dwithin: the LEFT side's cell covering is computed from the
         # distance-dilated bbox (matching the dilated query box the per-cell
         # join uses), else cross-cell pairs within distance would be dropped.
-        # Raw bounds are still stored in __minx.. so the join doesn't
-        # double-expand.
+        # The join recomputes RAW bounds from the WKB it decodes, so the
+        # dilation is never applied twice.
         self.expand = float(expand)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
