@@ -356,19 +356,33 @@ class GeoDataset:
         return self._replace(_ops3.build_area)
 
     # --- element-wise binary vs `other` ---------------------------------
+    @staticmethod
+    def _check_operand(other):
+        """Element-wise binaries align rows of ONE table: `other` must be a
+        second geometry column of self (str) or a broadcast WKB scalar
+        (bytes). A GeoDataset/Dataset operand needs a join — resolving its
+        geometry column NAME against self's table would silently compute
+        self-vs-self (ADVICE r2)."""
+        if isinstance(other, (GeoDataset, ray.data.Dataset)):
+            raise TypeError(
+                "element-wise binary ops take a column name or WKB bytes; "
+                "for two datasets use sjoin/sjoin_nearest (row alignment "
+                "across distributed tables is a join, not a column ref)"
+            )
+        return other
+
     def _binary(self, fn, other, **kw):
-        other = other if not isinstance(other, GeoDataset) else other.geometry
-        return self._wrap(fn(self.ds, other, geometry=self.geometry, **kw))
+        return self._wrap(fn(self.ds, self._check_operand(other), geometry=self.geometry, **kw))
 
     def intersects(self, other, **kw):
-        from .stages.binary import binary_predicate
-
-        return self._wrap(binary_predicate(self.ds, "intersects", other, geometry=self.geometry, **kw))
+        return self.predicate("intersects", other, **kw)
 
     def predicate(self, name: str, other, **kw):
         from .stages.binary import binary_predicate
 
-        return self._wrap(binary_predicate(self.ds, name, other, geometry=self.geometry, **kw))
+        return self._wrap(
+            binary_predicate(self.ds, name, self._check_operand(other), geometry=self.geometry, **kw)
+        )
 
     def within(self, other):
         return self.predicate("within", other)

@@ -121,7 +121,10 @@ def _crossing_xs(edges: np.ndarray) -> np.ndarray:
     iu = _TRIU_CACHE.get(n)
     if iu is None:
         iu = np.triu_indices(n, k=1)
-        if n <= 512 and len(_TRIU_CACHE) < 256:
+        # bound worst-case cache residency: n<=128 -> <=8128 pairs (~130KB)
+        # per entry, <=128 entries => <~16MB per worker, inside the
+        # per-task temporary budget (CLAUDE.md memory-wall note)
+        if n <= 128 and len(_TRIU_CACHE) < 128:
             _TRIU_CACHE[n] = iu
     ii, jj = iu[0][cand[iu]], iu[1][cand[iu]]
     if len(ii) == 0:

@@ -572,12 +572,16 @@ def hausdorff_distance_pair(ga: Geoms, ia: int, gb: Geoms, ib: int, densify: flo
     this is bit-parity with hausdorff_distance(densify=None); it lower-
     bounds the true continuous Hausdorff, which both attain when each
     directed target is convex."""
+    if densify is not None and not (0.0 < densify <= 1.0):
+        # GEOS DiscreteHausdorffDistance range check
+        raise ValueError("densify must be in the range (0.0, 1.0]")
 
     def directed(g1, i1, g2, i2):
         if densify is not None:
             segs = _segments_of_row(g1, i1)
             if len(segs):
-                n = max(1, int(np.ceil(1.0 / densify)))
+                # GEOS uses rint(1/densifyFrac) subsegments (half-even)
+                n = max(1, int(np.rint(1.0 / densify)))
                 t = np.linspace(0.0, 1.0, n, endpoint=False)
                 px = np.concatenate(
                     [(segs[:, 0, None] * (1 - t) + segs[:, 2, None] * t).ravel(), segs[:, 2]]

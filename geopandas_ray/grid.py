@@ -263,6 +263,15 @@ def compact_keyed(keys: np.ndarray, cells: np.ndarray) -> tuple[np.ndarray, np.n
         keep[np.nonzero(at)[0][drop]] = False
         keys = np.concatenate([keys[keep], add_keys])
         cells = np.concatenate([cells[keep], add_cells])
+        # re-dedupe (key, cell): collapsing P's children re-adds P even when
+        # the input already contained P; a duplicate row would make the next
+        # level's quartet bincount count ROWS instead of distinct children
+        # and over-collapse {P, S1, S2, children(P)} past the missing S3.
+        order = np.lexsort((cells, keys))
+        keys, cells = keys[order], cells[order]
+        if len(cells):
+            first = np.concatenate([[True], (keys[1:] != keys[:-1]) | (cells[1:] != cells[:-1])])
+            keys, cells = keys[first], cells[first]
         res = (cells >> np.uint64(58)).astype(np.int64)
     order = np.lexsort((cells, keys))
     return keys[order], cells[order]

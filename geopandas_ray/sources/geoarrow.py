@@ -84,12 +84,17 @@ def geoms_to_geoarrow(g: Geoms, encoding: str | None = None) -> pa.Array:
     part_coord = ring_coord[part_ring]
     if enc == "point":
         n = len(g)
-        idx = np.where(g.is_missing | g.is_empty, 0, row_coord[:-1])
-        out = coords.take(pa.array(idx.astype(np.int64)))
-        if (g.is_missing | g.is_empty).any():
-            m = pa.array(~(g.is_missing | g.is_empty))
-            out = pa.compute.if_else(m, out, pa.nulls(n, out.type))
-        arr = out
+        dead = g.is_missing | g.is_empty
+        if dead.all():
+            # coords is length 0 here: take([0]) would be out of bounds
+            arr = pa.nulls(n, coords.type)
+        else:
+            idx = np.where(dead, 0, row_coord[:-1])
+            out = coords.take(pa.array(idx.astype(np.int64)))
+            if dead.any():
+                m = pa.array(~dead)
+                out = pa.compute.if_else(m, out, pa.nulls(n, out.type))
+            arr = out
     elif enc in ("multipoint", "linestring"):
         arr = pa.ListArray.from_arrays(_offsets(row_coord), coords, mask=null_mask)
     elif enc == "polygon":
