@@ -50,6 +50,28 @@ def parse_geo_metadata(schema: pa.Schema) -> dict | None:
     return json.loads(raw) if raw else None
 
 
+def bbox_filter_expr(minx: float, miny: float, maxx: float, maxy: float):
+    """pyarrow dataset Expression: covering bbox intersects the query bbox.
+
+    Passed into ``read_parquet(filter=...)`` it reaches
+    ``ParquetFileFragment.to_batches`` where pyarrow prunes whole row
+    groups from min/max column statistics BEFORE any data pages are read,
+    then filters surviving rows exactly — io/arrow.py:341-344 semantics.
+    """
+    import pyarrow.dataset as pads
+
+    f = pads.field
+    return (f("minx") <= maxx) & (f("maxx") >= minx) & (f("miny") <= maxy) & (f("maxy") >= miny)
+
+
+def _peek_schema(paths, filesystem=None) -> pa.Schema:
+    """Parquet schema from file metadata only (no data pages read)."""
+    import pyarrow.dataset as pads
+
+    p = paths if isinstance(paths, (str,)) else list(paths)[0]
+    return pads.dataset(p, filesystem=filesystem, format="parquet").schema
+
+
 def read_geoparquet(
     paths,
     columns: list[str] | None = None,
@@ -59,30 +81,32 @@ def read_geoparquet(
 ) -> ray.data.Dataset:
     """ray.data.read_parquet with column pruning + optional bbox pushdown.
 
-    bbox filtering uses covering-bbox struct columns (minx/miny/maxx/maxy)
-    when present for row-group pruning; otherwise it falls back to an exact
-    post-read cx filter (base.py:5514 semantics) over decoded bounds.
+    When the file carries covering-bbox columns (minx/miny/maxx/maxy,
+    written by ``write_geoparquet(write_covering_bbox=True)``), the bbox
+    becomes a pyarrow filter expression pushed into the parquet scan:
+    row groups whose bbox-column statistics cannot intersect are skipped
+    at IO (no data pages read), and surviving rows are filtered exactly
+    by pyarrow — so no post-read pass is needed. Without bbox columns it
+    falls back to an exact post-read cx filter (base.py:5514 semantics)
+    over decoded WKB bounds.
     """
-    ds = ray.data.read_parquet(paths, columns=columns, **kwargs)
     if bbox is not None:
-        has_bbox_cols = all(c in ds.schema().names for c in ("minx", "miny", "maxx", "maxy"))
         minx, miny, maxx, maxy = bbox
-        if has_bbox_cols:
-            import pyarrow.compute as pc
+        schema = _peek_schema(paths, filesystem=kwargs.get("filesystem"))
+        if all(c in schema.names for c in ("minx", "miny", "maxx", "maxy")):
+            # the filter may reference columns outside `columns`: pyarrow
+            # reads them for evaluation without projecting them
+            return ray.data.read_parquet(
+                paths,
+                columns=columns,
+                filter=bbox_filter_expr(minx, miny, maxx, maxy),
+                **kwargs,
+            )
+        from ..stages.ops import cx_filter
 
-            def f(b: pa.Table) -> pa.Table:
-                keep = pc.and_(
-                    pc.and_(pc.less_equal(b["minx"], maxx), pc.greater_equal(b["maxx"], minx)),
-                    pc.and_(pc.less_equal(b["miny"], maxy), pc.greater_equal(b["maxy"], miny)),
-                )
-                return b.filter(keep)
-
-            ds = ds.map_batches(f, batch_format="pyarrow")
-        else:
-            from ..stages.ops import cx_filter
-
-            ds = cx_filter(ds, minx, miny, maxx, maxy, geometry=geometry)
-    return ds
+        ds = ray.data.read_parquet(paths, columns=columns, **kwargs)
+        return cx_filter(ds, minx, miny, maxx, maxy, geometry=geometry)
+    return ray.data.read_parquet(paths, columns=columns, **kwargs)
 
 
 def write_geoparquet(
