@@ -179,6 +179,40 @@ def run_bench() -> dict:
 
     timed("dissolve_zones", run_dissolve)
 
+    def run_dissolve_highcard():
+        # >=1.2M DISTINCT keys (lineitem x2): exercises the hash-partitioned
+        # final — ~n_partition tasks, never one task per key
+        from geopandas_ray.stages.dissolve import dissolve
+        from geopandas_ray.geom.wkb import points_to_wkb
+        import numpy as np
+        import pyarrow as pa
+
+        li = ray.data.read_parquet(
+            f"{SF_DIR}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"],
+        )
+
+        def prep(rep):
+            def f(b: pa.Table) -> pa.Table:
+                ok = b.column("l_orderkey").to_numpy().astype(np.int64)
+                ln = b.column("l_linenumber").to_numpy().astype(np.int64)
+                pk = b.column("l_partkey").to_numpy().astype(np.int64)
+                key = (ok * 8 + ln) * 65536 + pk * 2 + rep  # ~1.2M distinct at sf0.1
+                x = (b.column("l_partkey").to_numpy() % 1000).astype(np.float64)
+                y = (b.column("l_suppkey").to_numpy() % 1000).astype(np.float64)
+                return pa.table(
+                    {"k": pa.array(key), "qty": b.column("l_quantity"), "geometry": points_to_wkb(x, y)}
+                )
+
+            return f
+
+        both = li.map_batches(prep(0), batch_format="pyarrow").union(
+            li.map_batches(prep(1), batch_format="pyarrow")
+        )
+        return dissolve(both, by="k", aggfunc={"qty": ["sum", "count"]}).count()
+
+    timed("dissolve_highcard", run_dissolve_highcard, reps=2)
+
     def run_knn():
         from geopandas_ray.functions.knn import knn_brute
 

@@ -9,8 +9,10 @@ string / list / dict / callable, geodataframe.py:1343-1351), with
 Physical plan: because geometry union is associative, every block first
 pre-combines locally (one partial union row per key per batch - the
 combiner that keeps hot groups from melting a single reducer), then one
-``groupby(by)`` shuffle over the *partials*, then a per-group final union +
-attribute aggregation in ``map_groups``. Attribute aggfuncs that cannot be
+hash-partition shuffle over the *partials* (``__part = hash(key) % n``)
+and ONE vectorized pandas pass per partition for the final union +
+attribute re-aggregation — never one Ray task per distinct key, so a
+10M-key dissolve costs ~n tasks, not 10M. Attribute aggfuncs that cannot be
 partial-combined (median, arbitrary callables) skip the pre-combine for
 those columns and ship raw values (bounded: one row per key per block).
 
@@ -111,16 +113,94 @@ def dissolve(
 
     pre_ok = pre_combine and all(f in _COMBINABLE and f != "mean" for fs in spec.values() for f in fs)
 
+    # canonical little-endian 2-D POINT WKB: union of one such row re-encodes
+    # to the identical 21 bytes, so singleton point groups pass through
+    _PT_HDR = b"\x01\x01\x00\x00\x00"
+
     def combine_partial(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for key, grp in df.groupby(GROUP_KEY, dropna=dropna, sort=False, observed=observed):
-            key = key if isinstance(key, tuple) else (key,)
-            row = dict(zip(GROUP_KEY, key))
-            row[geometry] = union_wkb_values(grp[geometry].tolist())
-            row["__cnt"] = len(grp)
-            row.update(_agg_frame(grp, spec, multi))
-            rows.append(row)
-        return pd.DataFrame(rows) if rows else _empty_partial(df)
+        if not len(df):
+            return _empty_partial(df)
+        needs_unobserved = not observed and any(
+            isinstance(df[k].dtype, pd.CategoricalDtype) for k in GROUP_KEY
+        )
+        if needs_unobserved:
+            # categorical observed=False: pandas must manufacture empty
+            # groups per block — keep the per-group loop (category sets are
+            # small by construction)
+            rows = []
+            for key, grp in df.groupby(GROUP_KEY, dropna=dropna, sort=False, observed=False):
+                key = key if isinstance(key, tuple) else (key,)
+                row = dict(zip(GROUP_KEY, key))
+                row[geometry] = union_wkb_values(grp[geometry].tolist())
+                row["__cnt"] = len(grp)
+                row.update(_agg_frame(grp, spec, multi))
+                rows.append(row)
+            return pd.DataFrame(rows) if rows else _empty_partial(df)
+
+        # vectorized partial: one block-wide WKB decode, per-key union ONLY
+        # for groups that need it (multi-row, or non-point singletons)
+        from ..geom.union import union_rows
+        from ..geom.wkb import from_wkb
+
+        df = df.reset_index(drop=True)
+        gb = df.groupby(GROUP_KEY, dropna=dropna, sort=False, observed=True)
+        gid = gb.ngroup().to_numpy()
+        if (gid < 0).any():  # dropna=True null keys (normally pre-filtered)
+            keep = gid >= 0
+            df = df[keep].reset_index(drop=True)
+            gid = gid[keep]
+            gb = df.groupby(GROUP_KEY, dropna=dropna, sort=False, observed=True)
+        ngrp = int(gid.max()) + 1 if len(gid) else 0
+        if ngrp == 0:
+            return _empty_partial(df)
+        counts = np.bincount(gid, minlength=ngrp)
+        idx = np.arange(len(gid))
+        first_idx = np.empty(ngrp, dtype=np.int64)
+        first_idx[gid[::-1]] = idx[::-1]
+        last_idx = np.empty(ngrp, dtype=np.int64)
+        last_idx[gid] = idx
+
+        out = df.iloc[first_idx][GROUP_KEY].reset_index(drop=True)
+        gvals = df[geometry].to_numpy()
+        geos = np.empty(ngrp, dtype=object)
+        single = counts == 1
+        if single.any():
+            sv = gvals[first_idx[single]]
+            canon = np.fromiter(
+                (w is not None and len(w) == 21 and w[:5] == _PT_HDR for w in sv),
+                dtype=bool,
+                count=len(sv),
+            )
+            tgt = np.nonzero(single)[0]
+            geos[tgt[canon]] = sv[canon]
+            slow = ~canon
+        else:
+            tgt = np.empty(0, dtype=np.int64)
+            slow = np.empty(0, dtype=bool)
+        need_union = np.zeros(ngrp, dtype=bool)
+        need_union[~single] = True
+        need_union[tgt[slow]] = True
+        if need_union.any():
+            G = from_wkb(gvals.tolist())
+            order = np.argsort(gid, kind="stable")
+            starts = np.searchsorted(gid[order], np.arange(ngrp))
+            for gi in np.nonzero(need_union)[0]:
+                sel = order[starts[gi] : starts[gi] + counts[gi]]
+                geos[gi] = union_rows(G, sel)
+        out[geometry] = geos
+        out["__cnt"] = counts
+        for c, funcs in spec.items():
+            for f in funcs:
+                name = f"{c}_{f}" if (multi or len(funcs) > 1) else c
+                if f == "first":  # iloc[0]: NaN not skipped
+                    out[name] = df[c].to_numpy()[first_idx]
+                elif f == "last":
+                    out[name] = df[c].to_numpy()[last_idx]
+                elif f == "count":
+                    out[name] = gb[c].count().to_numpy()
+                else:  # sum/min/max — pandas skipna matches Series.agg
+                    out[name] = gb[c].agg(f).to_numpy()
+        return out
 
     def _empty_partial(df):
         cols = list(GROUP_KEY) + [geometry, "__cnt"] + [
@@ -128,26 +208,66 @@ def dissolve(
         ]
         return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
 
-    def final_group(df: pd.DataFrame) -> pd.DataFrame:
-        row = {k: df[k].iloc[0] for k in GROUP_KEY}
-        row[geometry] = union_wkb_values(df[geometry].tolist())
-        # re-aggregate partials: min of mins, sum of sums, first of firsts...
-        for c, funcs in spec.items():
-            for f in funcs:
-                name = f"{c}_{f}" if (multi or len(funcs) > 1) else c
-                s = df[name]
-                if f in ("first",):
-                    row[name] = s.iloc[0]
-                elif f == "last":
-                    row[name] = s.iloc[-1]
-                elif f in ("sum", "count"):
-                    row[name] = s.sum()
-                elif f == "min":
-                    row[name] = s.min()
-                elif f == "max":
-                    row[name] = s.max()
-        out = pd.DataFrame([row])
-        return out.drop(columns=[c for c in ("__g", "__cnt") if c in out.columns])
+    # (name, re-agg) per output column: min of mins, sum of sums, count->sum
+    _REAGG = {"first": "first", "last": "last", "sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    agg_cols = [
+        (f"{c}_{f}" if (multi or len(funcs) > 1) else c, f)
+        for c, funcs in spec.items()
+        for f in funcs
+    ]
+
+    def add_part(nparts):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            h = np.zeros(len(df), dtype=np.uint64)
+            for k in GROUP_KEY:
+                h = h * np.uint64(1000003) ^ pd.util.hash_pandas_object(
+                    df[k], index=False
+                ).to_numpy(dtype=np.uint64)
+            df = df.copy()
+            df["__part"] = (h % np.uint64(nparts)).astype(np.int64)
+            return df
+
+        return f
+
+    def final_partition(df: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized pass per HASH PARTITION, not one task per key
+        (a 10M-key dissolve melts on per-group map_groups overhead —
+        CLAUDE.md pitfall). Attributes re-aggregate at C speed; geometry
+        unions run only for keys whose partials span >1 block (singleton
+        partials pass through untouched)."""
+        df = df.drop(columns=["__part"]).reset_index(drop=True)
+        gb = df.groupby(GROUP_KEY, sort=False, dropna=False, observed=True)
+        gid = gb.ngroup().to_numpy()  # first-occurrence numbering (sort=False)
+        ngrp = int(gid.max()) + 1 if len(gid) else 0
+        counts = np.bincount(gid, minlength=ngrp)
+        idx = np.arange(len(gid))
+        first_idx = np.empty(ngrp, dtype=np.int64)
+        first_idx[gid[::-1]] = idx[::-1]
+        last_idx = np.empty(ngrp, dtype=np.int64)
+        last_idx[gid] = idx
+
+        out = df.iloc[first_idx][GROUP_KEY].reset_index(drop=True)
+        # geometry: passthrough singletons, per-key union for the rest
+        gvals = df[geometry].to_numpy()
+        geos = np.empty(ngrp, dtype=object)
+        m1 = counts == 1
+        geos[m1] = gvals[first_idx[m1]]
+        if not m1.all():
+            order = np.argsort(gid, kind="stable")
+            starts = np.searchsorted(gid[order], np.arange(ngrp))
+            for g in np.nonzero(~m1)[0]:
+                sel = order[starts[g] : starts[g] + counts[g]]
+                geos[g] = union_wkb_values(gvals[sel].tolist())
+        out[geometry] = geos
+        for name, f in agg_cols:
+            vals = df[name].to_numpy()
+            if f == "first":  # iloc[0] semantics: NaN partials NOT skipped
+                out[name] = vals[first_idx]
+            elif f == "last":
+                out[name] = vals[last_idx]
+            else:
+                out[name] = gb[name].agg(_REAGG[f]).to_numpy()
+        return out.drop(columns=[c for c in ("__g",) if c in out.columns])
 
     def direct_group(df: pd.DataFrame) -> pd.DataFrame:
         row = {k: df[k].iloc[0] for k in GROUP_KEY}
@@ -170,8 +290,20 @@ def dissolve(
         work = work.map_batches(drop_null_keys, batch_format="pyarrow")
 
     if pre_ok:
-        partials = work.map_batches(combine_partial, batch_format="pandas")
-        out = partials.groupby(GROUP_KEY).map_groups(final_group, batch_format="pandas")
+        from ..util import default_shuffle_partitions
+
+        nparts = default_shuffle_partitions()
+        partials = work.map_batches(combine_partial, batch_format="pandas").map_batches(
+            add_part(nparts), batch_format="pandas"
+        )
+        # repartition first: Ray groupby emits one output partition per
+        # input block (CLAUDE.md invariant); then ONE task per hash
+        # partition, never one per distinct key
+        out = (
+            partials.repartition(nparts)
+            .groupby("__part")
+            .map_groups(final_partition, batch_format="pandas")
+        )
     else:
         out = work.groupby(GROUP_KEY).map_groups(direct_group, batch_format="pandas")
         # unobserved categories cannot be manufactured by a per-observed-group

@@ -281,3 +281,50 @@ def test_union_all_and_dissolve_method_param(zones):
         _ua(zones, method="nope")
     with pytest.raises(ValueError):
         _dis(zones, by="cat", method="nope")
+
+
+def test_dissolve_high_cardinality_matches_pandas():
+    # 20k distinct keys spread over many blocks, some keys spanning blocks:
+    # exercises the hash-partitioned final (vectorized attrs, singleton
+    # geometry passthrough, per-key union only for multi-block keys)
+    import pandas as pd
+    from geopandas_ray.geom.union import union_wkb_values
+
+    rng = np.random.RandomState(7)
+    n = 60000
+    keys = rng.randint(0, 20000, n)
+    x = (keys % 97).astype(np.float64)
+    y = rng.randint(0, 3, n).astype(np.float64)  # some keys get >1 distinct point
+    w = rng.randint(0, 1000, n).astype(np.float64)
+    t = pa.table({"k": pa.array(keys), "w": pa.array(w), "geometry": W.points_to_wkb(x, y)})
+    ds = ray.data.from_arrow(t).repartition(16)
+    got = dissolve(ds, by="k", aggfunc={"w": ["sum", "min", "count"]}).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+
+    pdf = pd.DataFrame({"k": keys, "w": w, "g": W.points_to_wkb(x, y).to_pylist()})
+    exp = pdf.groupby("k").agg(w_sum=("w", "sum"), w_min=("w", "min"), w_count=("w", "count")).reset_index()
+    assert len(got) == len(exp) == pdf.k.nunique()
+    assert np.allclose(got.w_sum, exp.w_sum) and np.allclose(got.w_min, exp.w_min)
+    assert (got.w_count.to_numpy() == exp.w_count.to_numpy()).all()
+    # per-key geometry union matches a driver-side union of the same rows
+    sub = got[got.k < 200].reset_index(drop=True)
+    for _, r in sub.iterrows():
+        expected = union_wkb_values(pdf[pdf.k == r.k].g.tolist())
+        assert r.geometry == expected, int(r.k)
+
+
+def test_dissolve_first_last_block_order_preserved():
+    # first/last must be iloc[0]/iloc[-1] over arrival order WITHIN a
+    # key (NaN not skipped) — the gather-by-first/last-index path
+    import pandas as pd
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1]),
+            "v": pa.array([None, 5.0, None], type=pa.float64()),
+            "geometry": W.points_to_wkb([0.0, 1.0, 2.0], [0.0, 0.0, 0.0]),
+        }
+    )
+    d = dissolve(ray.data.from_arrow(t), by="k", aggfunc={"v": ["first", "last"]}).to_pandas()
+    # single block: partial stage already takes iloc[0]=NaN, iloc[-1]=NaN
+    assert pd.isna(d.v_first.iloc[0]) and pd.isna(d.v_last.iloc[0])
