@@ -206,6 +206,7 @@ def minhash_candidate_pairs(
     shingle=3,
     sim_threshold: float = 0.8,
     concurrency=None,
+    pair_cap: int = 4096,
 ) -> ray.data.Dataset:
     """-> dataset of (id_a, id_b, est_jaccard) candidate near-dup pairs.
 
@@ -221,23 +222,98 @@ def minhash_candidate_pairs(
         concurrency=default_pool(concurrency),
     )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "est_jaccard": np.float64}
-            )
-        df = df.drop_duplicates(id_col).sort_values(id_col)
-        ids = df[id_col].to_numpy()
-        sigs = np.stack(df["signature"].to_numpy())
-        out_a, out_b, out_j = [], [], []
+    # Bounded pair emission (a boilerplate flood — one bucket of 10^6
+    # identical docs — must NOT emit 10^12 pairs):
+    # 1. identical-signature groups collapse to a STAR around the min-id
+    #    member (m-1 pairs at est_jaccard=1.0, same connected component the
+    #    full clique would produce — the consumer is connectivity clustering);
+    # 2. the remaining one-representative-per-signature set is compared
+    #    pairwise only up to PAIR_CAP reps; above that it re-splits
+    #    recursively on signature columns OUTSIDE the bucket's own band
+    #    (near-identical docs keep colliding — LSH logic), with a final
+    #    lex-sorted chunk fallback so emission stays O(m * PAIR_CAP).
+    PAIR_CAP = pair_cap
+
+    _EMPTY_PAIRS = pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []}).astype(
+        {"id_a": np.int64, "id_b": np.int64, "est_jaccard": np.float64}
+    )
+
+    def _pairwise(ids: np.ndarray, sigs: np.ndarray, out: list) -> None:
+        o = np.argsort(ids)  # id_a < id_b invariant (band-level dedupe key)
+        ids, sigs = ids[o], sigs[o]
         for i in range(len(ids)):
             agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
             hit = np.nonzero(agree >= sim_threshold)[0]
             for k in hit:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + k])
-                out_j.append(agree[k])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+                out.append((ids[i], ids[i + 1 + k], agree[k]))
+
+    def _rep_pairs(ids, sigs, band, depth, out):
+        if len(ids) < 2:
+            return
+        if len(ids) <= PAIR_CAP:
+            _pairwise(ids, sigs, out)
+            return
+        num_perm_ = sigs.shape[1]
+        r = num_perm_ // max(1, bands)
+        if depth < num_perm_ - r:
+            # split on a column outside this bucket's band (in-band columns
+            # are equal across the whole bucket and would not split)
+            col = (band * r + r + depth) % num_perm_
+            vals = sigs[:, col]
+            order = np.argsort(vals, kind="stable")
+            sv = vals[order]
+            cuts = np.concatenate([[0], np.nonzero(sv[1:] != sv[:-1])[0] + 1, [len(sv)]])
+            if len(cuts) > 2:  # the column actually split the set
+                for a, b in zip(cuts[:-1], cuts[1:]):
+                    sel = order[a:b]
+                    _rep_pairs(ids[sel], sigs[sel], band, depth + 1, out)
+                return
+            _rep_pairs(ids, sigs, band, depth + 1, out)
+            return
+        # columns exhausted and still huge: lex-sort signatures so
+        # near-identical reps are adjacent, compare within fixed chunks
+        order = np.lexsort(sigs.T[::-1])
+        for a in range(0, len(ids), PAIR_CAP):
+            sel = order[a : a + PAIR_CAP]
+            _pairwise(ids[sel], sigs[sel], out)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return _EMPTY_PAIRS
+        df = df.drop_duplicates(id_col).sort_values(id_col)
+        if len(df) < 2:
+            return _EMPTY_PAIRS
+        ids = df[id_col].to_numpy()
+        sigs = np.stack(df["signature"].to_numpy())
+        band = int(df["band"].iloc[0])
+        out: list = []
+        # identical-signature stars
+        uniq, first, inv, cnt = np.unique(
+            sigs, axis=0, return_index=True, return_inverse=True, return_counts=True
+        )
+        if (cnt > 1).any():
+            # rep = min id per signature group (ids sorted -> first member);
+            # slice via one argsort of inv, never an O(m) scan per group
+            order_g = np.argsort(inv, kind="stable")
+            starts = np.searchsorted(inv[order_g], np.arange(len(cnt)))
+            for gi in np.nonzero(cnt > 1)[0]:
+                members = ids[order_g[starts[gi] : starts[gi] + cnt[gi]]]
+                rep = members[0]
+                for m in members[1:]:
+                    out.append((rep, m, 1.0))
+        rep_ids = ids[first]
+        o = np.argsort(rep_ids)
+        _rep_pairs(rep_ids[o], uniq[o], band, 0, out)
+        if not out:
+            return _EMPTY_PAIRS
+        arr = np.array(out, dtype=object)
+        return pd.DataFrame(
+            {
+                "id_a": arr[:, 0].astype(np.int64),
+                "id_b": arr[:, 1].astype(np.int64),
+                "est_jaccard": arr[:, 2].astype(np.float64),
+            }
+        )
 
     # Per-group python over EVERY bucket is death by overhead (most buckets
     # hold one doc). Count bucket sizes with the vectorized aggregate path

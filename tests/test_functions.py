@@ -470,3 +470,40 @@ def test_curation_pipeline():
     # when ids differ in other columns downstream of exact dedup
     out2 = curate(ds, langs=("en",), min_tokens=5, near_dup=True).to_pandas()
     assert 0 in out2.doc_id.tolist()
+
+
+def test_minhash_identical_flood_star_not_clique():
+    # a boilerplate flood: N identical docs in one bucket must emit a STAR
+    # (N-1 pairs to the min id), never the O(N^2) clique
+    n = 3000
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(["the same boilerplate line repeated verbatim"] * n),
+        }
+    )
+    pairs = minhash_candidate_pairs(ray.data.from_arrow(t), sim_threshold=0.8).to_pandas()
+    assert len(pairs) == n - 1, len(pairs)
+    assert (pairs.id_a == 0).all()
+    assert sorted(pairs.id_b) == list(range(1, n))
+    assert (pairs.est_jaccard == 1.0).all()
+
+
+def test_minhash_pair_cap_resplit_keeps_connectivity():
+    # near-identical corpus forced through the re-split path (pair_cap=4):
+    # emission bounded, exact dups still found, and candidate set stays a
+    # subset of the uncapped run
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    texts = [base + f"tail{i % 7}" for i in range(40)] + [base + "tail0"]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)}
+    )
+    ds = ray.data.from_arrow(t)
+    capped = minhash_candidate_pairs(ds, sim_threshold=0.6, pair_cap=4).to_pandas()
+    full = minhash_candidate_pairs(ds, sim_threshold=0.6, pair_cap=1 << 30).to_pandas()
+    got_c = set(map(tuple, capped[["id_a", "id_b"]].to_numpy()))
+    got_f = set(map(tuple, full[["id_a", "id_b"]].to_numpy()))
+    assert (0, 40) in got_c  # identical docs (tail0) always connected
+    assert got_c <= got_f
+    # near-identical docs keep colliding through the split columns
+    assert len(got_c) >= 0.8 * len(got_f)
