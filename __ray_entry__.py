@@ -1174,6 +1174,22 @@ def q_buffer_mitre_area(sf_dir):
     return _select(with_area(b), ["zone_key", "area"])
 
 
+def q_buffer_array_area(sf_dir):
+    # per-ROW distance column (reference buffer(distance=array),
+    # tests/test_geom_methods.py:1349): mitre on rects stays exact
+    from geopandas_ray.pipelines.datasets import zone_dataset
+    from geopandas_ray.stages.ops import with_area
+    from geopandas_ray.stages.ops2 import buffer
+
+    def add_d(b):
+        k = np.asarray(b.column("zone_key"), dtype=np.int64)
+        return b.append_column("bufd", pa.array((k % 5 + 1).astype(np.float64)))
+
+    ds = zone_dataset(sf_dir).map_batches(add_d, batch_format="pyarrow")
+    b = buffer(ds, "bufd", join_style="mitre")
+    return _select(with_area(b), ["zone_key", "area"])
+
+
 def q_buffer_erode_area(sf_dir):
     # negative (round) buffer erodes rect zones exactly: (w-2d)(h-2d)
     from geopandas_ray.pipelines.datasets import zone_dataset
@@ -2154,6 +2170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geom_equals_join": q_geom_equals_join,
         "intersection_all_box": q_intersection_all_box,
         "buffer_mitre_area": q_buffer_mitre_area,
+        "buffer_array_area": q_buffer_array_area,
         "buffer_erode_area": q_buffer_erode_area,
         "sjoin_nearest_rect": q_sjoin_nearest_rect,
         "covered_by_join": q_covered_by_join,
@@ -2658,6 +2675,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "buffer_erode_area": (
             f"{W} SELECT zone_key, CAST((zmaxx-zminx-10)*(zmaxy-zminy-10) AS DOUBLE) AS area FROM zones"
+        ),
+        "buffer_array_area": (
+            f"{W} SELECT zone_key, CAST((zmaxx-zminx+2*((zone_key%5)+1))"
+            "*(zmaxy-zminy+2*((zone_key%5)+1)) AS DOUBLE) AS area FROM zones"
         ),
         "sjoin_nearest_rect": (
             f"{W}, d AS (SELECT z.zone_key, p.doc_id, "

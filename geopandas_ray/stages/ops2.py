@@ -415,8 +415,13 @@ def _convex_round_offset(ring: np.ndarray, d: float, quad_segs: int) -> np.ndarr
     return np.vstack([ringo, ringo[:1]])
 
 
-def buffer(ds, distance: float, quad_segs: int = 16, join_style: str = "round", geometry="geometry"):
+def buffer(ds, distance, quad_segs: int = 16, join_style: str = "round", geometry="geometry"):
     """base.py:4806 buffer for point / line / polygon rows.
+
+    ``distance``: a scalar, or a COLUMN NAME for per-row distances
+    (reference accepts an array aligned to the rows -
+    tests/test_geom_methods.py:1349; here per-row data rides the batch as
+    a column, the distributed analog of an aligned array).
 
     round (default): Minkowski union of per-segment capsules (+ the polygon
     itself), merged by the slab-sweep boolean kernel (geom/booleans.py) -
@@ -430,7 +435,7 @@ def buffer(ds, distance: float, quad_segs: int = 16, join_style: str = "round", 
 
     empty = struct.pack("<BII", 1, 3, 0)
 
-    def row_buffer(g, i) -> bytes | None:
+    def row_buffer(g, i, distance) -> bytes | None:
         if g.row_types[i] == 0:
             return None
         if g.is_empty[i]:
@@ -491,7 +496,11 @@ def buffer(ds, distance: float, quad_segs: int = 16, join_style: str = "round", 
 
     def f(b: pa.Table) -> pa.Table:
         g = from_wkb(b.column(geometry))
-        vals = [row_buffer(g, i) for i in range(len(g))]
+        if isinstance(distance, str):
+            dv = np.asarray(b.column(distance).to_numpy(zero_copy_only=False), dtype=np.float64)
+        else:
+            dv = np.full(len(g), float(distance))
+        vals = [row_buffer(g, i, dv[i]) for i in range(len(g))]
         idx = b.column_names.index(geometry)
         return b.set_column(idx, geometry, pa.array(vals, type=pa.large_binary()))
 

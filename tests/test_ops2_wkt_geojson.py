@@ -609,3 +609,28 @@ def test_is_simple_exact_noding():
     )
     out = with_ring_flags(ds).to_pandas().sort_values("id")
     assert out.is_simple.tolist() == [e for _, e in cases]
+
+
+def test_buffer_distance_column():
+    # per-row distance via a column name (reference accepts an aligned
+    # array — tests/test_geom_methods.py:1349); mitre on rects is exact
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from geopandas_ray.geom import kernels as K
+    from geopandas_ray.geom import wkb as W
+    from geopandas_ray.stages.ops2 import buffer
+
+    t = pa.table(
+        {
+            "id": pa.array([0, 1, 2]),
+            "d": pa.array([1.0, 2.0, 3.0]),
+            "geometry": W.boxes_to_wkb(
+                [0.0, 100.0, 200.0], [0.0, 100.0, 200.0], [10.0, 120.0, 230.0], [10.0, 110.0, 240.0]
+            ),
+        }
+    )
+    out = buffer(ray.data.from_arrow(t), "d", join_style="mitre").to_pandas()
+    out = out.sort_values("id")
+    areas = K.area(W.from_wkb(out.geometry.tolist()))
+    assert np.allclose(areas, [(10 + 2) * (10 + 2), (20 + 4) * (10 + 4), (30 + 6) * (40 + 6)])
