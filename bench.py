@@ -328,6 +328,23 @@ def run_bench() -> dict:
 
     timed("overlay_concave", run_overlay_concave, reps=2)
 
+    def run_overlay_shuffle_concave():
+        # SAME input through the cell-partitioned plan (no df2 broadcast):
+        # the 100x-scale path for two large layers
+        from geopandas_ray.pipelines.datasets import supplier_l_table, zone_l_dataset
+        from geopandas_ray.stages.overlay import overlay_shuffle
+
+        return overlay_shuffle(
+            zone_l_dataset(SF_DIR),
+            ray.data.from_arrow(supplier_l_table(SF_DIR)),
+            "intersection",
+            left_id="zone_key",
+            right_id="s_key",
+            res=5,
+        ).count()
+
+    timed("overlay_shuffle_concave", run_overlay_shuffle_concave, reps=2)
+
     def run_polyfill():
         # exact polygon polyfill (res-6 cells, vectorized rect kernel) +
         # per-zone covering minimization (hash-partitioned compact)
