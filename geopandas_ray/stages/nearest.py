@@ -19,9 +19,12 @@ point-to-geometry for point left rows and exact GEOMETRY-to-geometry
 internally. Rows beyond the right layer's bbox diagonal fall back to a full
 scan so unbounded nearest always returns a match.
 
-Scale path for two large sides: cell-partitioned ring expansion - the same
-actor logic per cell group with neighbor-cell replication; not yet wired
-(the broadcast path covers catalogs up to O(10M) rows comfortably).
+Scale path for two large sides: sjoin_nearest_shuffle - bounded
+(max_distance) via one cell-partition shuffle with dilated replication,
+unbounded (max_distance=None) via iterative COARSENING ring expansion
+(grid res drops one level per round; a left row accepts its per-cell best
+only when it is <= the cell extent, which proves no absent right can beat
+it). Both paths are hash-oracled against DuckDB.
 """
 
 from __future__ import annotations
@@ -360,7 +363,7 @@ def sjoin_nearest(
 def sjoin_nearest_shuffle(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
-    max_distance: float,
+    max_distance: float | None = None,
     res: int = 6,
     domain=None,
     geometry: str = "geometry",
@@ -369,19 +372,25 @@ def sjoin_nearest_shuffle(
     right_id: str = "zone_key",
     distance_col: str | None = None,
 ) -> "ray.data.Dataset":
-    """Cell-partitioned nearest join for two LARGE sides, bounded by
-    ``max_distance`` (required - it is what makes the problem local).
+    """Cell-partitioned nearest join for two LARGE sides.
 
-    Plan: left rows key to their cell at ``res``; right rows replicate to
-    every cell their max_distance-dilated bbox covers. One groupby(cell)
-    shuffle; per cell, exact nearest among the replicated candidates. A
-    left row's true nearest within max_distance is guaranteed to be among
-    its cell's candidates because any right geometry within max_distance of
-    the point dilates into that cell. Ties all returned (return_all).
+    Bounded plan (``max_distance`` set): left rows key to their cell at
+    ``res``; right rows replicate to every cell their max_distance-dilated
+    bbox covers. One groupby(cell) shuffle; per cell, exact nearest among
+    the replicated candidates. A left row's true nearest within
+    max_distance is guaranteed to be among its cell's candidates because
+    any right geometry within max_distance of the point dilates into that
+    cell. Ties all returned (return_all).
 
-    Unbounded nearest at scale needs iterative ring expansion - use the
-    broadcast path when one side fits in the object store, or pick a
-    generous max_distance.
+    Unbounded plan (``max_distance=None``, reference sindex.py:220
+    default): iterative COARSENING ring expansion. Round k uses grid
+    resolution res-k with rights dilated by one cell extent; a left row
+    ACCEPTS its per-cell best when best <= cell extent (any right absent
+    from the cell is provably farther: its dilated bbox missed the whole
+    cell), otherwise it carries to the next, 2x-coarser round. The last
+    round (res 0, one cell) is a full candidate set, so every left row
+    resolves; isolated points cost O(log) rounds, each a groupby over the
+    (shrinking) unresolved set - never a broadcast of either side.
     """
     import numpy as np
     import pyarrow as pa
@@ -390,6 +399,12 @@ def sjoin_nearest_shuffle(
 
     domain = domain or DEFAULT_DOMAIN
     right_geometry = right_geometry or geometry
+    if max_distance is None:
+        return _nearest_shuffle_unbounded(
+            left, right, res=res, domain=domain, geometry=geometry,
+            right_geometry=right_geometry, left_id=left_id, right_id=right_id,
+            distance_col=distance_col,
+        )
     d = float(max_distance)
     # id columns keep their ORIGINAL arrow types (r1 cast to int64 broke
     # string doc_ids); nulls for the other side use the matching type
@@ -533,3 +548,210 @@ def sjoin_nearest_shuffle(
             batch_format="pyarrow",
         )
     return out
+
+
+def _nearest_shuffle_unbounded(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    res: int,
+    domain,
+    geometry: str,
+    right_geometry: str,
+    left_id: str,
+    right_id: str,
+    distance_col: str | None,
+) -> "ray.data.Dataset":
+    """Unbounded two-large-sides nearest: coarsening ring expansion
+    (see sjoin_nearest_shuffle docstring). Left rows must be points (the
+    shuffle path's contract); rights are arbitrary geometries."""
+    from ..grid import cell_id, cells_for_bbox
+    from ..util import default_shuffle_partitions
+
+    ltype = dict(zip(left.schema().names, left.schema().types))[left_id]
+    rtype = dict(zip(right.schema().names, right.schema().types))[right_id]
+    x0, y0, x1, y1 = domain
+    nparts = default_shuffle_partitions()
+
+    def slim_left(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        bb = K.bounds(g)
+        valid = ~np.isnan(bb).any(axis=1)
+        return pa.table(
+            {
+                "__lid": b.column(left_id),
+                "__lx": pa.array(np.where(valid, (bb[:, 0] + bb[:, 2]) * 0.5, np.nan)),
+                "__ly": pa.array(np.where(valid, (bb[:, 1] + bb[:, 3]) * 0.5, np.nan)),
+            }
+        ).filter(pa.array(valid))
+
+    unresolved = left.map_batches(slim_left, batch_format="pyarrow").materialize()
+    rounds: list[ray.data.Dataset] = []
+    for rr in range(res, -1, -1):
+        n_cells = 1 << rr
+        csize = min((x1 - x0) / n_cells, (y1 - y0) / n_cells)
+        final_round = rr == 0
+
+        def key_left(b: pa.Table, _rr=rr) -> pa.Table:
+            lx = np.asarray(b.column("__lx"), dtype=np.float64)
+            ly = np.asarray(b.column("__ly"), dtype=np.float64)
+            cells = cell_id(lx, ly, _rr, domain).astype(np.int64)
+            return pa.table(
+                {
+                    "cell": pa.array(cells),
+                    "__side": pa.array(np.zeros(len(b), dtype=np.int8)),
+                    "__lid": b.column("__lid"),
+                    "__lx": b.column("__lx"),
+                    "__ly": b.column("__ly"),
+                    "__rid": pa.nulls(len(b), rtype),
+                    "__geom": pa.nulls(len(b), pa.large_binary()),
+                }
+            )
+
+        def key_right(b: pa.Table, _rr=rr, _d=csize) -> pa.Table:
+            g = from_wkb(b.column(right_geometry))
+            bb = K.bounds(g)
+            valid = ~np.isnan(bb).any(axis=1)
+            row_idx, cells = cells_for_bbox(
+                np.where(valid, bb[:, 0] - _d, 0.0),
+                np.where(valid, bb[:, 1] - _d, 0.0),
+                np.where(valid, bb[:, 2] + _d, 0.0),
+                np.where(valid, bb[:, 3] + _d, 0.0),
+                _rr,
+                domain,
+            )
+            keep = valid[row_idx]
+            row_idx, cells = row_idx[keep], cells[keep]
+            taken = b.take(pa.array(row_idx))
+            n = len(row_idx)
+            return pa.table(
+                {
+                    "cell": pa.array(cells.astype(np.int64)),
+                    "__side": pa.array(np.ones(n, dtype=np.int8)),
+                    "__lid": pa.nulls(n, ltype),
+                    "__lx": pa.nulls(n, pa.float64()),
+                    "__ly": pa.nulls(n, pa.float64()),
+                    "__rid": taken.column(right_id),
+                    "__geom": taken.column(right_geometry).cast(pa.large_binary()),
+                }
+            )
+
+        def per_cell(b: pa.Table, _csize=csize, _final=final_round) -> pa.Table:
+            """Emit accepted pairs (rid set) and carried lefts (rid null)."""
+            side = np.asarray(b.column("__side"))
+            lmask = side == 0
+            lt = b.filter(pa.array(lmask))
+            if len(lt) == 0:
+                return _empty_round(ltype, rtype)
+            rt = b.filter(pa.array(~lmask))
+            px = np.asarray(lt.column("__lx"), dtype=np.float64)
+            py = np.asarray(lt.column("__ly"), dtype=np.float64)
+            if len(rt) == 0:
+                if _final:
+                    return _empty_round(ltype, rtype)  # no rights at all
+                return pa.table(
+                    {
+                        "__lid": lt.column("__lid"),
+                        "__lx": lt.column("__lx"),
+                        "__ly": lt.column("__ly"),
+                        "__rid": pa.nulls(len(lt), rtype),
+                        "__dist": pa.nulls(len(lt), pa.float64()),
+                    }
+                )
+            rg = from_wkb(rt.column("__geom"))
+            best = np.full(len(px), np.inf)
+            for j in range(len(rt)):
+                d2 = K.points_to_geom_sqdist(rg, j, px, py)
+                np.minimum(best, d2, out=best)
+            accept = best <= _csize * _csize
+            if _final:
+                accept = np.ones(len(px), dtype=bool) & np.isfinite(best)
+            pair_li, pair_rj = [], []
+            for j in range(len(rt)):
+                d2 = K.points_to_geom_sqdist(rg, j, px, py)
+                hit = accept & (d2 == best)
+                if hit.any():
+                    idx = np.nonzero(hit)[0]
+                    pair_li.append(idx)
+                    pair_rj.append(np.full(len(idx), j, dtype=np.int64))
+            parts = []
+            if pair_li:
+                li = np.concatenate(pair_li)
+                rj = np.concatenate(pair_rj)
+                parts.append(
+                    pa.table(
+                        {
+                            "__lid": lt.column("__lid").take(pa.array(li, type=pa.int64())),
+                            "__lx": pa.nulls(len(li), pa.float64()),
+                            "__ly": pa.nulls(len(li), pa.float64()),
+                            "__rid": rt.column("__rid").take(pa.array(rj, type=pa.int64())),
+                            "__dist": pa.array(np.sqrt(best[li])),
+                        }
+                    )
+                )
+            carry = ~accept
+            if carry.any():
+                ct = lt.filter(pa.array(carry))
+                parts.append(
+                    pa.table(
+                        {
+                            "__lid": ct.column("__lid"),
+                            "__lx": ct.column("__lx"),
+                            "__ly": ct.column("__ly"),
+                            "__rid": pa.nulls(len(ct), rtype),
+                            "__dist": pa.nulls(len(ct), pa.float64()),
+                        }
+                    )
+                )
+            if not parts:
+                return _empty_round(ltype, rtype)
+            return pa.concat_tables(parts)
+
+        lkeyed = unresolved.map_batches(key_left, batch_format="pyarrow")
+        rkeyed = right.map_batches(key_right, batch_format="pyarrow")
+        round_out = (
+            lkeyed.union(rkeyed)
+            .repartition(nparts)
+            .groupby("cell")
+            .map_groups(per_cell, batch_format="pyarrow")
+            .materialize()
+        )
+        import pyarrow.compute as pc
+
+        pairs = round_out.map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("__rid"))), batch_format="pyarrow"
+        )
+        rounds.append(pairs)
+        unresolved = (
+            round_out.map_batches(
+                lambda t: t.filter(pc.is_null(t.column("__rid"))).drop_columns(
+                    ["__rid", "__dist"]
+                ),
+                batch_format="pyarrow",
+            )
+        ).materialize()
+        if unresolved.count() == 0:
+            break
+
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.union(r)
+
+    def finish(b: pa.Table) -> pa.Table:
+        cols = {left_id: b.column("__lid"), right_id: b.column("__rid")}
+        if distance_col is not None:
+            cols[distance_col] = b.column("__dist")
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _empty_round(ltype, rtype) -> pa.Table:
+    return pa.table(
+        {
+            "__lid": pa.nulls(0, ltype),
+            "__lx": pa.nulls(0, pa.float64()),
+            "__ly": pa.nulls(0, pa.float64()),
+            "__rid": pa.nulls(0, rtype),
+            "__dist": pa.nulls(0, pa.float64()),
+        }
+    )

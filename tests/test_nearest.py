@@ -211,3 +211,73 @@ def test_shuffle_nearest_string_ids():
     ).to_pandas()
     assert sorted(zip(j.doc, j.zone)) == [("a", "z1"), ("b", "z2")]
     assert sorted(j.d) == [2.0, 10.0]
+
+
+def test_shuffle_nearest_unbounded_matches_brute(rng):
+    # max_distance=None -> coarsening ring expansion; sparse far-apart
+    # rights force several rounds (many cells have no candidate in round 0)
+    from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+    n, m = 400, 7
+    px = rng.uniform(0, 1020, n)
+    py = rng.uniform(0, 1020, n)
+    qx = np.array([10.0, 1000.0, 500.0, 10.0, 1000.0, 250.0, 750.0])
+    qy = np.array([10.0, 1000.0, 500.0, 1000.0, 10.0, 760.0, 240.0])
+    left = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n)), "geometry": W.points_to_wkb(px, py)})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"zone_key": pa.array(np.arange(m)), "geometry": W.points_to_wkb(qx, qy)})
+    )
+    got = sjoin_nearest_shuffle(left, right, max_distance=None, res=5, distance_col="d").to_pandas()
+    d2 = (px[:, None] - qx[None, :]) ** 2 + (py[:, None] - qy[None, :]) ** 2
+    best = d2.min(axis=1)
+    expect = {(i, int(d2[i].argmin())) for i in range(n)}
+    assert set(zip(got.doc_id, got.zone_key)) == expect
+    assert len(got) == n  # unique nearest per left here
+    assert np.allclose(np.sort(got.d.to_numpy()), np.sort(np.sqrt(best)))
+
+
+def test_shuffle_nearest_unbounded_cell_boundary_property(rng):
+    # points hugging cell boundaries with the nearest right JUST outside
+    # their own cell: the acceptance rule (best <= cell extent) must not
+    # accept a wrong local candidate
+    from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+    res = 4
+    cs = 1024.0 / (1 << res)  # 64
+    # left points at cell corners +- epsilon
+    base = np.arange(1, 15, dtype=np.float64) * cs
+    px = np.concatenate([base - 0.25, base + 0.25])
+    py = np.full(len(px), 7 * cs + 0.25)
+    # rights: a grid offset so the nearest is often across a boundary
+    qx = np.arange(0, 17, dtype=np.float64) * cs + cs / 2
+    qy = np.full(len(qx), 7 * cs - 0.5)
+    left = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(len(px))), "geometry": W.points_to_wkb(px, py)})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"zone_key": pa.array(np.arange(len(qx))), "geometry": W.points_to_wkb(qx, qy)})
+    )
+    got = sjoin_nearest_shuffle(left, right, max_distance=None, res=res).to_pandas()
+    d2 = (px[:, None] - qx[None, :]) ** 2 + (py[:, None] - qy[None, :]) ** 2
+    expect = {(i, int(d2[i].argmin())) for i in range(len(px))}
+    assert set(zip(got.doc_id, got.zone_key)) == expect
+
+
+def test_shuffle_nearest_unbounded_ties():
+    from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+    left = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], type=pa.int64()), "geometry": W.points_to_wkb([512.0], [512.0])})
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "zone_key": pa.array([1, 2, 3], type=pa.int64()),
+                "geometry": W.points_to_wkb([12.0, 1012.0, 512.0], [512.0, 512.0, 12.0]),
+            }
+        )
+    )
+    got = sjoin_nearest_shuffle(left, right, max_distance=None, res=5).to_pandas()
+    assert sorted(got.zone_key) == [1, 2, 3]  # all exactly 500 away
