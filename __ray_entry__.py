@@ -186,6 +186,33 @@ def q_sjoin_nearest_shuffle(sf_dir):
     return _select(j, ["doc_id", "zone_key"])
 
 
+def q_sjoin_nearest_shuffle_unbounded(sf_dir):
+    # max_distance=None: the coarsening ring-expansion path (reference
+    # sindex.py:220 unbounded default) - every doc point resolves
+    import ray.data
+
+    from geopandas_ray.geom.kernels import bounds as kb
+    from geopandas_ray.geom.wkb import from_wkb, points_to_wkb
+    from geopandas_ray.pipelines.datasets import DOMAIN, doc_points, zone_table
+    from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+    zt = zone_table(sf_dir)
+    zb = kb(from_wkb(zt.column("geometry")))
+    cents = ray.data.from_arrow(
+        pa.table(
+            {
+                "zone_key": zt.column("zone_key"),
+                "geometry": points_to_wkb((zb[:, 0] + zb[:, 2]) / 2.0, (zb[:, 1] + zb[:, 3]) / 2.0),
+            }
+        )
+    )
+    j = sjoin_nearest_shuffle(
+        doc_points(sf_dir), cents, max_distance=None, res=5, domain=DOMAIN,
+        left_id="doc_id", right_id="zone_key",
+    )
+    return _select(j, ["doc_id", "zone_key"])
+
+
 def q_clip_rect(sf_dir):
     from geopandas_ray.pipelines.datasets import doc_points
     from geopandas_ray.stages.clip import clip_rect
@@ -1224,6 +1251,27 @@ def q_overlay_concave(sf_dir):
     return _select(o, ["zone_key", "s_key", "inter_area"])
 
 
+def q_overlay_shuffle_concave(sf_dir):
+    # SAME concave L x L overlay through the CELL-PARTITIONED plan (no df2
+    # broadcast: both layers shuffle by covering cell, pairs dedup by the
+    # reference-point rule) - must hash-match the broadcast path's oracle
+    from geopandas_ray.pipelines.datasets import supplier_l_table, zone_l_dataset
+    from geopandas_ray.stages.overlay import overlay_shuffle
+    from geopandas_ray.stages.ops import with_area
+    import ray.data as _rd
+
+    o = overlay_shuffle(
+        zone_l_dataset(sf_dir),
+        _rd.from_arrow(supplier_l_table(sf_dir)),
+        "intersection",
+        left_id="zone_key",
+        right_id="s_key",
+        res=5,
+    )
+    o = with_area(o, out="inter_area")
+    return _select(o, ["zone_key", "s_key", "inter_area"])
+
+
 def q_clip_concave_mask(sf_dir):
     # clip points by a single concave L mask at half-integer coords (no
     # boundary-ambiguous lattice points)
@@ -2102,6 +2150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sjoin_on_attr": q_sjoin_on_attr,
         "sjoin_nearest": q_sjoin_nearest,
         "sjoin_nearest_shuffle": q_sjoin_nearest_shuffle,
+        "sjoin_nearest_shuffle_unbounded": q_sjoin_nearest_shuffle_unbounded,
         "clip_rect": q_clip_rect,
         "tile_assign": q_tile_assign,
         "tile_assign_zones": q_tile_assign_zones,
@@ -2206,6 +2255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_clearance": q_min_clearance,
         "dissolve_minmax": q_dissolve_minmax,
         "overlay_concave": q_overlay_concave,
+        "overlay_shuffle_concave": q_overlay_shuffle_concave,
         "clip_concave_mask": q_clip_concave_mask,
         "make_valid_area": q_make_valid_area,
     }
@@ -2292,6 +2342,13 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT p.doc_id, c.zone_key, (p.px-c.cx)*(p.px-c.cx)+(p.py-c.cy)*(p.py-c.cy) AS d2 "
             "FROM pts p CROSS JOIN cents c) "
             "SELECT doc_id, zone_key FROM d WHERE d2 <= 10000.0 "
+            "QUALIFY d2 = MIN(d2) OVER (PARTITION BY doc_id)"
+        ),
+        "sjoin_nearest_shuffle_unbounded": (
+            f"{W}, cents AS (SELECT zone_key, (zminx+zmaxx)/2.0 AS cx, (zminy+zmaxy)/2.0 AS cy FROM zones), "
+            "d AS (SELECT p.doc_id, c.zone_key, (p.px-c.cx)*(p.px-c.cx)+(p.py-c.cy)*(p.py-c.cy) AS d2 "
+            "FROM pts p CROSS JOIN cents c) "
+            "SELECT doc_id, zone_key FROM d "
             "QUALIFY d2 = MIN(d2) OVER (PARTITION BY doc_id)"
         ),
         "clip_rect": (
@@ -2688,6 +2745,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT zone_key, doc_id FROM d QUALIFY d2 = MIN(d2) OVER (PARTITION BY zone_key)"
         ),
         "overlay_concave": (
+            f"{WL} SELECT z.zone_key, s.s_key, CAST({L_IE} AS DOUBLE) AS inter_area "
+            f"FROM lzones z JOIN lzones2 s ON {L_IE} > 0"
+        ),
+        "overlay_shuffle_concave": (
             f"{WL} SELECT z.zone_key, s.s_key, CAST({L_IE} AS DOUBLE) AS inter_area "
             f"FROM lzones z JOIN lzones2 s ON {L_IE} > 0"
         ),
