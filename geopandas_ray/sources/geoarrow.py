@@ -1,6 +1,8 @@
 """GeoArrow native encodings <-> WKB (reference io/_geoarrow.py:13-149,
 GEOARROW_ENCODINGS = point/linestring/polygon/multipoint/multilinestring/
-multipolygon; interleaved-xy variant).
+multipolygon; interleaved AND separated coordinate variants; xyz inputs
+accepted on decode with Z dropped - the engine is planar, matching
+from_wkb's documented Z-drop).
 
 The CSR ``Geoms`` batch IS GeoArrow's memory layout — coords buffer +
 nested offsets — so encoding is offset re-slicing, not per-row work:
@@ -50,9 +52,21 @@ _SINGLE = {
 _MEMBER = {MULTIPOINT: POINT, MULTILINESTRING: LINESTRING, MULTIPOLYGON: POLYGON}
 
 
-def _coords_array(g: Geoms) -> pa.FixedSizeListArray:
-    flat = pa.array(np.ascontiguousarray(g.coords).ravel(), type=pa.float64())
-    return pa.FixedSizeListArray.from_arrays(flat, 2)
+def _coords_array(g: Geoms, interleaved: bool = True) -> pa.Array:
+    """Coordinate child array: interleaved FixedSizeList<double>[2] or the
+    SEPARATED struct<x,y> variant (reference io/_geoarrow.py:71-149 covers
+    both; the engine is planar so xy only — xyz inputs are accepted on
+    decode with Z dropped, matching from_wkb's documented Z-drop)."""
+    if interleaved:
+        flat = pa.array(np.ascontiguousarray(g.coords).ravel(), type=pa.float64())
+        return pa.FixedSizeListArray.from_arrays(flat, 2)
+    return pa.StructArray.from_arrays(
+        [
+            pa.array(np.ascontiguousarray(g.coords[:, 0]), type=pa.float64()),
+            pa.array(np.ascontiguousarray(g.coords[:, 1]), type=pa.float64()),
+        ],
+        ["x", "y"],
+    )
 
 
 def _offsets(arr: np.ndarray) -> pa.Array:
@@ -71,9 +85,11 @@ def encoding_of(g: Geoms) -> str:
     )
 
 
-def geoms_to_geoarrow(g: Geoms, encoding: str | None = None) -> pa.Array:
+def geoms_to_geoarrow(
+    g: Geoms, encoding: str | None = None, interleaved: bool = True
+) -> pa.Array:
     enc = encoding or encoding_of(g)
-    coords = _coords_array(g)
+    coords = _coords_array(g, interleaved=interleaved)
     null_mask = pa.array(g.is_missing)
     # per-level offset chains straight off the CSR
     row_part = g.row_offsets
@@ -112,15 +128,29 @@ def geoms_to_geoarrow(g: Geoms, encoding: str | None = None) -> pa.Array:
     return arr
 
 
+def _coords_of(carr: pa.Array) -> np.ndarray:
+    """(n, 2) xy from any GeoArrow coord layout: interleaved
+    FixedSizeList[2] or [3] (xyz: Z dropped, planar engine) or the
+    separated struct<x,y[,z]> variant."""
+    if isinstance(carr, pa.ChunkedArray):
+        carr = carr.combine_chunks()
+    if pa.types.is_struct(carr.type):
+        x = carr.field("x").to_numpy(zero_copy_only=False).astype(np.float64)
+        y = carr.field("y").to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.column_stack([x, y]) if len(x) else np.empty((0, 2))
+    w = carr.type.list_size
+    flat = np.asarray(carr.values, dtype=np.float64)
+    off = carr.offset * w
+    c = flat[off : off + len(carr) * w].reshape(-1, w)
+    return np.ascontiguousarray(c[:, :2])
+
+
 def geoarrow_to_geoms(arr: pa.Array, encoding: str) -> Geoms:
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     n = len(arr)
     valid = np.asarray(pa.compute.is_valid(arr))
 
-    def coords_of(fsl: pa.FixedSizeListArray) -> np.ndarray:
-        flat = np.asarray(fsl.values, dtype=np.float64)
-        off = fsl.offset * 2
-        return flat[off : off + len(fsl) * 2].reshape(-1, 2)
+    coords_of = _coords_of
 
     code = _SINGLE[encoding]
     if encoding == "point":
@@ -204,15 +234,21 @@ def _null_to_empty(g: Geoms, valid: np.ndarray) -> Geoms:
 
 
 def to_geoarrow(
-    ds: ray.data.Dataset, encoding: str | None = None, geometry: str = "geometry"
+    ds: ray.data.Dataset,
+    encoding: str | None = None,
+    geometry: str = "geometry",
+    interleaved: bool = True,
 ) -> ray.data.Dataset:
     """WKB column -> GeoArrow native nested-list column (same name), with
-    the ARROW:extension:name metadata the spec prescribes."""
+    the ARROW:extension:name metadata the spec prescribes.
+
+    ``interleaved=False`` emits the SEPARATED struct<x,y> coordinate
+    variant (io/_geoarrow.py interleaved param)."""
 
     def f(b: pa.Table) -> pa.Table:
         g = from_wkb(b.column(geometry))
         enc = encoding or encoding_of(g)
-        arr = geoms_to_geoarrow(g, enc)
+        arr = geoms_to_geoarrow(g, enc, interleaved=interleaved)
         idx = b.column_names.index(geometry)
         b2 = b.set_column(idx, geometry, arr)
         field = b2.schema.field(geometry).with_metadata(

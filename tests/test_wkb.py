@@ -153,3 +153,95 @@ def test_geoarrow_dataset_stage():
     assert "fixed_size_list" in str(sch.types[sch.names.index("geometry")])
     back = from_geoarrow(ga, "point").to_pandas().sort_values("id")
     assert back.geometry.tolist() == t.column("geometry").to_pylist()
+
+
+def test_geoarrow_separated_and_xyz():
+    """Separated struct<x,y> roundtrips for every encoding; xyz inputs
+    (interleaved fsl[3] and struct<x,y,z>) decode with Z dropped."""
+    import numpy as np
+    import pyarrow as pa
+    from geopandas_ray.geom import wkb as W
+    from geopandas_ray.geom.wkb import from_wkb, to_wkb
+    from geopandas_ray.sources.geoarrow import (
+        geoarrow_to_geoms,
+        geoms_to_geoarrow,
+    )
+    from geopandas_ray.stages.clip import _parts_to_wkb
+
+    def ring(*xy):
+        return np.array(list(xy) + [xy[0]], dtype=float)
+
+    cases = {
+        "point": [W.points_to_wkb([1.0], [3.0])[0].as_py(), None],
+        "linestring": [
+            _parts_to_wkb([(W.LINESTRING, [np.array([[0.0, 0], [1, 1], [2, 0]])])]),
+            None,
+        ],
+        "multipoint": [
+            _parts_to_wkb(
+                [(W.POINT, [np.array([[0.0, 0]])]), (W.POINT, [np.array([[5.0, 5]])])]
+            )
+        ],
+        "polygon": [
+            _parts_to_wkb(
+                [(W.POLYGON, [ring((0, 0), (10, 0), (10, 10), (0, 10)), ring((2, 2), (4, 2), (4, 4), (2, 4))])]
+            )
+        ],
+        "multilinestring": [
+            _parts_to_wkb(
+                [
+                    (W.LINESTRING, [np.array([[0.0, 0], [1, 0]])]),
+                    (W.LINESTRING, [np.array([[2.0, 2], [3, 3]])]),
+                ]
+            )
+        ],
+        "multipolygon": [
+            _parts_to_wkb(
+                [
+                    (W.POLYGON, [ring((0, 0), (1, 0), (1, 1), (0, 1))]),
+                    (W.POLYGON, [ring((5, 5), (6, 5), (6, 6), (5, 6))]),
+                ]
+            )
+        ],
+    }
+    for enc, wkbs in cases.items():
+        g = from_wkb(pa.array(wkbs, type=pa.large_binary()))
+        # separated roundtrip
+        arr = geoms_to_geoarrow(g, enc, interleaved=False)
+        # child coord layout really is the struct variant
+        t = arr.type
+        while pa.types.is_list(t):
+            t = t.value_type
+        assert pa.types.is_struct(t), enc
+        back = to_wkb(geoarrow_to_geoms(arr, enc))
+        for orig, got in zip(wkbs, back):
+            assert (orig is None and not got.is_valid) or got.as_py() == orig, enc
+
+    # xyz interleaved: fsl[3] point decodes to the 2-D point
+    xyz = pa.FixedSizeListArray.from_arrays(
+        pa.array([1.0, 3.0, 9.0, 2.0, 4.0, 8.0]), 3
+    )
+    g = geoarrow_to_geoms(xyz, "point")
+    assert to_wkb(g).to_pylist() == W.points_to_wkb([1.0, 2.0], [3.0, 4.0]).to_pylist()
+    # xyz separated: struct<x,y,z> decodes the same (z ignored)
+    sxyz = pa.StructArray.from_arrays(
+        [pa.array([1.0, 2.0]), pa.array([3.0, 4.0]), pa.array([9.0, 8.0])],
+        ["x", "y", "z"],
+    )
+    g2 = geoarrow_to_geoms(sxyz, "point")
+    assert to_wkb(g2).to_pylist() == W.points_to_wkb([1.0, 2.0], [3.0, 4.0]).to_pylist()
+    # xyz nested: multipolygon with fsl[3] coords
+    mp = cases["multipolygon"][0]
+    gmp = from_wkb(pa.array([mp], type=pa.large_binary()))
+    arr2 = geoms_to_geoarrow(gmp, "multipolygon")
+    flat = arr2.flatten().flatten().flatten()
+    n = len(flat)
+    xy = np.asarray(flat.values, dtype=np.float64).reshape(-1, 2)
+    flat3 = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.column_stack([xy, np.full(len(xy), 7.0)]).ravel()), 3
+    )
+    rings3 = pa.ListArray.from_arrays(arr2.flatten().flatten().offsets, flat3)
+    polys3 = pa.ListArray.from_arrays(arr2.flatten().offsets, rings3)
+    arr3 = pa.ListArray.from_arrays(arr2.offsets, polys3)
+    back3 = to_wkb(geoarrow_to_geoms(arr3, "multipolygon")).to_pylist()
+    assert back3 == [mp]
