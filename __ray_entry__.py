@@ -1027,6 +1027,54 @@ def q_knn_lsh_recall(sf_dir):
     )
 
 
+def q_knn_ivf_recall(sf_dir):
+    # recall-vs-brute metric for the IVF path (same in-cluster join as
+    # q_knn_lsh_recall); list_cap forces the hot-list re-split so the
+    # metric covers the capped code path. Approximate -> rows-only.
+    import ray.data
+
+    from geopandas_ray.functions.knn import knn_brute, knn_ivf
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def tag(e, a):
+        def f(b: pa.Table) -> pa.Table:
+            n = len(b)
+            b = b.append_column("e", pa.array(np.full(n, e, dtype=np.int64)))
+            return b.append_column("a", pa.array(np.full(n, a, dtype=np.int64)))
+
+        return f
+
+    exact = _select(knn_brute(ds, ds, k=KNN_K), ["vec_id", "neighbor_id"]).map_batches(
+        tag(1, 0), batch_format="pyarrow"
+    )
+    approx = _select(
+        knn_ivf(ds, k=KNN_K, nprobe=6, list_cap=64), ["vec_id", "neighbor_id"]
+    ).map_batches(tag(0, 1), batch_format="pyarrow")
+    g = exact.union(approx).groupby(["vec_id", "neighbor_id"]).sum(["e", "a"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        e = np.asarray(b.column("sum(e)"), dtype=np.int64)
+        a = np.asarray(b.column("sum(a)"), dtype=np.int64)
+        return pa.table(
+            {
+                "total": pa.array([int((e >= 1).sum())], type=pa.int64()),
+                "matched": pa.array([int(((e >= 1) & (a >= 1)).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = g.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = int(parts["total"].sum())
+    matched = int(parts["matched"].sum())
+    return pa.table(
+        {
+            "k": pa.array([KNN_K], type=pa.int64()),
+            "total_pairs": pa.array([total], type=pa.int64()),
+            "matched_pairs": pa.array([matched], type=pa.int64()),
+            "recall": pa.array([matched / total if total else 0.0]),
+        }
+    )
+
+
 def q_embed_near_dup(sf_dir):
     import ray.data
 
@@ -2211,6 +2259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": q_knn_lsh,
         "knn_lsh_recall": q_knn_lsh_recall,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_recall": q_knn_ivf_recall,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,

@@ -326,6 +326,78 @@ def _chunked_self_topk(vs, ids, k, chunk=2048):
     return tuple(np.concatenate([o[j] for o in outs]) for j in range(4))
 
 
+def _list_rerank_recursive(qvs, qids, cvs, cids, k, chunk, cap, seed, depth=0):
+    """IVF per-list rerank with HOT-LIST re-split (VERDICT r2 #6): a
+    clustered corpus can put ~all vectors in a few inverted lists, and a
+    mega-list densifies a (chunk x |list|) sims matrix. Lists over ``cap``
+    members split by a hyperplane through the member centroid (consistent
+    with the LSH re-split: near neighbors keep landing together); queries
+    follow their side of the same plane. Returns a list of
+    (qid, nid, rank, cosine) tuple-arrays."""
+    if len(cids) == 0 or len(qids) == 0:
+        return []
+    if len(cids) <= cap or depth > 24:
+        return [_rerank_list_chunked(qvs, qids, cvs, cids, k, chunk)]
+    rng = np.random.RandomState((seed + depth * 7919) & 0x7FFFFFFF)
+    plane = rng.normal(size=cvs.shape[1])
+    center = cvs.mean(axis=0)
+    cproj = (cvs - center) @ plane
+    cside = cproj > 0
+    if cside.all() or not cside.any():  # degenerate split
+        return [_rerank_list_chunked(qvs, qids, cvs, cids, k, chunk)]
+    qproj = (qvs - center) @ plane
+    # margin multi-probe: a query near the plane could lose its true
+    # neighbors across it - queries within the 25th-percentile band search
+    # BOTH sides (bounded ~1.25x per level; dedup at the candidate merge)
+    m = float(np.quantile(np.abs(qproj), 0.25)) if len(qproj) else 0.0
+    pos = qproj > -m
+    neg = qproj <= m
+    out = _list_rerank_recursive(
+        qvs[pos], qids[pos], cvs[cside], cids[cside], k, chunk, cap, seed, depth + 1
+    )
+    out += _list_rerank_recursive(
+        qvs[neg], qids[neg], cvs[~cside], cids[~cside], k, chunk, cap, seed, depth + 1
+    )
+    return out
+
+
+def _rerank_list_chunked(qvs, qids, cvs, cids, k, chunk):
+    """Exact top-k of each query against the list members, chunked so the
+    sims matrix stays ~chunk x |list|; self-matches excluded."""
+    outs = []
+    kk = min(k, max(len(cids) - 1, 1))
+    for s in range(0, len(qids), chunk):
+        e = min(s + chunk, len(qids))
+        sims = qvs[s:e] @ cvs.T
+        sims[qids[s:e, None] == cids[None, :]] = -np.inf  # self
+        kc = min(kk, sims.shape[1])
+        part = np.argpartition(-sims, kth=kc - 1, axis=1)[:, :kc]
+        rowsel = np.arange(e - s)[:, None]
+        psims = sims[rowsel, part]
+        pids = cids[part]
+        o1 = np.argsort(pids, axis=1, kind="stable")
+        psims = psims[rowsel, o1]
+        pids = pids[rowsel, o1]
+        o2 = np.argsort(-psims, axis=1, kind="stable")
+        keep = np.isfinite(psims[rowsel, o2])
+        outs.append(
+            (
+                np.repeat(qids[s:e], kc)[keep.ravel()],
+                pids[rowsel, o2].ravel()[keep.ravel()],
+                np.tile(np.arange(1, kc + 1, dtype=np.int64), e - s)[keep.ravel()],
+                psims[rowsel, o2].ravel()[keep.ravel()],
+            )
+        )
+    if not outs:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float64),
+        )
+    return tuple(np.concatenate([o[j] for o in outs]) for j in range(4))
+
+
 def _bucket_topk_recursive(vs, ids, k, cap, seed, depth=0):
     """Oversized buckets re-split by an extra hyperplane (consistent with
     LSH semantics - near neighbors keep landing together) instead of
@@ -469,6 +541,7 @@ def knn_ivf(
     sample_size: int = 65_536,
     seed: int = 42,
     chunk: int = 2048,
+    list_cap: int = 8192,
     concurrency=None,
 ) -> ray.data.Dataset:
     """Approximate self-kNN via IVF (inverted-file) buckets - the second
@@ -479,6 +552,10 @@ def knn_ivf(
     list's members with the queries probing it; per-list rerank is a
     chunked matmul; a hash-partitioned vectorized pass merges per-query
     candidates. Approximate: recall grows with nprobe.
+
+    Lists over ``list_cap`` members re-split recursively by centroid
+    hyperplanes (a clustered corpus puts ~all vectors in a few lists; an
+    uncapped mega-list densifies a chunk x |list| sims matrix).
 
     ``id_col`` must be integer-valued (same constraint as knn_lsh)."""
     from ..util import default_shuffle_partitions
@@ -536,43 +613,20 @@ def knn_ivf(
     )
 
     def per_list(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {id_col: [], "neighbor_id": [], "rank": [], "cosine": []}
+        ).astype({id_col: np.int64, "neighbor_id": np.int64, "rank": np.int64, "cosine": np.float64})
         mem = df[df["is_member"]]
         if len(mem) < 1 or len(df) == 0:
-            return pd.DataFrame(
-                {id_col: [], "neighbor_id": [], "rank": [], "cosine": []}
-            ).astype({id_col: np.int64, "neighbor_id": np.int64, "rank": np.int64, "cosine": np.float64})
+            return empty
         cvs = np.stack(mem[vec_col].to_numpy()).astype(np.float64)
         cids = mem[id_col].to_numpy(np.int64)
         qvs = np.stack(df[vec_col].to_numpy()).astype(np.float64)
         qids = df[id_col].to_numpy(np.int64)
-        outs = []
-        kk = min(k, max(len(cids) - 1, 1))
-        for s in range(0, len(qids), chunk):
-            e = min(s + chunk, len(qids))
-            sims = qvs[s:e] @ cvs.T
-            sims[qids[s:e, None] == cids[None, :]] = -np.inf  # self
-            kc = min(kk, sims.shape[1])
-            part = np.argpartition(-sims, kth=kc - 1, axis=1)[:, :kc]
-            rowsel = np.arange(e - s)[:, None]
-            psims = sims[rowsel, part]
-            pids = cids[part]
-            o1 = np.argsort(pids, axis=1, kind="stable")
-            psims = psims[rowsel, o1]
-            pids = pids[rowsel, o1]
-            o2 = np.argsort(-psims, axis=1, kind="stable")
-            keep = np.isfinite(psims[rowsel, o2])
-            outs.append(
-                (
-                    np.repeat(qids[s:e], kc)[keep.ravel()],
-                    pids[rowsel, o2].ravel()[keep.ravel()],
-                    np.tile(np.arange(1, kc + 1, dtype=np.int64), e - s)[keep.ravel()],
-                    psims[rowsel, o2].ravel()[keep.ravel()],
-                )
-            )
+        outs = _list_rerank_recursive(qvs, qids, cvs, cids, k, chunk, list_cap, seed)
+        outs = [o for o in outs if len(o[0])]
         if not outs:
-            return pd.DataFrame(
-                {id_col: [], "neighbor_id": [], "rank": [], "cosine": []}
-            ).astype({id_col: np.int64, "neighbor_id": np.int64, "rank": np.int64, "cosine": np.float64})
+            return empty
         return pd.DataFrame(
             {
                 id_col: np.concatenate([o[0] for o in outs]),

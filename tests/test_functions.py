@@ -507,3 +507,35 @@ def test_minhash_pair_cap_resplit_keeps_connectivity():
     assert got_c <= got_f
     # near-identical docs keep colliding through the split columns
     assert len(got_c) >= 0.8 * len(got_f)
+
+
+def test_knn_ivf_hot_list_resplit(rng):
+    # a tightly clustered corpus: k-means collapses nearly everything into
+    # a couple of lists. With list_cap forcing the re-split path, recall
+    # vs brute must hold and output stays well-formed.
+    from geopandas_ray.functions.knn import knn_brute, knn_ivf
+
+    n, dim = 600, 12
+    base = rng.normal(size=dim)
+    vs = base[None, :] + 0.02 * rng.normal(size=(n, dim))  # one tight blob
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(vs.ravel()), dim),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    corpus = t
+    brute = knn_brute(ds, corpus, k=3).to_pandas()
+    exact = set(zip(brute.vec_id, brute.neighbor_id))
+    ivf = knn_ivf(ds, k=3, nlist=8, nprobe=4, list_cap=64).to_pandas()
+    got = set(zip(ivf.vec_id, ivf.neighbor_id))
+    assert ivf.groupby("vec_id").size().max() <= 3
+    assert ivf.vec_id.nunique() == n
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, recall  # re-split keeps near neighbors together
+    # determinism
+    again = knn_ivf(ds, k=3, nlist=8, nprobe=4, list_cap=64).to_pandas()
+    a = ivf.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    b = again.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
