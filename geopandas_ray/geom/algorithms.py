@@ -39,6 +39,44 @@ def douglas_peucker(coords: np.ndarray, tol: float) -> np.ndarray:
     n = len(coords)
     if n <= 2:
         return coords
+    if n <= 64:
+        # scalar path: numpy slice/clip overhead dominates tiny rings
+        # (measured 73us -> ~5us per 5-pt ring); same argmax/>tol semantics
+        X = coords[:, 0].tolist()
+        Y = coords[:, 1].tolist()
+        keep = [False] * n
+        keep[0] = keep[-1] = True
+        tol2 = tol * tol
+        stack = [(0, n - 1)]
+        while stack:
+            a, b = stack.pop()
+            if b - a < 2:
+                continue
+            ax, ay = X[a], Y[a]
+            sx, sy = X[b] - ax, Y[b] - ay
+            L2 = sx * sx + sy * sy
+            best = -1.0
+            k = -1
+            for j in range(a + 1, b):
+                rx, ry = X[j] - ax, Y[j] - ay
+                if L2 == 0.0:
+                    d2 = rx * rx + ry * ry
+                else:
+                    t = (rx * sx + ry * sy) / L2
+                    if t < 0.0:
+                        t = 0.0
+                    elif t > 1.0:
+                        t = 1.0
+                    dx, dy = rx - t * sx, ry - t * sy
+                    d2 = dx * dx + dy * dy
+                if d2 > best:
+                    best = d2
+                    k = j
+            if best > tol2:
+                keep[k] = True
+                stack.append((a, k))
+                stack.append((k, b))
+        return coords[np.asarray(keep)]
     keep = np.zeros(n, dtype=bool)
     keep[0] = keep[-1] = True
     stack = [(0, n - 1)]
@@ -623,3 +661,131 @@ def multiline_parts_simple(parts) -> bool:
             if touch.any() and not _pair_touch_points(A, B, touch) <= (ends[i] & ends[j]):
                 return False
     return True
+
+
+def convex_hull_batch(g) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched convex hull over a whole CSR batch (VERDICT r2 #5: the
+    per-row path paid np.unique + np.cross per row).
+
+    ONE global lexsort orders+dedupes every row's points at C speed; the
+    per-row monotone chain then runs on plain Python floats (no per-point
+    numpy calls). Semantics identical to :func:`convex_hull` per row,
+    including the degenerate collinear case.
+
+    Returns (kinds, lens, coords): kinds per row 0=null/empty, 1=Point,
+    2=LineString(2pts), 3=Polygon(closed ring); coords concatenated."""
+    n = len(g)
+    row_ring = g.part_offsets[g.row_offsets]
+    row_coord = g.ring_offsets[row_ring]
+    counts = np.diff(row_coord)
+    rowid = np.repeat(np.arange(n, dtype=np.int64), counts)
+    xs = g.coords[:, 0]
+    ys = g.coords[:, 1]
+    if len(rowid):
+        order = np.lexsort((ys, xs, rowid))
+        rs, sx, sy = rowid[order], xs[order], ys[order]
+        keep = np.concatenate(
+            [[True], (rs[1:] != rs[:-1]) | (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1])]
+        )
+        rs, sx, sy = rs[keep], sx[keep], sy[keep]
+    else:
+        rs = np.empty(0, dtype=np.int64)
+        sx = sy = np.empty(0)
+    starts = np.searchsorted(rs, np.arange(n + 1))
+    X = sx.tolist()
+    Y = sy.tolist()
+    missing = g.is_missing
+    kinds = np.zeros(n, dtype=np.uint8)
+    lens = np.zeros(n, dtype=np.int64)
+    cx: list[float] = []
+    cy: list[float] = []
+    for i in range(n):
+        s, e = int(starts[i]), int(starts[i + 1])
+        m = e - s
+        if missing[i] or m == 0:
+            continue
+        if m == 1:
+            kinds[i] = 1
+            lens[i] = 1
+            cx.append(X[s])
+            cy.append(Y[s])
+            continue
+        if m == 2:
+            kinds[i] = 2
+            lens[i] = 2
+            cx += X[s:e]
+            cy += Y[s:e]
+            continue
+        lo_x: list[float] = []
+        lo_y: list[float] = []
+        for j in range(s, e):
+            px, py = X[j], Y[j]
+            while len(lo_x) >= 2 and (lo_x[-1] - lo_x[-2]) * (py - lo_y[-2]) - (
+                lo_y[-1] - lo_y[-2]
+            ) * (px - lo_x[-2]) <= 0.0:
+                lo_x.pop()
+                lo_y.pop()
+            lo_x.append(px)
+            lo_y.append(py)
+        up_x: list[float] = []
+        up_y: list[float] = []
+        for j in range(e - 1, s - 1, -1):
+            px, py = X[j], Y[j]
+            while len(up_x) >= 2 and (up_x[-1] - up_x[-2]) * (py - up_y[-2]) - (
+                up_y[-1] - up_y[-2]
+            ) * (px - up_x[-2]) <= 0.0:
+                up_x.pop()
+                up_y.pop()
+            up_x.append(px)
+            up_y.append(py)
+        rx = lo_x[:-1] + up_x[:-1]
+        ry = lo_y[:-1] + up_y[:-1]
+        rx.append(rx[0])
+        ry.append(ry[0])
+        kinds[i] = 3
+        lens[i] = len(rx)
+        cx += rx
+        cy += ry
+    coords = np.column_stack([np.asarray(cx), np.asarray(cy)]) if cx else np.empty((0, 2))
+    return kinds, lens, coords
+
+
+def dp_mark(X: list, Y: list, s: int, e: int, tol2: float, keep: np.ndarray) -> None:
+    """Douglas-Peucker over the GLOBAL scalar coordinate lists on the
+    absolute range [s, e), marking kept indices in ``keep`` in place.
+    Identical point selection to :func:`douglas_peucker` (first-max tie
+    rule); lets a batched stage simplify every ring of a block without a
+    single per-ring array allocation."""
+    keep[s] = True
+    keep[e - 1] = True
+    if e - s <= 2:
+        return
+    stack = [(s, e - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        ax, ay = X[a], Y[a]
+        sx, sy = X[b] - ax, Y[b] - ay
+        L2 = sx * sx + sy * sy
+        best = -1.0
+        k = -1
+        for j in range(a + 1, b):
+            rx, ry = X[j] - ax, Y[j] - ay
+            if L2 == 0.0:
+                d2 = rx * rx + ry * ry
+            else:
+                t = (rx * sx + ry * sy) / L2
+                if t < 0.0:
+                    t = 0.0
+                elif t > 1.0:
+                    t = 1.0
+                dx, dy = rx - t * sx, ry - t * sy
+                d2 = dx * dx + dy * dy
+            if d2 > best:
+                best = d2
+                k = j
+        if best > tol2:
+            keep[k] = True
+            stack.append((a, k))
+            stack.append((k, b))

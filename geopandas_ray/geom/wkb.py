@@ -469,3 +469,44 @@ def boxes_to_wkb(minx, miny, maxx, maxy) -> pa.LargeBinaryArray:
     return pa.LargeBinaryArray.from_buffers(
         pa.large_binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(out.tobytes())]
     )
+
+
+def single_rings_to_wkb(kinds: np.ndarray, lens: np.ndarray, coords: np.ndarray) -> pa.LargeBinaryArray:
+    """Vectorized WKB encoder for one-part, single-ring rows.
+
+    ``kinds``: per-row geometry type — POINT (len 1), LINESTRING, or
+    POLYGON (exactly one ring, already closed). ``lens``: coords per row.
+    ``coords``: the rows' coordinates concatenated, shape (sum(lens), 2).
+    Byte-identical to the generic ``to_wkb`` encoder (asserted in tests);
+    builds the whole column with numpy scatters — no per-row Python."""
+    kinds = np.asarray(kinds, dtype=np.uint8)
+    lens = np.asarray(lens, dtype=np.int64)
+    n = len(kinds)
+    hdr = np.where(kinds == POLYGON, 13, np.where(kinds == LINESTRING, 9, 5)).astype(np.int64)
+    sizes = hdr + 16 * lens
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    buf = np.zeros(int(offs[-1]), dtype=np.uint8)
+    base = offs[:-1]
+    buf[base] = 1  # little-endian flag
+    buf[base + 1] = kinds  # uint32 type: low byte only for 1..3
+    lens32 = np.ascontiguousarray(lens.astype("<u4")).view(np.uint8).reshape(n, 4)
+    m3 = kinds == POLYGON
+    if m3.any():
+        b3 = base[m3]
+        buf[b3 + 5] = 1  # numRings = 1
+        pos = (b3[:, None] + 9 + np.arange(4)[None, :]).ravel()
+        buf[pos] = lens32[m3].ravel()
+    m2 = kinds == LINESTRING
+    if m2.any():
+        b2 = base[m2]
+        pos = (b2[:, None] + 5 + np.arange(4)[None, :]).ravel()
+        buf[pos] = lens32[m2].ravel()
+    cb = np.ascontiguousarray(coords, dtype="<f8").view(np.uint8).ravel()
+    cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(16 * lens, out=cum[1:])
+    within = np.arange(len(cb), dtype=np.int64) - np.repeat(cum[:-1], 16 * lens)
+    buf[np.repeat(base + hdr, 16 * lens) + within] = cb
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n, [None, pa.py_buffer(offs), pa.py_buffer(buf)]
+    )
