@@ -1929,6 +1929,46 @@ def q_to_crs_offset(sf_dir):
     return _select(with_xy(ds), ["doc_id", "x", "y"])
 
 
+def q_to_crs_laea_roundtrip(sf_dir):
+    # real ellipsoidal projection engine (proj.py): scale doc points into a
+    # Europe window, project 4326 -> 3035 (LAEA/GRS80) -> back, round to
+    # 6 dp. Roundtrip error is ~1e-14 deg and the true values have <=2
+    # decimals, so the rounded output is bit-exact vs SQL.
+    from geopandas_ray.crs import to_crs
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.ops import with_xy
+
+    def scale(b: pa.Table) -> pa.Table:
+        from geopandas_ray.geom.wkb import from_wkb, points_to_wkb
+        from geopandas_ray.geom import kernels as K
+
+        g = from_wkb(b.column("geometry"))
+        bb = K.bounds(g)
+        lon = bb[:, 0] * 0.04
+        lat = 35.0 + bb[:, 1] * 0.02
+        i = b.column_names.index("geometry")
+        return b.set_column(i, "geometry", points_to_wkb(lon, lat))
+
+    ds = doc_points(sf_dir).map_batches(scale, batch_format="pyarrow")
+    back = to_crs(to_crs(ds, "EPSG:4326", "EPSG:3035"), "EPSG:3035", "EPSG:4326")
+
+    def rounded(b: pa.Table) -> pa.Table:
+        from geopandas_ray.geom.wkb import from_wkb
+        from geopandas_ray.geom import kernels as K
+
+        g = from_wkb(b.column("geometry"))
+        bb = K.bounds(g)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "x": pa.array(np.round(bb[:, 0], 6)),
+                "y": pa.array(np.round(bb[:, 1], 6)),
+            }
+        )
+
+    return back.map_batches(rounded, batch_format="pyarrow")
+
+
 def q_feather_roundtrip(sf_dir):
     # feather sink fragments + streamed read-back (io/arrow.py:367 parity)
     import shutil
@@ -2293,6 +2333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "get_geometry_part": q_get_geometry_part,
         "remove_repeated_count": q_remove_repeated_count,
         "to_crs_offset": q_to_crs_offset,
+        "to_crs_laea_roundtrip": q_to_crs_laea_roundtrip,
         "feather_roundtrip": q_feather_roundtrip,
         "geojson_roundtrip": q_geojson_roundtrip,
         "offset_curve_bounds": q_offset_curve_bounds,
@@ -2941,6 +2982,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "to_crs_offset": (
             f"{W} SELECT doc_id, px + 500000.0 AS x, py AS y FROM pts"
+        ),
+        "to_crs_laea_roundtrip": (
+            f"{W} SELECT doc_id, ROUND(px*0.04, 6) AS x, ROUND(35.0+py*0.02, 6) AS y FROM pts"
         ),
         "feather_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geojson_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",

@@ -157,31 +157,60 @@ def _parse_utm(code: str):
     return None
 
 
+def _to_4326(code: str):
+    """(x, y) -> (lon, lat) for any supported CRS, or None."""
+    if code == "EPSG:4326":
+        return lambda x, y: (x, y)
+    if code == "EPSG:3857":
+        return _webmercator_to_lonlat
+    utm = _parse_utm(code)
+    if utm:
+        z, south = utm
+        return lambda x, y: _utm_to_lonlat(x, y, z, south)
+    from . import proj as _proj
+
+    d = _proj.REGISTRY.get(code)
+    if d is not None:
+        return lambda x, y: _proj._to_wgs84(d, x, y)
+    return None
+
+
+def _from_4326(code: str):
+    """(lon, lat) -> (x, y) for any supported CRS, or None."""
+    if code == "EPSG:4326":
+        return lambda x, y: (x, y)
+    if code == "EPSG:3857":
+        return _lonlat_to_webmercator
+    utm = _parse_utm(code)
+    if utm:
+        z, south = utm
+        return lambda x, y: _lonlat_to_utm(x, y, z, south)
+    from . import proj as _proj
+
+    d = _proj.REGISTRY.get(code)
+    if d is not None:
+        return lambda lon, lat: _proj._from_wgs84(d, lon, lat)
+    return None
+
+
 def _resolve_transform(src: str, dst: str):
-    """Registry first, then the built-in real projections."""
+    """User registry first, then ANY supported pair routed through WGS84
+    geodetic: web mercator, WGS84 UTM, and the parametric projection
+    engine (proj.py: TM/LCC/Albers/LAEA + Helmert datum shifts over the
+    common EPSG codes)."""
     fn = _TRANSFORMS.get((src, dst))
     if fn is not None:
         return fn
     s, d = src.upper(), dst.upper()
-    if s == "EPSG:4326" and d == "EPSG:3857":
-        return _lonlat_to_webmercator
-    if s == "EPSG:3857" and d == "EPSG:4326":
-        return _webmercator_to_lonlat
-    utm_d = _parse_utm(d)
-    if s == "EPSG:4326" and utm_d:
-        z, south = utm_d
-        return lambda x, y: _lonlat_to_utm(x, y, z, south)
-    utm_s = _parse_utm(s)
-    if utm_s and d == "EPSG:4326":
-        z, south = utm_s
-        return lambda x, y: _utm_to_lonlat(x, y, z, south)
-    if utm_s and d == "EPSG:3857":
-        z, south = utm_s
-        return lambda x, y: _lonlat_to_webmercator(*_utm_to_lonlat(x, y, z, south))
-    if s == "EPSG:3857" and utm_d:
-        z, south = utm_d
-        return lambda x, y: _lonlat_to_utm(*_webmercator_to_lonlat(x, y), z, south)
-    return None
+    to_ll = _to_4326(s)
+    from_ll = _from_4326(d)
+    if to_ll is None or from_ll is None:
+        return None
+    if s == "EPSG:4326":
+        return from_ll
+    if d == "EPSG:4326":
+        return to_ll
+    return lambda x, y: from_ll(*to_ll(x, y))
 
 
 def check_crs(left_crs: str | None, right_crs: str | None, allow_none: bool = True) -> bool:

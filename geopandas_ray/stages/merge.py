@@ -193,3 +193,33 @@ def concat_rows(datasets: list[ray.data.Dataset], crs_list=None) -> ray.data.Dat
     for d in datasets[1:]:
         out = out.union(d)
     return out
+
+
+def concat_columns(
+    datasets: list[ray.data.Dataset], geometry_cols: list[str | None] | None = None
+) -> ray.data.Dataset:
+    """axis=1 concat (tests/test_merge.py:174-209): row-aligned zip of the
+    inputs. Duplicate GEOMETRY column names across inputs fail loudly with
+    the reference's message (geopandas#1230 - a frame cannot hold two
+    geometry columns under one name); non-geometry collisions follow Ray
+    zip's suffix rule. ``geometry_cols``: each input's active geometry
+    column name (None for a plain table); defaults to 'geometry' when the
+    schema has it."""
+    if geometry_cols is None:
+        geometry_cols = [
+            "geometry" if "geometry" in d.schema().names else None for d in datasets
+        ]
+    seen: set[str] = set()
+    for ds, gcol in zip(datasets, geometry_cols):
+        if gcol is None or gcol not in ds.schema().names:
+            continue
+        if gcol in seen:
+            raise ValueError(
+                "Concat operation has resulted in multiple columns using "
+                f"the geometry column name '{gcol}'."
+            )
+        seen.add(gcol)
+    out = datasets[0]
+    for d in datasets[1:]:
+        out = out.zip(d)
+    return out

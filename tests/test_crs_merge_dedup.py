@@ -169,3 +169,28 @@ def test_to_crs_builtin_projections():
 
     with pytest.raises(NotImplementedError):
         to_crs(d, "EPSG:4326", "EPSG:9999")
+
+
+def test_concat_axis1():
+    # tests/test_merge.py:174-209: axis=1 zips row-aligned frames; a
+    # duplicate geometry column name fails with the reference message
+    import pyarrow as pa
+    import pytest
+    import ray.data
+    from geopandas_ray.geom.wkb import points_to_wkb
+    from geopandas_ray.stages.merge import concat_columns
+
+    gdf = ray.data.from_arrow(
+        pa.table({"geometry": points_to_wkb([1.0, 2.0], [3.0, 4.0]), "a": [1, 2]})
+    )
+    df = ray.data.from_arrow(pa.table({"b": [10, 20], "c": ["x", "y"]}))
+    out = concat_columns([gdf, df]).to_pandas()
+    assert sorted(out.columns) == ["a", "b", "c", "geometry"]
+    assert len(out) == 2 and out.b.tolist() == [10, 20]
+
+    with pytest.raises(ValueError, match="multiple columns using the geometry column name 'geometry'"):
+        concat_columns([gdf, gdf])
+
+    g2 = gdf.map_batches(lambda t: t.rename_columns(["geom", "a"]), batch_format="pyarrow")
+    with pytest.raises(ValueError, match="'geom'"):
+        concat_columns([g2, g2], geometry_cols=["geom", "geom"])
