@@ -352,9 +352,11 @@ def minhash_candidate_pairs(
         )
     BROADCAST_CAP = 5_000_000  # ~80MB of composite keys
     if hot_n <= BROADCAST_CAP:
-        hot_tbl = pa.concat_tables(ray.get(hot.to_arrow_refs()), promote_options="default")
-        hot_band = np.asarray(hot_tbl.column("band"), dtype=np.int64)
-        hot_hash = np.asarray(hot_tbl.column("band_hash"), dtype=np.int64)
+        # block-type agnostic bounded pull (filter(expr=) can emit pandas
+        # blocks; to_arrow_refs then hands back DataFrames)
+        hot_df = hot.select_columns(["band", "band_hash"]).to_pandas()
+        hot_band = hot_df["band"].to_numpy(np.int64)
+        hot_hash = hot_df["band_hash"].to_numpy(np.int64)
         # composite (band, hash) -> single void view for one C-speed isin
         hot_keys = np.ascontiguousarray(
             np.column_stack([hot_band, hot_hash])

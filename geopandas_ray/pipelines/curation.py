@@ -36,6 +36,7 @@ def curate(
     near_dup_threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    drop_broadcast_cap: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Curated corpus: rows surviving every hygiene gate, ``text`` replaced
     by the PII-scrubbed form, one row (min id) per distinct scrubbed text.
@@ -97,23 +98,61 @@ def curate(
             # bounded by near-dup volume, unlike the keep set (≈ corpus)
             return b.filter(pc.invert(pc.equal(b.column(id_col), b.column("cluster"))))
 
-        drop_ids = labels.map_batches(dup_rows, batch_format="pyarrow")
-        drop = set(r[id_col] for r in drop_ids.select_columns([id_col]).take_all())
-        drop_ref = ray.put(drop)
+        drop_ids = labels.map_batches(dup_rows, batch_format="pyarrow").select_columns([id_col])
+        drop_ids = drop_ids.materialize()  # counted AND consumed
+        if drop_ids.count() <= drop_broadcast_cap:
+            # small drop set: one driver pull + ray.put broadcast, stateless
+            # C-level isin per batch (typical near-dup volume)
+            drop = set(r[id_col] for r in drop_ids.take_all())
+            drop_ref = ray.put(drop)
 
-        class _DropDups:
-            def __init__(self, ref):
-                self.drop = ray.get(ref) if not isinstance(ref, set) else ref
+            class _DropDups:
+                def __init__(self, ref):
+                    self.drop = ray.get(ref) if not isinstance(ref, set) else ref
 
-            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                return df[~df[id_col].isin(self.drop)]
+                def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                    return df[~df[id_col].isin(self.drop)]
 
-        from ..util import default_pool
+            from ..util import default_pool
 
-        ds = ds.map_batches(
-            _DropDups, batch_format="pandas", fn_constructor_kwargs=dict(ref=drop_ref),
-            concurrency=default_pool(None),
-        )
+            ds = ds.map_batches(
+                _DropDups, batch_format="pandas", fn_constructor_kwargs=dict(ref=drop_ref),
+                concurrency=default_pool(None),
+            )
+        else:
+            # huge duplicate volume (boilerplate-heavy crawl): distributed
+            # hash-partitioned anti-join — the drop set never lands on the
+            # driver or in one object
+            from ..util import default_shuffle_partitions
+
+            nparts = default_shuffle_partitions()
+            keep_cols = ds.schema().names
+
+            def tag(side):
+                def f(df: pd.DataFrame) -> pd.DataFrame:
+                    df = df.copy()
+                    for c in keep_cols:  # pad the id-only side to one schema
+                        if c not in df.columns:
+                            df[c] = None
+                    df = df[keep_cols]
+                    df["__m"] = np.int8(side)
+                    df["__part"] = pd.util.hash_array(df[id_col].to_numpy()) % nparts
+                    return df
+
+                return f
+
+            def anti(df: pd.DataFrame) -> pd.DataFrame:
+                bad = df.loc[df["__m"] == 1, id_col].unique()
+                out = df[(df["__m"] == 0) & (~df[id_col].isin(bad))]
+                return out[keep_cols]
+
+            ds = (
+                ds.map_batches(tag(0), batch_format="pandas")
+                .union(drop_ids.map_batches(tag(1), batch_format="pandas"))
+                .repartition(nparts)
+                .groupby("__part")
+                .map_groups(anti, batch_format="pandas")
+            )
 
     def project(b: pa.Table) -> pa.Table:
         return b.select([id_col, text_col, "lang_pred", "n_tokens"])

@@ -539,3 +539,22 @@ def test_knn_ivf_hot_list_resplit(rng):
     a = ivf.sort_values(["vec_id", "rank"]).reset_index(drop=True)
     b = again.sort_values(["vec_id", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_curation_distributed_anti_join_matches_broadcast():
+    # drop_broadcast_cap=0 forces the hash-partitioned anti-join (huge
+    # duplicate volume path): same survivors as the broadcast route
+    from geopandas_ray.pipelines.curation import curate
+
+    base = "the quick brown fox jumps over the lazy dog today again and again yes"
+    texts = [base + f" tail{i % 4}" for i in range(24)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)})
+    )
+    a = curate(ds, langs=("en",), min_tokens=5, near_dup=True, near_dup_threshold=0.6).to_pandas()
+    b = curate(
+        ds, langs=("en",), min_tokens=5, near_dup=True, near_dup_threshold=0.6,
+        drop_broadcast_cap=0,
+    ).to_pandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    assert sorted(a.columns) == sorted(b.columns)
