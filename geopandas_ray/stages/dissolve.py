@@ -296,14 +296,14 @@ def dissolve(
         partials = work.map_batches(combine_partial, batch_format="pandas").map_batches(
             add_part(nparts), batch_format="pandas"
         )
-        # repartition first: Ray groupby emits one output partition per
-        # input block (CLAUDE.md invariant); then ONE task per hash
-        # partition, never one per distinct key
-        out = (
-            partials.repartition(nparts)
-            .groupby("__part")
-            .map_groups(final_partition, batch_format="pandas")
-        )
+        # groupby("__part") emits one reduce partition per PARTIAL block
+        # (CLAUDE.md invariant), which tracks the input's block count: small
+        # inputs reduce in one task, wide inputs fan out per block. No
+        # forced repartition - on a 25-key dissolve it tripled wall time
+        # (128-way shuffle of a 25-row table), and the vectorized reduce
+        # makes even a single-task fallback a C-level pass, never
+        # one Python task per key.
+        out = partials.groupby("__part").map_groups(final_partition, batch_format="pandas")
     else:
         out = work.groupby(GROUP_KEY).map_groups(direct_group, batch_format="pandas")
         # unobserved categories cannot be manufactured by a per-observed-group
