@@ -1929,6 +1929,41 @@ def q_to_crs_offset(sf_dir):
     return _select(with_xy(ds), ["doc_id", "x", "y"])
 
 
+def q_near_dup_verified(sf_dir):
+    # EXACT word-3-gram Jaccard verification over an all-pairs candidate
+    # set on a doc subset (the verify stage of candidate->verify dedup).
+    # jaccard = inter/union of exact integer counts -> bit-identical to
+    # DuckDB's list_intersect/list_distinct computation.
+    import ray.data
+
+    from geopandas_ray.functions.dedup import verify_pairs_exact
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def subset(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        keep = pa.array(did % 10 == 0)
+        keep = pc.and_(
+            keep,
+            pc.greater(pc.utf8_length(pc.utf8_trim_whitespace(b.column("text"))), 0),
+        )
+        return b.filter(keep)
+
+    sub = docs.map_batches(subset, batch_format="pyarrow").materialize()
+    ids = np.sort(np.array([r["doc_id"] for r in sub.select_columns(["doc_id"]).take_all()]))
+    ia, ib = np.meshgrid(ids, ids, indexing="ij")
+    m = ia < ib
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array(ia[m]), "id_b": pa.array(ib[m])})
+    )
+    out = verify_pairs_exact(pairs, sub, sim_threshold=0.01, n=3)
+    return _select(out, ["id_a", "id_b", "jaccard"])
+
+
 def q_to_crs_laea_roundtrip(sf_dir):
     # real ellipsoidal projection engine (proj.py): scale doc points into a
     # Europe window, project 4326 -> 3035 (LAEA/GRS80) -> back, round to
@@ -2334,6 +2369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_repeated_count": q_remove_repeated_count,
         "to_crs_offset": q_to_crs_offset,
         "to_crs_laea_roundtrip": q_to_crs_laea_roundtrip,
+        "near_dup_verified": q_near_dup_verified,
         "feather_roundtrip": q_feather_roundtrip,
         "geojson_roundtrip": q_geojson_roundtrip,
         "offset_curve_bounds": q_offset_curve_bounds,
@@ -2985,6 +3021,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "to_crs_laea_roundtrip": (
             f"{W} SELECT doc_id, ROUND(px*0.04, 6) AS x, ROUND(35.0+py*0.02, 6) AS y FROM pts"
+        ),
+        "near_dup_verified": (
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws "
+            "FROM documents WHERE doc_id % 10 = 0 AND length(trim(text)) > 0), "
+            "g AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3 "
+            "THEN [array_to_string(ws, ' ')] "
+            "ELSE [array_to_string(ws[i:i+2], ' ') FOR i IN generate_series(1, len(ws)-2)] END) AS gs FROM w), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.gs, b.gs)) AS inter, "
+            "len(list_distinct(list_concat(a.gs, b.gs))) AS uni "
+            "FROM g a JOIN g b ON a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, CAST(inter AS DOUBLE)/uni AS jaccard FROM p "
+            "WHERE CAST(inter AS DOUBLE)/uni >= 0.01"
         ),
         "feather_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geojson_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",

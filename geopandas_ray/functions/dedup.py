@@ -741,3 +741,57 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
         return 1.0
     inter = len(ga & gb)
     return inter / (len(ga) + len(gb) - inter)
+
+
+def verify_pairs_exact(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    sim_threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """EXACT n-gram Jaccard verification of near-dup CANDIDATE pairs —
+    the standard candidate->verify shape: MinHash/SimHash propose, the
+    exact measure disposes. Texts join onto the pair stream with two
+    hash-partitioned joins (bounded by candidate volume, never a corpus
+    broadcast); the per-pair Jaccard is genuinely per-pair work.
+
+    Input: pairs(id_a, id_b, ...), docs(id_col, text_col).
+    Output: (id_a, id_b, jaccard) for pairs with jaccard >= sim_threshold.
+    """
+    from ..stages.merge import hash_join
+
+    slim = docs.select_columns([id_col, text_col])
+
+    def as_a(b: pa.Table) -> pa.Table:
+        return pa.table({"id_a": b.column(id_col), "__text_a": b.column(text_col)})
+
+    def as_b(b: pa.Table) -> pa.Table:
+        return pa.table({"id_b": b.column(id_col), "__text_b": b.column(text_col)})
+
+    witha = hash_join(
+        pairs.select_columns(["id_a", "id_b"]),
+        slim.map_batches(as_a, batch_format="pyarrow"),
+        on="id_a",
+    )
+    withb = hash_join(witha, slim.map_batches(as_b, batch_format="pyarrow"), on="id_b")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "jaccard": np.float64}
+            )
+        j = np.fromiter(
+            (
+                ngram_jaccard(a, b, n)
+                for a, b in zip(df["__text_a"].tolist(), df["__text_b"].tolist())
+            ),
+            dtype=np.float64,
+            count=len(df),
+        )
+        out = df.loc[j >= sim_threshold, ["id_a", "id_b"]].copy()
+        out["jaccard"] = j[j >= sim_threshold]
+        return out
+
+    return withb.map_batches(score, batch_format="pandas")

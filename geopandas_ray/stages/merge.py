@@ -94,13 +94,22 @@ def hash_join(
     nparts = default_shuffle_partitions()
 
     def part_col(df: pd.DataFrame) -> pd.DataFrame:
+        # infer_objects: a zero-row pandas block in the pipeline upcasts
+        # later concatenated blocks' int64 key to OBJECT dtype, and
+        # hash_array(object-ints) != hash_array(int64) - sides would land
+        # in different partitions and silently drop matches
         df = df.copy()
+        df[on] = df[on].infer_objects()
         df["__part"] = pd.util.hash_array(df[on].to_numpy()) % nparts
         return df
 
     def join_part(df: pd.DataFrame) -> pd.DataFrame:
-        ldf = df[df[_SIDE] == 0][[c for c in lcols]]
-        rdf = df[df[_SIDE] == 1][[c for c in rcols]]
+        ldf = df[df[_SIDE] == 0][[c for c in lcols]].copy()
+        rdf = df[df[_SIDE] == 1][[c for c in rcols]].copy()
+        # same object-upcast hazard: merge on object-ints vs int64 matches
+        # nothing in pandas 2.x
+        ldf[on] = ldf[on].infer_objects()
+        rdf[on] = rdf[on].infer_objects()
         return ldf.merge(rdf, on=on, how=how, suffixes=(lsuffix or "", rsuffix))
 
     # repartition first: Ray groupby emits one partition per input block, so

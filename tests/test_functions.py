@@ -558,3 +558,33 @@ def test_curation_distributed_anti_join_matches_broadcast():
     ).to_pandas()
     assert sorted(a.doc_id) == sorted(b.doc_id)
     assert sorted(a.columns) == sorted(b.columns)
+
+
+def test_verify_pairs_exact_matches_bruteforce():
+    # the candidate->verify shape: minhash proposes, exact n-gram Jaccard
+    # disposes; verified set == brute-force-exact set INTERSECTED with the
+    # candidate set (verification adds no pairs, only removes)
+    from geopandas_ray.functions.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard,
+        verify_pairs_exact,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [base + f" tail{i % 5} more{i % 3}" for i in range(30)] + [base + " tail0 more0"]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)})
+    )
+    cands = minhash_candidate_pairs(docs, sim_threshold=0.4).materialize()
+    got = verify_pairs_exact(cands, docs, sim_threshold=0.7).to_pandas()
+    cand_set = set(map(tuple, cands.select_columns(["id_a", "id_b"]).to_pandas().to_numpy()))
+    expect = {
+        (i, j)
+        for (i, j) in cand_set
+        if ngram_jaccard(texts[i], texts[j], 3) >= 0.7
+    }
+    assert set(map(tuple, got[["id_a", "id_b"]].to_numpy())) == expect
+    # jaccard values are the exact measure
+    for _, r in got.iterrows():
+        assert abs(r.jaccard - ngram_jaccard(texts[int(r.id_a)], texts[int(r.id_b)], 3)) < 1e-12
+    assert (got.jaccard >= 0.7).all() and len(got) > 0
