@@ -402,6 +402,24 @@ def q_explode_multipoint(sf_dir):
     return _select(e, ["doc_id", "part_index", "x", "y"])
 
 
+def q_type_and_counts(sf_dir):
+    # geom_type / count_coordinates / count_geometries over the multipoint
+    # fixture (the fixture always encodes MULTIPOINT, even single-part)
+    from geopandas_ray.pipelines.datasets import doc_multipoints
+    from geopandas_ray.stages.ops import with_counts, with_geom_type
+
+    d = with_counts(with_geom_type(doc_multipoints(sf_dir)))
+    return _select(d, ["doc_id", "geom_type", "count_coordinates", "count_geometries"])
+
+
+def q_coords_exploded(sf_dir):
+    # get_coordinates: one row per coordinate pair (base.py:5550)
+    from geopandas_ray.pipelines.datasets import doc_multipoints
+    from geopandas_ray.stages.explode import get_coordinates
+
+    return _select(get_coordinates(doc_multipoints(sf_dir)), ["doc_id", "x", "y"])
+
+
 def q_distance_point(sf_dir):
     from geopandas_ray.pipelines.datasets import doc_points
     from geopandas_ray.stages.ops import with_sq_distance_to_point
@@ -2287,6 +2305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounds_by_source": q_bounds_by_source,
         "union_bounds": q_union_bounds,
         "explode_multipoint": q_explode_multipoint,
+        "type_and_counts": q_type_and_counts,
+        "coords_exploded": q_coords_exploded,
         "distance_point": q_distance_point,
         "translate": q_translate,
         "hilbert_topk": q_hilbert_topk,
@@ -2598,6 +2618,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "explode_multipoint": (
             f"{W} SELECT d.doc_id, CAST(t.j AS BIGINT) AS part_index, "
+            "CAST((d.doc_id*37)%1000 + t.j AS DOUBLE) AS x, "
+            "CAST((d.doc_id*91)%1000 - t.j AS DOUBLE) AS y "
+            "FROM documents d JOIN (SELECT unnest(generate_series(0, 2)) AS j) t ON t.j <= d.doc_id % 3"
+        ),
+        "type_and_counts": (
+            "SELECT doc_id, 'MultiPoint' AS geom_type, "
+            "CAST(doc_id % 3 + 1 AS BIGINT) AS count_coordinates, "
+            "CAST(doc_id % 3 + 1 AS BIGINT) AS count_geometries FROM documents"
+        ),
+        "coords_exploded": (
+            f"{W} SELECT d.doc_id, "
             "CAST((d.doc_id*37)%1000 + t.j AS DOUBLE) AS x, "
             "CAST((d.doc_id*91)%1000 - t.j AS DOUBLE) AS y "
             "FROM documents d JOIN (SELECT unnest(generate_series(0, 2)) AS j) t ON t.j <= d.doc_id % 3"
