@@ -533,6 +533,16 @@ class GeoDataset:
 
         return self._wrap(overlay(self.ds, self._right_side(right), how, **kw))
 
+    def overlay_shuffle(self, right, how: str = "intersection", *, left_id: str, right_id: str, **kw):
+        """Cell-partitioned overlay for two LARGE layers (no broadcast);
+        byte-parity with overlay. Requires unique id columns on each side."""
+        from .stages.overlay import overlay_shuffle
+
+        rds = right.ds if isinstance(right, GeoDataset) else right
+        return self._wrap(
+            overlay_shuffle(self.ds, rds, how, left_id=left_id, right_id=right_id, **kw)
+        )
+
     def clip(self, mask):
         from .stages.clip import clip
 

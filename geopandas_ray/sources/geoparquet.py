@@ -115,12 +115,20 @@ def write_geoparquet(
     geometry: str = "geometry",
     crs: str | None = None,
     write_covering_bbox: bool = False,
+    partition_by: str | None = None,
 ) -> list[dict]:
     """Write fragments + manifest with "geo" schema metadata attached.
 
     write_covering_bbox appends minx/miny/maxx/maxy columns first
     (io/arrow.py:70-73 write_covering_bbox) so later reads can push bbox
     filters down without decoding WKB.
+
+    ``partition_by``: column name — output lands one directory per distinct
+    value (``fragments/<col>_<val>/``), the resumable/prunable shape for a
+    100-TB sink: a failed run skips finished partitions via the manifest,
+    and a reader narrows to key ranges by listing subdirectories. Each
+    BLOCK writes one fragment per partition value it contains; to get few
+    fragments per partition, hash-partition the dataset on the key first.
     """
     from ..state.manifest import write_fragments
 
@@ -129,4 +137,6 @@ def write_geoparquet(
 
         ds = with_bounds(ds, geometry=geometry)
     meta = create_geo_metadata(geometry=geometry, crs=crs)
-    return write_fragments(ds, out_dir, tag="geoparquet", schema_metadata=meta)
+    return write_fragments(
+        ds, out_dir, tag="geoparquet", schema_metadata=meta, partition_by=partition_by
+    )

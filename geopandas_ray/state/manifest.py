@@ -34,41 +34,85 @@ from ..util import default_pool
 
 class FragmentWriter:
     """map_batches sink stage: writes each batch as one parquet fragment
-    (atomic rename) and emits a manifest row instead of data."""
+    (atomic rename) and emits a manifest row instead of data.
 
-    def __init__(self, out_dir: str, tag: str = "", schema_metadata: dict | None = None):
+    ``partition_by``: a column name — each batch splits into one fragment
+    per distinct value, landed under ``fragments/<col>_<val>/`` (the
+    resumable-output shape: a failed run skips finished partitions, and a
+    reader narrows to the key ranges it needs by listing subdirectories).
+    The column stays IN the data (non-hive directory names on purpose, so
+    read-back keeps the original arrow type)."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        tag: str = "",
+        schema_metadata: dict | None = None,
+        partition_by: str | None = None,
+    ):
         self.frag_dir = os.path.join(out_dir, "fragments")
         os.makedirs(self.frag_dir, exist_ok=True)
         self.tag = tag
         self.schema_metadata = schema_metadata
+        self.partition_by = partition_by
+
+    def _write_one(self, batch: pa.Table, subdir: str | None, partition: str) -> dict:
+        t0 = time.time()
+        safe_tag = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in self.tag)[-80:]
+        name = f"part-{safe_tag}-{uuid.uuid4().hex[:12]}.parquet"
+        d = self.frag_dir if subdir is None else os.path.join(self.frag_dir, subdir)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, "." + name + ".tmp")
+        final = os.path.join(d, name)
+        pq.write_table(batch, tmp, compression="snappy")
+        os.rename(tmp, final)
+        return {
+            "input_fragment": self.tag,
+            "output": final,
+            "partition": partition,
+            "rows": batch.num_rows,
+            "bytes": os.path.getsize(final),
+            "wall_s": time.time() - t0,
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        t0 = time.time()
         if self.schema_metadata:
             meta = dict(batch.schema.metadata or {})
             meta.update(
                 {k.encode(): v.encode() if isinstance(v, str) else v for k, v in self.schema_metadata.items()}
             )
             batch = batch.replace_schema_metadata(meta)
-        safe_tag = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in self.tag)[-80:]
-        name = f"part-{safe_tag}-{uuid.uuid4().hex[:12]}.parquet"
-        tmp = os.path.join(self.frag_dir, "." + name + ".tmp")
-        final = os.path.join(self.frag_dir, name)
-        pq.write_table(batch, tmp, compression="snappy")
-        os.rename(tmp, final)
+        rows: list[dict] = []
+        if self.partition_by is None:
+            rows.append(self._write_one(batch, None, ""))
+        else:
+            import pyarrow.compute as pc
+
+            col = batch.column(self.partition_by)
+            for v in pc.unique(col).to_pylist():
+                sub = batch.filter(pc.equal(col, v))
+                safe_v = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in str(v))[-60:]
+                rows.append(
+                    self._write_one(sub, f"{self.partition_by}_{safe_v}", str(v))
+                )
         return pa.table(
             {
-                "input_fragment": pa.array([self.tag]),
-                "output": pa.array([final]),
-                "rows": pa.array([batch.num_rows], type=pa.int64()),
-                "bytes": pa.array([os.path.getsize(final)], type=pa.int64()),
-                "wall_s": pa.array([time.time() - t0]),
+                "input_fragment": pa.array([r["input_fragment"] for r in rows]),
+                "output": pa.array([r["output"] for r in rows]),
+                "partition": pa.array([r["partition"] for r in rows]),
+                "rows": pa.array([r["rows"] for r in rows], type=pa.int64()),
+                "bytes": pa.array([r["bytes"] for r in rows], type=pa.int64()),
+                "wall_s": pa.array([r["wall_s"] for r in rows]),
             }
         )
 
 
 def write_fragments(
-    ds: ray.data.Dataset, out_dir: str, tag: str = "", schema_metadata: dict | None = None
+    ds: ray.data.Dataset,
+    out_dir: str,
+    tag: str = "",
+    schema_metadata: dict | None = None,
+    partition_by: str | None = None,
 ) -> list[dict]:
     """Drive the sink; append manifest lines; return them."""
     rows = ds.map_batches(
@@ -76,7 +120,9 @@ def write_fragments(
         batch_format="pyarrow",
         batch_size=None,  # one fragment per block, not per default-size batch
         concurrency=default_pool(),
-        fn_constructor_kwargs=dict(out_dir=out_dir, tag=tag, schema_metadata=schema_metadata),
+        fn_constructor_kwargs=dict(
+            out_dir=out_dir, tag=tag, schema_metadata=schema_metadata, partition_by=partition_by
+        ),
     ).take_all()
     append_manifest(out_dir, rows)
     return rows

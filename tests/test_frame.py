@@ -112,3 +112,29 @@ def test_constructors_and_serializers():
           "geometry": {"type": "Point", "coordinates": [7.0, 8.0]}}]
     )
     assert f.to_wkt().to_pandas().wkt.tolist() == ["POINT (7 8)"]
+
+
+def test_facade_overlay_shuffle_matches_overlay():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from geopandas_ray.frame import GeoDataset
+    from geopandas_ray.geom.wkb import boxes_to_wkb
+
+    def layer(name, off):
+        k = np.arange(20, dtype=np.int64)
+        x = (k * 47 + off) % 300.0
+        y = (k * 31 + off) % 300.0
+        return GeoDataset(
+            ray.data.from_arrow(
+                pa.table({name: pa.array(k), "geometry": boxes_to_wkb(x, y, x + 40, y + 40)})
+            )
+        )
+
+    a, b = layer("ak", 0), layer("bk", 17)
+    want = a.overlay(b, "intersection").ds.to_pandas()
+    got = a.overlay_shuffle(b, "intersection", left_id="ak", right_id="bk", res=4).ds.to_pandas()
+    key = lambda df: sorted(
+        (int(r.ak), int(r.bk), r.geometry.hex()) for r in df.itertuples(index=False)
+    )
+    assert key(got) == key(want) and len(got) > 0

@@ -90,3 +90,38 @@ def test_geoparquet_metadata_roundtrip(tmp_path):
     # bbox pushdown read
     got = read_geoparquet(frag_dir, bbox=(0, 0, 10, 10)).to_pandas()
     assert got.doc_id.tolist() == [0]
+
+
+def test_partitioned_write_and_selective_read(tmp_path):
+    import numpy as np
+    from geopandas_ray.geom.wkb import points_to_wkb
+    from geopandas_ray.sources.geoparquet import read_geoparquet, write_geoparquet
+    from geopandas_ray.state.manifest import load_manifest
+
+    out = str(tmp_path / "parts")
+    n = 400
+    cell = np.repeat(np.arange(4, dtype=np.int64), n // 4)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n)),
+            "cell": pa.array(cell),
+            "geometry": points_to_wkb(np.arange(n, dtype=float), np.zeros(n)),
+        }
+    )
+    rows = write_geoparquet(
+        ray.data.from_arrow(t).repartition(3), out, partition_by="cell"
+    )
+    frag_dir = os.path.join(out, "fragments")
+    subdirs = sorted(d for d in os.listdir(frag_dir))
+    assert subdirs == ["cell_0", "cell_1", "cell_2", "cell_3"]
+    # full read-back: same rows, original arrow types preserved
+    full = read_geoparquet(frag_dir).to_pandas()
+    assert len(full) == n and full.cell.dtype == np.int64
+    assert sorted(full.doc_id) == list(range(n))
+    # selective read: one partition directory only
+    one = read_geoparquet(os.path.join(frag_dir, "cell_2")).to_pandas()
+    assert (one.cell == 2).all() and len(one) == n // 4
+    # manifest carries per-partition lineage
+    m = load_manifest(out)
+    assert len(m) == len(rows) and all("partition" in r for r in m)
+    assert {r["partition"] for r in m} == {"0", "1", "2", "3"}
