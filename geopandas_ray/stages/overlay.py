@@ -752,8 +752,13 @@ def overlay_shuffle(
     domain = domain or DEFAULT_DOMAIN
     nparts = shuffle_partitions or default_shuffle_partitions()
 
-    l_cols = [c for c in df1.schema().names if c != geometry]
-    r_cols = [c for c in df2.schema().names if c != right_geometry]
+    lsch, rsch = df1.schema(), df2.schema()
+    if lsch is None or rsch is None:
+        # a fully-empty upstream loses its schema (documented Ray
+        # behavior); the overlay of nothing is nothing
+        return ray.data.from_items([])
+    l_cols = [c for c in lsch.names if c != geometry]
+    r_cols = [c for c in rsch.names if c != right_geometry]
     overlap = set(l_cols) & set(r_cols)
     l_names = {c: (f"{c}_1" if c in overlap else c) for c in l_cols}
     r_names = {c: (f"{c}_2" if c in overlap else c) for c in r_cols}

@@ -93,3 +93,53 @@ def test_joins_and_aggs_survive():
     assert np.isnan(tb).all() or len(tb) == 4
     d = dissolve(_null_ds(), by="id").to_pandas()
     assert len(d) == 2  # keys kept; geometry None
+
+
+def test_round3_ops_survive_empty_and_null():
+    # new round-3 surfaces: overlay_shuffle, unbounded nearest shuffle,
+    # buffer distance column, verify_pairs_exact, partitioned sink
+    import os
+    import tempfile
+
+    from geopandas_ray.functions.dedup import verify_pairs_exact
+    from geopandas_ray.sources.geoparquet import write_geoparquet
+    from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+    from geopandas_ray.stages.overlay import overlay_shuffle
+    from geopandas_ray.stages.ops2 import buffer
+
+    def ids(ds):
+        # id column alias for ops needing unique ids
+        return ds.map_batches(
+            lambda t: t.rename_columns(["key", "geometry"]), batch_format="pyarrow"
+        )
+
+    for mk in (_empty_ds, _null_ds):
+        a, b = ids(mk()), ids(mk())
+        # empty output is fine; must not raise
+        n = overlay_shuffle(a, b, "union", left_id="key", right_id="key", res=3).count()
+        assert n == 0
+        m = sjoin_nearest_shuffle(
+            mk(), mk(), max_distance=None, res=3, left_id="id", right_id="id"
+        ).count()
+        assert m == 0
+        bd = mk().map_batches(
+            lambda t: t.append_column("d", pa.array(np.ones(len(t)))), batch_format="pyarrow"
+        )
+        out = buffer(bd, "d").to_pandas()
+        assert len(out) == len(mk().to_pandas())
+
+    # verify_pairs with empty candidates over real-shaped docs
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1], type=pa.int64()), "text": ["a b c", "a b d"]})
+    )
+    empty_pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())})
+    )
+    assert verify_pairs_exact(empty_pairs, docs).count() == 0
+
+    # partitioned sink over an empty dataset: no partitions, empty manifest rows
+    tmp = tempfile.mkdtemp()
+    rows = write_geoparquet(_empty_ds(), tmp, partition_by="id")
+    frag_dir = os.path.join(tmp, "fragments")
+    assert os.path.isdir(frag_dir)
+    assert sum(len(f) for _, _, f in os.walk(frag_dir)) == 0 or all(r["rows"] == 0 for r in rows)
