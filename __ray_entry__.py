@@ -837,6 +837,39 @@ def q_media_decode(sf_dir):
     return _select(out, ["doc_id", "media_bytes", "media_mean", "width", "height"])
 
 
+def q_media_resize(sf_dir):
+    # resize chained after decode: constant-byte payloads resample to the
+    # same constant except zero PADDING (len < w*h), and the sampled
+    # positions are pure integer arithmetic DuckDB reproduces exactly
+    import ray.data
+
+    from geopandas_ray.functions.media import decode_media, resize_media
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        n = ids % 1000 + 10
+        v = ids % 251
+        payloads = [bytes([int(vv)]) * int(nn) for vv, nn in zip(v, n)]
+        return b.append_column("payload", pa.array(payloads, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow"
+    )
+    rs = resize_media(decode_media(ds), 16, 8)
+
+    def stats(b: pa.Table) -> pa.Table:
+        payloads = b.column("payload").to_pylist()
+        rbytes = np.array([len(p) if p else 0 for p in payloads], dtype=np.int64)
+        rmean = np.array(
+            [float(np.frombuffer(p, dtype=np.uint8).mean()) if p else 0.0 for p in payloads]
+        )
+        return pa.table(
+            {"doc_id": b.column("doc_id"), "rbytes": pa.array(rbytes), "rmean": pa.array(rmean)}
+        )
+
+    return rs.map_batches(stats, batch_format="pyarrow")
+
+
 def q_spans_passthrough(sf_dir):
     # north-rule invariant: every row SURVIVING a spatial filter preserves
     # its span sequence (kind, text, media_ref, order) exactly. Spans ride
@@ -2343,6 +2376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "spans_passthrough": q_spans_passthrough,
         "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
         "curation": q_curation,
         "knn_cosine": q_knn_cosine,
         "embed_near_dup": q_embed_near_dup,
@@ -2798,6 +2832,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT dd.doc_id, dd.text, 'en' AS lang_pred, dd.n_tokens
             FROM dd WHERE dd.doc_id NOT IN (SELECT doc_id FROM leaked)
         """,
+        "media_resize": (
+            "WITH d AS (SELECT doc_id, doc_id%1000+10 AS n, doc_id%251 AS v, "
+            "(doc_id%1000+10)%640+1 AS w, (doc_id%1000+10)%480+1 AS h FROM documents), "
+            "s AS (SELECT d.doc_id, d.n, d.v, "
+            "CAST(floor(r.r*d.h/8) AS BIGINT)*d.w + CAST(floor(c.c*d.w/16) AS BIGINT) AS pos "
+            "FROM d, (SELECT unnest(generate_series(0,7)) AS r) r, "
+            "(SELECT unnest(generate_series(0,15)) AS c) c) "
+            "SELECT doc_id, CAST(128 AS BIGINT) AS rbytes, "
+            "CAST(SUM(CASE WHEN pos < n THEN v ELSE 0 END) AS DOUBLE)/128 AS rmean "
+            "FROM s GROUP BY doc_id"
+        ),
         "media_decode": (
             "SELECT doc_id, CAST(doc_id % 1000 + 10 AS BIGINT) AS media_bytes, "
             "CAST(doc_id % 251 AS DOUBLE) AS media_mean, "

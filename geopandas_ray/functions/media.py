@@ -144,3 +144,114 @@ def spans_media_refs(ds: ray.data.Dataset, spans_col: str = "spans") -> ray.data
         return out.filter(pc.not_equal(out.column("media_ref"), ""))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+class MediaResizer:
+    """Actor stage: resize decoded media to a target (width, height).
+
+    The real kernel is a codec call; in-container the 'fake' kernel is a
+    genuine nearest-neighbor byte resample over the payload viewed as a
+    width x height uint8 grid - deterministic and vectorized, so the
+    plumbing (per-actor setup, small batch sizes for big payloads,
+    payload-in/payload-out schema) is exercised for real."""
+
+    def __init__(
+        self,
+        target_width: int,
+        target_height: int,
+        payload_col: str = "payload",
+        width_col: str = "width",
+        height_col: str = "height",
+        kernel: str = "fake",
+    ):
+        if kernel not in ("fake",):
+            raise NotImplementedError(
+                f"kernel={kernel!r}: real image codecs are not available in this container"
+            )
+        self.tw = int(target_width)
+        self.th = int(target_height)
+        self.payload_col = payload_col
+        self.width_col = width_col
+        self.height_col = height_col
+
+    def _resize_one(self, p: bytes | None, w: int, h: int) -> bytes | None:
+        if not p or w <= 0 or h <= 0:
+            return None
+        a = np.frombuffer(p, dtype=np.uint8)
+        n = w * h
+        if len(a) < n:  # pad the fake pixel grid deterministically
+            a = np.concatenate([a, np.zeros(n - len(a), dtype=np.uint8)])
+        grid = a[:n].reshape(h, w)
+        yi = (np.arange(self.th) * h) // self.th
+        xi = (np.arange(self.tw) * w) // self.tw
+        return grid[yi][:, xi].tobytes()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        payloads = b.column(self.payload_col).to_pylist()
+        ws = np.asarray(b.column(self.width_col), dtype=np.int64)
+        hs = np.asarray(b.column(self.height_col), dtype=np.int64)
+        out = [self._resize_one(p, int(w), int(h)) for p, w, h in zip(payloads, ws, hs)]
+        i = b.column_names.index(self.payload_col)
+        b = b.set_column(i, self.payload_col, pa.array(out, type=pa.large_binary()))
+        b = b.set_column(
+            b.column_names.index(self.width_col), self.width_col,
+            pa.array(np.full(len(out), self.tw, dtype=np.int32)),
+        )
+        return b.set_column(
+            b.column_names.index(self.height_col), self.height_col,
+            pa.array(np.full(len(out), self.th, dtype=np.int32)),
+        )
+
+
+def resize_media(ds: ray.data.Dataset, target_width: int, target_height: int,
+                 concurrency=None, batch_size: int = 64, **kw) -> ray.data.Dataset:
+    return ds.map_batches(
+        MediaResizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,  # small: payloads are big binaries
+        concurrency=default_pool(concurrency),
+        fn_constructor_kwargs=dict(target_width=target_width, target_height=target_height, **kw),
+    )
+
+
+class MediaEmbedder:
+    """Actor stage: media payload -> fixed-dim embedding (batched
+    'inference'). The projection matrix loads ONCE per actor in __init__
+    (the model-load slot); __call__ runs one batched matmul over the
+    byte-histogram features - the exact shape a real vision encoder uses.
+    Deterministic: seeded projection, L2-normalized output."""
+
+    def __init__(self, dim: int = 64, payload_col: str = "payload",
+                 out_col: str = "media_embedding", seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.proj = rng.normal(size=(256, dim)).astype(np.float64)  # 'model weights'
+        self.dim = dim
+        self.payload_col = payload_col
+        self.out_col = out_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        payloads = b.column(self.payload_col).to_pylist()
+        feats = np.zeros((len(payloads), 256), dtype=np.float64)
+        for i, p in enumerate(payloads):
+            if p:
+                a = np.frombuffer(p, dtype=np.uint8)
+                feats[i] = np.bincount(a, minlength=256) / len(a)
+        emb = feats @ self.proj  # one batched 'forward pass'
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        emb /= norms[:, None]
+        return b.append_column(
+            self.out_col,
+            pa.FixedSizeListArray.from_arrays(pa.array(emb.ravel()), self.dim),
+        )
+
+
+def embed_media(ds: ray.data.Dataset, dim: int = 64, concurrency=None,
+                batch_size: int = 64, **kw) -> ray.data.Dataset:
+    return ds.map_batches(
+        MediaEmbedder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=default_pool(concurrency),
+        fn_constructor_kwargs=dict(dim=dim, **kw),
+    )

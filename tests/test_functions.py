@@ -588,3 +588,44 @@ def test_verify_pairs_exact_matches_bruteforce():
     for _, r in got.iterrows():
         assert abs(r.jaccard - ngram_jaccard(texts[int(r.id_a)], texts[int(r.id_b)], 3)) < 1e-12
     assert (got.jaccard >= 0.7).all() and len(got) > 0
+
+
+def test_media_resize_and_embed():
+    # resize: deterministic nearest-neighbor byte resample through the
+    # decode -> resize chain; embed: per-actor 'weights', batched matmul,
+    # output chains straight into knn_brute
+    from geopandas_ray.functions.knn import knn_brute
+    from geopandas_ray.functions.media import decode_media, embed_media, resize_media
+
+    rng = np.random.RandomState(9)
+    payloads = [rng.bytes(4096), rng.bytes(4096), rng.bytes(1000), None]
+    t = pa.table(
+        {
+            "mid": pa.array(range(4), type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+        }
+    )
+    ds = decode_media(ray.data.from_arrow(t))
+    rs = resize_media(ds, 16, 8).to_pandas().sort_values("mid")
+    live = rs[rs.payload.notna()]
+    assert (live.payload.map(len) == 16 * 8).all()
+    assert (rs.width == 16).all() and (rs.height == 8).all()
+    assert rs.payload.iloc[3] is None
+    # determinism
+    rs2 = resize_media(decode_media(ray.data.from_arrow(t)), 16, 8).to_pandas().sort_values("mid")
+    assert rs.payload.tolist() == rs2.payload.tolist()
+
+    em = embed_media(ray.data.from_arrow(t), dim=32).to_pandas().sort_values("mid")
+    V = np.stack(em.media_embedding.to_numpy())
+    assert V.shape == (4, 32)
+    assert np.allclose(np.linalg.norm(V[:3], axis=1), 1.0)  # live rows normalized
+    assert np.allclose(V[3], 0.0)  # null payload -> zero vector
+    # chains into the ANN surface
+    e = embed_media(ray.data.from_arrow(t), dim=32).map_batches(
+        lambda b: b.select(["mid", "media_embedding"]).rename_columns(["vec_id", "embedding"]),
+        batch_format="pyarrow",
+    )
+    corpus = pa.table({"vec_id": pa.array(range(4), type=pa.int64()),
+                       "embedding": pa.FixedSizeListArray.from_arrays(pa.array(V.ravel()), 32)})
+    kn = knn_brute(e, corpus, k=2).to_pandas()
+    assert kn.vec_id.nunique() == 4
