@@ -70,7 +70,11 @@ def with_convex_hull(ds, geometry="geometry", out="convex_hull"):
 
 def with_boundary(ds, geometry="geometry", out="boundary"):
     """base.py:729 - polygon -> rings as (Multi)LineString; line -> end
-    MultiPoint; point -> empty."""
+    MultiPoint; point -> empty.
+
+    Single-ring-polygon rows (the hot shape) skip the per-row walk: their
+    boundary is the ring itself as a LineString, encoded for the whole
+    batch in one vectorized pass; everything else takes the generic path."""
 
     def fn(g, i):
         parts = []
@@ -89,7 +93,47 @@ def with_boundary(ds, geometry="geometry", out="boundary"):
             return struct.pack("<BII", 1, 7, 0)  # GEOMETRYCOLLECTION EMPTY
         return _parts_to_wkb(parts)
 
-    return _map_rows_geometry(ds, fn, geometry, out)
+    from ..geom.wkb import single_rings_to_wkb
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        n = len(g)
+        nparts = np.diff(g.row_offsets)
+        first_part = g.row_offsets[:-1].clip(max=max(len(g.part_types) - 1, 0))
+        ptype = g.part_types[first_part] if len(g.part_types) else np.zeros(n, dtype=np.int8)
+        nrings = np.diff(g.part_offsets)[first_part] if len(g.part_types) else np.zeros(n, dtype=np.int64)
+        fast = (nparts == 1) & (ptype == POLYGON) & (nrings == 1)
+        vals = np.full(n, None, dtype=object)
+        slow = False
+        rt = g.row_types
+        for i in np.nonzero(~fast)[0]:
+            if rt[i] != 0:
+                vals[i] = fn(g, i)
+                slow = True
+        if fast.any():
+            p = g.row_offsets[:-1][fast]
+            r0 = g.part_offsets[p]
+            starts = g.ring_offsets[r0]
+            ends = g.ring_offsets[r0 + 1]
+            lens = (ends - starts).astype(np.int64)
+            total = int(lens.sum())
+            cum = np.cumsum(lens) - lens
+            sel = np.repeat(starts, lens) + (np.arange(total) - np.repeat(cum, lens))
+            enc = single_rings_to_wkb(
+                np.full(int(fast.sum()), LINESTRING, dtype=np.uint8), lens, g.coords[sel]
+            )
+            if fast.all() and not slow:
+                arr = enc
+            else:
+                vals[fast] = enc.to_pylist()
+                arr = pa.array(vals.tolist(), type=pa.large_binary())
+        else:
+            arr = pa.array(vals.tolist(), type=pa.large_binary())
+        if out in b.column_names:
+            return b.set_column(b.column_names.index(out), out, arr)
+        return b.append_column(out, arr)
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def simplify(ds, tolerance: float, geometry="geometry"):
