@@ -202,6 +202,10 @@ def _resolve_transform(src: str, dst: str):
     if fn is not None:
         return fn
     s, d = src.upper(), dst.upper()
+    if s == d:
+        # src == dst must be a bit-exact identity, never a lossy WGS84
+        # round-trip (value-hash parity downstream).
+        return lambda x, y: (x, y)
     to_ll = _to_4326(s)
     from_ll = _from_4326(d)
     if to_ll is None or from_ll is None:

@@ -135,6 +135,10 @@ def curate(
                         if c not in df.columns:
                             df[c] = None
                     df = df[keep_cols]
+                    # same hardening as merge.hash_join: an object-dtype id
+                    # block (zero-row upstream upcast) hashes differently
+                    # from int64, silently splitting matches across parts
+                    df[id_col] = df[id_col].infer_objects()
                     df["__m"] = np.int8(side)
                     df["__part"] = pd.util.hash_array(df[id_col].to_numpy()) % nparts
                     return df

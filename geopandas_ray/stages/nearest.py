@@ -585,6 +585,26 @@ def _nearest_shuffle_unbounded(
         ).filter(pa.array(valid))
 
     unresolved = left.map_batches(slim_left, batch_format="pyarrow").materialize()
+
+    def slim_right(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(right_geometry))
+        bb = K.bounds(g)
+        valid = ~np.isnan(bb).any(axis=1)
+        return pa.table(
+            {
+                "__srid": b.column(right_id),
+                "__sgeom": b.column(right_geometry).cast(pa.large_binary()),
+                "__minx": pa.array(bb[:, 0]),
+                "__miny": pa.array(bb[:, 1]),
+                "__maxx": pa.array(bb[:, 2]),
+                "__maxy": pa.array(bb[:, 3]),
+            }
+        ).filter(pa.array(valid))
+
+    # slim + materialize ONCE: the round loop consumes the right side up to
+    # res+1 times — a lazy right would re-execute its whole upstream plan
+    # (and re-decode every WKB) per round
+    rslim = right.map_batches(slim_right, batch_format="pyarrow").materialize()
     rounds: list[ray.data.Dataset] = []
     for rr in range(res, -1, -1):
         n_cells = 1 << rr
@@ -608,19 +628,14 @@ def _nearest_shuffle_unbounded(
             )
 
         def key_right(b: pa.Table, _rr=rr, _d=csize) -> pa.Table:
-            g = from_wkb(b.column(right_geometry))
-            bb = K.bounds(g)
-            valid = ~np.isnan(bb).any(axis=1)
             row_idx, cells = cells_for_bbox(
-                np.where(valid, bb[:, 0] - _d, 0.0),
-                np.where(valid, bb[:, 1] - _d, 0.0),
-                np.where(valid, bb[:, 2] + _d, 0.0),
-                np.where(valid, bb[:, 3] + _d, 0.0),
+                np.asarray(b.column("__minx"), dtype=np.float64) - _d,
+                np.asarray(b.column("__miny"), dtype=np.float64) - _d,
+                np.asarray(b.column("__maxx"), dtype=np.float64) + _d,
+                np.asarray(b.column("__maxy"), dtype=np.float64) + _d,
                 _rr,
                 domain,
             )
-            keep = valid[row_idx]
-            row_idx, cells = row_idx[keep], cells[keep]
             taken = b.take(pa.array(row_idx))
             n = len(row_idx)
             return pa.table(
@@ -630,8 +645,8 @@ def _nearest_shuffle_unbounded(
                     "__lid": pa.nulls(n, ltype),
                     "__lx": pa.nulls(n, pa.float64()),
                     "__ly": pa.nulls(n, pa.float64()),
-                    "__rid": taken.column(right_id),
-                    "__geom": taken.column(right_geometry).cast(pa.large_binary()),
+                    "__rid": taken.column("__srid"),
+                    "__geom": taken.column("__sgeom"),
                 }
             )
 
@@ -658,21 +673,29 @@ def _nearest_shuffle_unbounded(
                     }
                 )
             rg = from_wkb(rt.column("__geom"))
-            best = np.full(len(px), np.inf)
-            for j in range(len(rt)):
-                d2 = K.points_to_geom_sqdist(rg, j, px, py)
-                np.minimum(best, d2, out=best)
-            accept = best <= _csize * _csize
-            if _final:
-                accept = np.ones(len(px), dtype=bool) & np.isfinite(best)
+            nL, nR = len(px), len(rt)
+            # single kernel pass: chunk lefts so the dense d2 block stays
+            # ~16MB, take min + tie hits from the same block instead of
+            # recomputing every distance for the pair-emission loop
+            chunk = max(1, int(2_000_000 // max(nR, 1)))
+            best = np.full(nL, np.inf)
             pair_li, pair_rj = [], []
-            for j in range(len(rt)):
-                d2 = K.points_to_geom_sqdist(rg, j, px, py)
-                hit = accept & (d2 == best)
-                if hit.any():
-                    idx = np.nonzero(hit)[0]
-                    pair_li.append(idx)
-                    pair_rj.append(np.full(len(idx), j, dtype=np.int64))
+            for s in range(0, nL, chunk):
+                e = min(s + chunk, nL)
+                cx, cy = px[s:e], py[s:e]
+                D = np.empty((nR, e - s))
+                for j in range(nR):
+                    D[j] = K.points_to_geom_sqdist(rg, j, cx, cy)
+                bc = D.min(axis=0)
+                best[s:e] = bc
+                acc = np.isfinite(bc) if _final else bc <= _csize * _csize
+                for j in range(nR):
+                    hit = acc & (D[j] == bc)
+                    if hit.any():
+                        idx = np.nonzero(hit)[0]
+                        pair_li.append(idx + s)
+                        pair_rj.append(np.full(len(idx), j, dtype=np.int64))
+            accept = np.isfinite(best) if _final else best <= _csize * _csize
             parts = []
             if pair_li:
                 li = np.concatenate(pair_li)
@@ -707,7 +730,7 @@ def _nearest_shuffle_unbounded(
             return pa.concat_tables(parts)
 
         lkeyed = unresolved.map_batches(key_left, batch_format="pyarrow")
-        rkeyed = right.map_batches(key_right, batch_format="pyarrow")
+        rkeyed = rslim.map_batches(key_right, batch_format="pyarrow")
         round_out = (
             lkeyed.union(rkeyed)
             .repartition(nparts)

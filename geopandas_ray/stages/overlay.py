@@ -941,7 +941,10 @@ def overlay_shuffle(
         return pa.table(cols)
 
     pairs = both.groupby("cell").map_groups(cell_pairs, batch_format="pyarrow")
-    consumers = int(need_inter) + int(need_diff1) + int(need_diff2)
+    # each diff side consumes pairs TWICE: _diff_leg plus _unmatched_pad's
+    # tag_matched — undercounting here re-executes the whole shuffle plan
+    # once per extra consumer
+    consumers = int(need_inter) + 2 * int(need_diff1) + 2 * int(need_diff2)
     if consumers > 1:
         pairs = pairs.materialize()
 

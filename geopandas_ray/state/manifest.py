@@ -90,8 +90,23 @@ class FragmentWriter:
 
             col = batch.column(self.partition_by)
             for v in pc.unique(col).to_pylist():
-                sub = batch.filter(pc.equal(col, v))
-                safe_v = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in str(v))[-60:]
+                # pc.equal(col, None) yields an all-null mask that selects 0
+                # rows — null keys need an explicit is_null filter or they'd
+                # be silently dropped from the sink.
+                if v is None:
+                    sub = batch.filter(pc.is_null(col))
+                    safe_v = "__null__"
+                else:
+                    sub = batch.filter(pc.equal(col, v))
+                    raw = str(v)
+                    safe_v = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in raw)[-60:]
+                    # distinct values can collide after sanitization or the
+                    # 60-char truncation ("a/b" vs "a_b"); a stable hash
+                    # suffix keeps one directory per distinct value.
+                    if safe_v != raw:
+                        import hashlib
+
+                        safe_v += "-" + hashlib.md5(raw.encode()).hexdigest()[:8]
                 rows.append(
                     self._write_one(sub, f"{self.partition_by}_{safe_v}", str(v))
                 )

@@ -125,3 +125,32 @@ def test_partitioned_write_and_selective_read(tmp_path):
     m = load_manifest(out)
     assert len(m) == len(rows) and all("partition" in r for r in m)
     assert {r["partition"] for r in m} == {"0", "1", "2", "3"}
+
+
+def test_partitioned_write_null_keys_and_collisions(tmp_path):
+    import numpy as np
+    from geopandas_ray.geom.wkb import points_to_wkb
+    from geopandas_ray.sources.geoparquet import read_geoparquet, write_geoparquet
+
+    out = str(tmp_path / "nullparts")
+    keys = pa.array(["a/b", "a_b", None, "a_b", None, "c"])
+    n = len(keys)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n)),
+            "k": keys,
+            "geometry": points_to_wkb(np.arange(n, dtype=float), np.zeros(n)),
+        }
+    )
+    write_geoparquet(ray.data.from_arrow(t), out, partition_by="k")
+    frag_dir = os.path.join(out, "fragments")
+    subdirs = sorted(os.listdir(frag_dir))
+    # null keys land in their own directory; sanitized 'a/b' must NOT share
+    # a directory with literal 'a_b'
+    assert "k___null__" in subdirs
+    assert len(subdirs) == 4, subdirs
+    full = read_geoparquet(frag_dir).to_pandas()
+    assert len(full) == n  # no silently dropped rows
+    assert sorted(full.doc_id) == list(range(n))
+    null_part = read_geoparquet(os.path.join(frag_dir, "k___null__")).to_pandas()
+    assert sorted(null_part.doc_id) == [2, 4]

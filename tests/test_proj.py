@@ -140,3 +140,17 @@ def test_to_crs_stage_with_registry_codes():
     g = from_wkb(out.geometry.tolist())
     b = K.bounds(g)
     assert abs(b[0, 0] - 4321000.0) < 1e-6 and abs(b[0, 1] - 3210000.0) < 1e-6
+
+
+def test_self_transform_is_bit_exact_identity():
+    # src == dst must NOT route through a lossy WGS84 round-trip
+    import numpy as np
+
+    for code in ["EPSG:27700", "EPSG:2154", "EPSG:3035", "EPSG:3857", "EPSG:4326"]:
+        fn = _resolve_transform(code, code)
+        assert fn is not None, code
+        x = np.array([531000.0, 12345.678])
+        y = np.array([181000.0, 98765.432])
+        ox, oy = fn(x, y)
+        assert np.array_equal(np.asarray(ox, dtype=float), x), code
+        assert np.array_equal(np.asarray(oy, dtype=float), y), code
