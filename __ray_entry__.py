@@ -1857,6 +1857,61 @@ def q_delaunay_area(sf_dir):
     return _select(ds, ["doc_id", "tri_area", "n_tris"])
 
 
+def q_voronoi_strip_areas(sf_dir):
+    # voronoi of 3 collinear sites per doc (base.py:999): under the default
+    # 50%-inflated envelope the cells are three strips of unit height with
+    # closed-form widths 2w | 1.5w | 2.5w — halves of integers, so the
+    # shoelace areas are bit-exact doubles; sorted as (min, mid, max) to
+    # stay independent of cell emission order
+    import ray.data
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.explode import explode
+    from geopandas_ray.stages.ops import with_area
+    from geopandas_ray.stages.ops2 import voronoi_polygons
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        x0 = ((did * 37) % 1000).astype(np.float64)
+        y0 = ((did * 91) % 1000).astype(np.float64)
+        w = (2 + (did % 5)).astype(np.float64)
+        vals = []
+        for i in range(len(did)):
+            pts = np.array(
+                [
+                    [x0[i], y0[i]],
+                    [x0[i] + w[i], y0[i]],
+                    [x0[i] + 3 * w[i], y0[i]],
+                ]
+            )
+            vals.append(_parts_to_wkb([(1, [p[None, :]]) for p in pts]))
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = voronoi_polygons(ds)
+    ds = explode(ds, geometry="voronoi")
+    ds = with_area(ds, geometry="voronoi", out="cell_area")
+    g = ds.groupby("doc_id").aggregate(
+        Count(alias_name="n_cells"),
+        Min("cell_area", alias_name="a_min"),
+        Max("cell_area", alias_name="a_max"),
+        Sum("cell_area", alias_name="a_sum"),
+    )
+
+    def mid(b: pa.Table) -> pa.Table:
+        a_mid = pa.compute.subtract(
+            pa.compute.subtract(b.column("a_sum"), b.column("a_min")), b.column("a_max")
+        )
+        return b.append_column("a_mid", a_mid)
+
+    g = g.map_batches(mid, batch_format="pyarrow")
+    return _select(g, ["doc_id", "n_cells", "a_min", "a_mid", "a_max"])
+
+
 def q_cx_filter(sf_dir):
     # the .cx bbox indexer over the document points
     from geopandas_ray.pipelines.datasets import doc_points
@@ -2415,6 +2470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_rotated_rect_area": q_min_rotated_rect_area,
         "simplify_counts": q_simplify_counts,
         "delaunay_area": q_delaunay_area,
+        "voronoi_strip_areas": q_voronoi_strip_areas,
         "cx_filter": q_cx_filter,
         "concat_sources": q_concat_sources,
         "geom_value_counts": q_geom_value_counts,
@@ -3062,6 +3118,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "CAST((2*(5 + doc_id%9) - 1) AS DOUBLE) * (4 + doc_id%7) / 2.0 AS tri_area, "
             "CAST(2 AS BIGINT) AS n_tris FROM documents"
+        ),
+        "voronoi_strip_areas": (
+            "SELECT doc_id, CAST(3 AS BIGINT) AS n_cells, "
+            "1.5 * (2 + doc_id % 5) AS a_min, "
+            "2.0 * (2 + doc_id % 5) AS a_mid, "
+            "2.5 * (2 + doc_id % 5) AS a_max FROM documents"
         ),
         "cx_filter": (
             f"{W} SELECT doc_id, px AS x, py AS y FROM pts WHERE "
