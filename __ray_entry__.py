@@ -1912,6 +1912,116 @@ def q_voronoi_strip_areas(sf_dir):
     return _select(g, ["doc_id", "n_cells", "a_min", "a_mid", "a_max"])
 
 
+def q_collect_groups(sf_dir):
+    # tools/util.py:10 collect: per-group MultiPoint of the doc points,
+    # then count_geometries + bounds — SQL group aggregates over pts
+    import ray.data
+
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.ops import with_bounds, with_counts
+    from geopandas_ray.stages.ops2 import collect
+
+    def add_grp(b: pa.Table) -> pa.Table:
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        return b.append_column("grp", pa.array(did % 25))
+
+    ds = doc_points(sf_dir).map_batches(add_grp, batch_format="pyarrow")
+
+    def per_group(b: pa.Table) -> pa.Table:
+        mp = collect(b.column("geometry").to_pylist())
+        return pa.table(
+            {
+                "grp": pa.array([b.column("grp")[0].as_py()], type=pa.int64()),
+                "geometry": pa.array([mp], type=pa.large_binary()),
+            }
+        )
+
+    g = ds.groupby("grp").map_groups(per_group, batch_format="pyarrow")
+    g = with_counts(g)
+    g = with_bounds(g)
+    g = _rename(g, {"count_geometries": "n"})
+    return _select(g, ["grp", "n", "minx", "miny", "maxx", "maxy"])
+
+
+def q_reverse_endpoint(sf_dir):
+    # base.py:1679 reverse: interpolate(0) on the reversed line is the
+    # original END vertex — closed form from the integer derive
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_xy
+    from geopandas_ray.stages.ops2 import interpolate, reverse
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        x = ((did * 37) % 1000).astype(np.float64)
+        y = ((did * 91) % 1000).astype(np.float64)
+        vals = [
+            _parts_to_wkb(
+                [
+                    (
+                        2,
+                        [
+                            np.array(
+                                [
+                                    [x[i], y[i]],
+                                    [x[i] + 3, y[i] + 1],
+                                    [x[i] + 5 + did[i] % 4, y[i] + 4],
+                                ]
+                            )
+                        ],
+                    )
+                ]
+            )
+            for i in range(len(did))
+        ]
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = reverse(ds)
+    ds = interpolate(ds, 0.0, out="p0")
+    ds = with_xy(ds, geometry="p0")
+    return _select(ds, ["doc_id", "x", "y"])
+
+
+def q_unique_points_stats(sf_dir):
+    # base.py:1234 extract_unique_points: multipoint with a duplicated
+    # first vertex -> 2 unique points; bounds are closed-form
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_bounds, with_counts
+    from geopandas_ray.stages.ops3 import extract_unique_points
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        x = ((did * 37) % 1000).astype(np.float64)
+        y = ((did * 91) % 1000).astype(np.float64)
+        w = (1 + did % 6).astype(np.float64)
+        vals = [
+            _parts_to_wkb(
+                [
+                    (1, [np.array([[x[i], y[i]]])]),
+                    (1, [np.array([[x[i] + w[i], y[i]]])]),
+                    (1, [np.array([[x[i], y[i]]])]),
+                ]
+            )
+            for i in range(len(did))
+        ]
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = extract_unique_points(ds)
+    ds = with_counts(ds, geometry="unique_points")
+    ds = with_bounds(ds, geometry="unique_points")
+    ds = _rename(ds, {"count_geometries": "n"})
+    return _select(ds, ["doc_id", "n", "minx", "maxx"])
+
+
 def q_cx_filter(sf_dir):
     # the .cx bbox indexer over the document points
     from geopandas_ray.pipelines.datasets import doc_points
@@ -2471,6 +2581,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simplify_counts": q_simplify_counts,
         "delaunay_area": q_delaunay_area,
         "voronoi_strip_areas": q_voronoi_strip_areas,
+        "collect_groups": q_collect_groups,
+        "reverse_endpoint": q_reverse_endpoint,
+        "unique_points_stats": q_unique_points_stats,
         "cx_filter": q_cx_filter,
         "concat_sources": q_concat_sources,
         "geom_value_counts": q_geom_value_counts,
@@ -3124,6 +3237,21 @@ def oracle_sql() -> dict[str, str]:
             "1.5 * (2 + doc_id % 5) AS a_min, "
             "2.0 * (2 + doc_id % 5) AS a_mid, "
             "2.5 * (2 + doc_id % 5) AS a_max FROM documents"
+        ),
+        "collect_groups": (
+            f"{W} SELECT doc_id % 25 AS grp, COUNT(*) AS n, "
+            "MIN(px) AS minx, MIN(py) AS miny, MAX(px) AS maxx, MAX(py) AS maxy "
+            "FROM pts GROUP BY doc_id % 25"
+        ),
+        "reverse_endpoint": (
+            "SELECT doc_id, "
+            "CAST((doc_id*37)%1000 + 5 + doc_id%4 AS DOUBLE) AS x, "
+            "CAST((doc_id*91)%1000 + 4 AS DOUBLE) AS y FROM documents"
+        ),
+        "unique_points_stats": (
+            "SELECT doc_id, CAST(2 AS BIGINT) AS n, "
+            "CAST((doc_id*37)%1000 AS DOUBLE) AS minx, "
+            "CAST((doc_id*37)%1000 + 1 + doc_id%6 AS DOUBLE) AS maxx FROM documents"
         ),
         "cx_filter": (
             f"{W} SELECT doc_id, px AS x, py AS y FROM pts WHERE "
