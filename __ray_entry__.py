@@ -2022,6 +2022,155 @@ def q_unique_points_stats(sf_dir):
     return _select(ds, ["doc_id", "n", "minx", "maxx"])
 
 
+def q_polygonize_squares(sf_dir):
+    # base.py:5763 polygonize: four shuffled/reversed segments stitch into
+    # one square ring per doc; area is closed-form
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_area, with_counts
+    from geopandas_ray.stages.ops3 import polygonize
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        x = ((did * 37) % 1000).astype(np.float64)
+        y = ((did * 91) % 1000).astype(np.float64)
+        s = (2 + did % 5).astype(np.float64)
+        vals = []
+        for i in range(len(did)):
+            a = (x[i], y[i])
+            bb = (x[i] + s[i], y[i])
+            c = (x[i] + s[i], y[i] + s[i])
+            d = (x[i], y[i] + s[i])
+            segs = [  # shuffled order, one reversed: stitching must reorder
+                (2, [np.array([c, bb])]),
+                (2, [np.array([a, bb])]),
+                (2, [np.array([d, a])]),
+                (2, [np.array([c, d])]),
+            ]
+            vals.append(_parts_to_wkb(segs))
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = polygonize(ds)
+    ds = with_area(ds, geometry="polygonized", out="area")
+    ds = with_counts(ds, geometry="polygonized")
+    ds = _rename(ds, {"count_geometries": "n_polys"})
+    return _select(ds, ["doc_id", "area", "n_polys"])
+
+
+def q_is_simple_flags(sf_dir):
+    # base.py:454 is_simple (JTS IsSimpleOp): even docs get an open
+    # L-chain (simple), odd docs a bowtie whose two diagonals cross at the
+    # midpoint (not simple); both open
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops2 import with_ring_flags
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        x = ((did * 37) % 1000).astype(np.float64)
+        y = ((did * 91) % 1000).astype(np.float64)
+        vals = []
+        for i in range(len(did)):
+            if did[i] % 2 == 0:
+                pts = np.array([[x[i], y[i]], [x[i] + 4, y[i]], [x[i] + 4, y[i] + 3]])
+            else:
+                pts = np.array(
+                    [
+                        [x[i], y[i]],
+                        [x[i] + 4, y[i] + 4],
+                        [x[i] + 4, y[i]],
+                        [x[i], y[i] + 4],
+                    ]
+                )
+            vals.append(_parts_to_wkb([(2, [pts])]))
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = with_ring_flags(ds)
+    return _select(ds, ["doc_id", "is_simple", "is_closed"])
+
+
+def q_disjoint_flags(sf_dir):
+    # base.py:2043 disjoint, element-wise two-column form: doc point vs a
+    # derived rect column; disjoint = NOT within-or-on-boundary
+    import ray.data
+
+    from geopandas_ray.geom.wkb import boxes_to_wkb
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.binary import binary_predicate
+
+    def add_rect(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        minx = ((did * 13) % 900).astype(np.float64)
+        miny = ((did * 29) % 880).astype(np.float64)
+        maxx = minx + 40 + (did % 5) * 30
+        maxy = miny + 30 + (did % 7) * 25
+        return b.append_column("rect", boxes_to_wkb(minx, miny, maxx, maxy))
+
+    ds = doc_points(sf_dir).map_batches(add_rect, batch_format="pyarrow")
+    ds = binary_predicate(ds, "disjoint", "rect")
+    return _select(ds, ["doc_id", "disjoint"])
+
+
+def q_transform_affine_xy(sf_dir):
+    # base.py transform with a vectorized coordinate UDF: (x, y) ->
+    # (x + 2, 3y) over the doc points
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.ops import with_xy
+    from geopandas_ray.stages.ops3 import transform_coords
+
+    def fn(c):
+        return np.column_stack([c[:, 0] + 2.0, 3.0 * c[:, 1]])
+
+    ds = transform_coords(doc_points(sf_dir), fn)
+    ds = with_xy(ds)
+    return _select(ds, ["doc_id", "x", "y"])
+
+
+def q_concave_hull_convex_limit(sf_dir):
+    # base.py:799 concave_hull at ratio=1 degenerates to the convex hull:
+    # trapezoid 4-point sets give the same closed-form area as
+    # delaunay_area ((2w-1)h/2)
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_area
+    from geopandas_ray.stages.ops3 import with_concave_hull
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        x0 = ((did * 37) % 1000).astype(np.float64)
+        y0 = ((did * 91) % 1000).astype(np.float64)
+        w = (5 + (did % 9)).astype(np.float64)
+        h = (4 + (did % 7)).astype(np.float64)
+        vals = []
+        for i in range(len(did)):
+            pts = np.array(
+                [
+                    [x0[i], y0[i]],
+                    [x0[i] + w[i], y0[i]],
+                    [x0[i], y0[i] + h[i]],
+                    [x0[i] + w[i] - 1, y0[i] + h[i]],
+                ]
+            )
+            vals.append(_parts_to_wkb([(1, [p[None, :]]) for p in pts]))
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = with_concave_hull(ds, ratio=1.0)
+    ds = with_area(ds, geometry="concave_hull", out="hull_area")
+    return _select(ds, ["doc_id", "hull_area"])
+
+
 def q_cx_filter(sf_dir):
     # the .cx bbox indexer over the document points
     from geopandas_ray.pipelines.datasets import doc_points
@@ -2584,6 +2733,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collect_groups": q_collect_groups,
         "reverse_endpoint": q_reverse_endpoint,
         "unique_points_stats": q_unique_points_stats,
+        "polygonize_squares": q_polygonize_squares,
+        "is_simple_flags": q_is_simple_flags,
+        "disjoint_flags": q_disjoint_flags,
+        "transform_affine_xy": q_transform_affine_xy,
+        "concave_hull_convex_limit": q_concave_hull_convex_limit,
         "cx_filter": q_cx_filter,
         "concat_sources": q_concat_sources,
         "geom_value_counts": q_geom_value_counts,
@@ -3252,6 +3406,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(2 AS BIGINT) AS n, "
             "CAST((doc_id*37)%1000 AS DOUBLE) AS minx, "
             "CAST((doc_id*37)%1000 + 1 + doc_id%6 AS DOUBLE) AS maxx FROM documents"
+        ),
+        "polygonize_squares": (
+            "SELECT doc_id, CAST((2 + doc_id%5) * (2 + doc_id%5) AS DOUBLE) AS area, "
+            "CAST(1 AS BIGINT) AS n_polys FROM documents"
+        ),
+        "is_simple_flags": (
+            "SELECT doc_id, doc_id % 2 = 0 AS is_simple, FALSE AS is_closed FROM documents"
+        ),
+        "disjoint_flags": (
+            "WITH base AS (SELECT doc_id, "
+            "CAST((doc_id*37)%1000 AS DOUBLE) AS px, CAST((doc_id*91)%1000 AS DOUBLE) AS py, "
+            "CAST((doc_id*13)%900 AS DOUBLE) AS minx, CAST((doc_id*29)%880 AS DOUBLE) AS miny, "
+            "CAST((doc_id*13)%900 + 40 + (doc_id%5)*30 AS DOUBLE) AS maxx, "
+            "CAST((doc_id*29)%880 + 30 + (doc_id%7)*25 AS DOUBLE) AS maxy FROM documents) "
+            "SELECT doc_id, NOT (px >= minx AND px <= maxx AND py >= miny AND py <= maxy) "
+            "AS disjoint FROM base"
+        ),
+        "transform_affine_xy": (
+            "SELECT doc_id, CAST((doc_id*37)%1000 + 2 AS DOUBLE) AS x, "
+            "CAST(3 * ((doc_id*91)%1000) AS DOUBLE) AS y FROM documents"
+        ),
+        "concave_hull_convex_limit": (
+            "SELECT doc_id, "
+            "CAST((2*(5 + doc_id%9) - 1) AS DOUBLE) * (4 + doc_id%7) / 2.0 AS hull_area "
+            "FROM documents"
         ),
         "cx_filter": (
             f"{W} SELECT doc_id, px AS x, py AS y FROM pts WHERE "
