@@ -2171,6 +2171,53 @@ def q_concave_hull_convex_limit(sf_dir):
     return _select(ds, ["doc_id", "hull_area"])
 
 
+def q_build_area_hole(sf_dir):
+    # base.py:5712 build_area: outer square ring + nested inner unit ring
+    # -> even-odd face with a hole; area = s^2 - 1
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_area, with_counts
+    from geopandas_ray.stages.ops3 import build_area
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        x = ((did * 37) % 1000).astype(np.float64)
+        y = ((did * 91) % 1000).astype(np.float64)
+        s = (3 + did % 5).astype(np.float64)
+        vals = []
+        for i in range(len(did)):
+            outer = np.array(
+                [
+                    [x[i], y[i]],
+                    [x[i] + s[i], y[i]],
+                    [x[i] + s[i], y[i] + s[i]],
+                    [x[i], y[i] + s[i]],
+                    [x[i], y[i]],
+                ]
+            )
+            inner = np.array(
+                [
+                    [x[i] + 1, y[i] + 1],
+                    [x[i] + 2, y[i] + 1],
+                    [x[i] + 2, y[i] + 2],
+                    [x[i] + 1, y[i] + 2],
+                    [x[i] + 1, y[i] + 1],
+                ]
+            )
+            vals.append(_parts_to_wkb([(2, [outer]), (2, [inner])]))
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = build_area(ds)
+    ds = with_area(ds, geometry="built_area", out="area")
+    ds = with_counts(ds, geometry="built_area")
+    ds = _rename(ds, {"count_coordinates": "n_coords"})
+    return _select(ds, ["doc_id", "area", "n_coords"])
+
+
 def q_cx_filter(sf_dir):
     # the .cx bbox indexer over the document points
     from geopandas_ray.pipelines.datasets import doc_points
@@ -2738,6 +2785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjoint_flags": q_disjoint_flags,
         "transform_affine_xy": q_transform_affine_xy,
         "concave_hull_convex_limit": q_concave_hull_convex_limit,
+        "build_area_hole": q_build_area_hole,
         "cx_filter": q_cx_filter,
         "concat_sources": q_concat_sources,
         "geom_value_counts": q_geom_value_counts,
@@ -3431,6 +3479,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "CAST((2*(5 + doc_id%9) - 1) AS DOUBLE) * (4 + doc_id%7) / 2.0 AS hull_area "
             "FROM documents"
+        ),
+        "build_area_hole": (
+            "SELECT doc_id, "
+            "CAST((3 + doc_id%5) * (3 + doc_id%5) - 1 AS DOUBLE) AS area, "
+            "CAST(10 AS BIGINT) AS n_coords FROM documents"
         ),
         "cx_filter": (
             f"{W} SELECT doc_id, px AS x, py AS y FROM pts WHERE "
