@@ -418,6 +418,35 @@ def run_bench() -> dict:
 
     timed("sjoin_nearest_shuffle", run_nearest_shuffle)
 
+    def run_nearest_unbounded():
+        # the no-max_distance scale path: coarsening ring expansion over
+        # cells (right side slimmed + materialized once)
+        from geopandas_ray.geom.wkb import from_wkb, points_to_wkb
+        import pyarrow as pa
+
+        from geopandas_ray.pipelines.datasets import DOMAIN, doc_points, zone_table
+        from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+        zt = zone_table(SF_DIR)
+        zb = kb(from_wkb(zt.column("geometry")))
+        cents = ray.data.from_arrow(
+            pa.table(
+                {
+                    "zone_key": zt.column("zone_key"),
+                    "geometry": points_to_wkb(
+                        (zb[:, 0] + zb[:, 2]) / 2.0, (zb[:, 1] + zb[:, 3]) / 2.0
+                    ),
+                }
+            )
+        )
+        pts = doc_points(SF_DIR, replicate=max(1, REPLICATE // 10))
+        return sjoin_nearest_shuffle(
+            pts, cents, max_distance=None, res=5, domain=DOMAIN,
+            left_id="doc_id", right_id="zone_key",
+        ).count()
+
+    timed("sjoin_nearest_unbounded", run_nearest_unbounded)
+
     def run_knn_lsh():
         # 50k deterministic 64-dim vectors with a skewed dense cluster
         # (20% of rows near one centroid) to exercise bucket-cap re-split

@@ -550,6 +550,11 @@ def sjoin_nearest_shuffle(
     return out
 
 
+# dense d2 block budget for the unbounded per-cell kernel (elements, i.e.
+# ~16MB of float64 per task temporary; tests shrink it to force chunking)
+_PAIR_BLOCK_ELEMS = 2_000_000
+
+
 def _nearest_shuffle_unbounded(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -677,7 +682,7 @@ def _nearest_shuffle_unbounded(
             # single kernel pass: chunk lefts so the dense d2 block stays
             # ~16MB, take min + tie hits from the same block instead of
             # recomputing every distance for the pair-emission loop
-            chunk = max(1, int(2_000_000 // max(nR, 1)))
+            chunk = max(1, int(_PAIR_BLOCK_ELEMS // max(nR, 1)))
             best = np.full(nL, np.inf)
             pair_li, pair_rj = [], []
             for s in range(0, nL, chunk):

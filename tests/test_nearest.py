@@ -281,3 +281,30 @@ def test_shuffle_nearest_unbounded_ties():
     )
     got = sjoin_nearest_shuffle(left, right, max_distance=None, res=5).to_pandas()
     assert sorted(got.zone_key) == [1, 2, 3]  # all exactly 500 away
+
+
+def test_shuffle_nearest_unbounded_chunked_kernel(rng, monkeypatch):
+    # shrink the dense-block budget so per_cell splits lefts into many
+    # chunks; results (incl. ties across a chunk boundary) must be
+    # identical to brute force
+    import geopandas_ray.stages.nearest as N
+
+    monkeypatch.setattr(N, "_PAIR_BLOCK_ELEMS", 7)  # chunk = 7//m = 1..2
+    n, m = 60, 5
+    px = rng.randint(0, 1000, n).astype(np.float64)
+    py = rng.randint(0, 1000, n).astype(np.float64)
+    qx = np.array([100.0, 500.0, 900.0, 100.0, 900.0])
+    qy = np.array([100.0, 500.0, 100.0, 900.0, 900.0])
+    left = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n)), "geometry": W.points_to_wkb(px, py)})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"zone_key": pa.array(np.arange(m)), "geometry": W.points_to_wkb(qx, qy)})
+    )
+    got = N.sjoin_nearest_shuffle(
+        left, right, max_distance=None, res=4, distance_col="d"
+    ).to_pandas()
+    d2 = (px[:, None] - qx[None, :]) ** 2 + (py[:, None] - qy[None, :]) ** 2
+    best = d2.min(axis=1)
+    expect = {(i, j) for i in range(n) for j in range(m) if d2[i, j] == best[i]}
+    assert set(zip(got.doc_id, got.zone_key)) == expect
