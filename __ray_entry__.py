@@ -2218,6 +2218,50 @@ def q_build_area_hole(sf_dir):
     return _select(ds, ["doc_id", "area", "n_coords"])
 
 
+def q_normalize_ring_start(sf_dir):
+    # base.py:1608 normalize: a CW square entered at its top-right corner
+    # canonicalizes to CCW starting at the lexicographically smallest
+    # vertex; probe with boundary interpolate(0) = (x0,y0) and
+    # interpolate(0.25, normalized) = (x0+s, y0) (orientation)
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_xy
+    from geopandas_ray.stages.ops2 import interpolate, normalize, with_boundary
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        x = ((did * 37) % 1000).astype(np.float64)
+        y = ((did * 91) % 1000).astype(np.float64)
+        s = (2 + did % 5).astype(np.float64)
+        vals = []
+        for i in range(len(did)):
+            ring = np.array(
+                [
+                    [x[i] + s[i], y[i] + s[i]],
+                    [x[i] + s[i], y[i]],
+                    [x[i], y[i]],
+                    [x[i], y[i] + s[i]],
+                    [x[i] + s[i], y[i] + s[i]],
+                ]
+            )
+            vals.append(_parts_to_wkb([(3, [ring])]))
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = normalize(ds)
+    ds = with_boundary(ds)
+    ds = interpolate(ds, 0.0, geometry="boundary", out="p0")
+    ds = interpolate(ds, 0.25, normalized=True, geometry="boundary", out="p1")
+    ds = with_xy(ds, geometry="p0")
+    ds = _rename(ds, {"x": "x0", "y": "y0"})
+    ds = with_xy(ds, geometry="p1")
+    ds = _rename(ds, {"x": "x1", "y": "y1"})
+    return _select(ds, ["doc_id", "x0", "y0", "x1", "y1"])
+
+
 def q_cx_filter(sf_dir):
     # the .cx bbox indexer over the document points
     from geopandas_ray.pipelines.datasets import doc_points
@@ -2786,6 +2830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_affine_xy": q_transform_affine_xy,
         "concave_hull_convex_limit": q_concave_hull_convex_limit,
         "build_area_hole": q_build_area_hole,
+        "normalize_ring_start": q_normalize_ring_start,
         "cx_filter": q_cx_filter,
         "concat_sources": q_concat_sources,
         "geom_value_counts": q_geom_value_counts,
@@ -3484,6 +3529,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "CAST((3 + doc_id%5) * (3 + doc_id%5) - 1 AS DOUBLE) AS area, "
             "CAST(10 AS BIGINT) AS n_coords FROM documents"
+        ),
+        "normalize_ring_start": (
+            "SELECT doc_id, "
+            "CAST((doc_id*37)%1000 AS DOUBLE) AS x0, "
+            "CAST((doc_id*91)%1000 AS DOUBLE) AS y0, "
+            "CAST((doc_id*37)%1000 + 2 + doc_id%5 AS DOUBLE) AS x1, "
+            "CAST((doc_id*91)%1000 AS DOUBLE) AS y1 FROM documents"
         ),
         "cx_filter": (
             f"{W} SELECT doc_id, px AS x, py AS y FROM pts WHERE "
