@@ -421,6 +421,7 @@ def run_bench() -> dict:
     def run_nearest_unbounded():
         # the no-max_distance scale path: coarsening ring expansion over
         # cells (right side slimmed + materialized once)
+        from geopandas_ray.geom.kernels import bounds as kb
         from geopandas_ray.geom.wkb import from_wkb, points_to_wkb
         import pyarrow as pa
 
