@@ -49,15 +49,24 @@ from ..geom.wkb import from_wkb
 from ..grid import DEFAULT_DOMAIN, cell_bounds, cell_id, cells_for_bbox
 from .core import JOIN_PREDICATES, eval_pairs, suffixed_columns
 
+# test-only execution probe: when set to a counter actor handle, the
+# how='left' anti-join tag stage reports every batch's row count through it,
+# letting tests assert the flags plan executed exactly once (total == n_left)
+_ANTI_JOIN_PROBE = None
+
 
 def _materialize(right) -> pa.Table:
+    """Pull a (small, broadcast-side) dataset to one driver arrow table.
+
+    Routed through util.pull_table so PANDAS blocks (from filter(expr=) or
+    pandas map_batches upstreams) convert instead of raising - the
+    to_arrow_refs()-on-filtered pitfall in CLAUDE.md."""
     if isinstance(right, pa.Table):
         return right
     if isinstance(right, ray.data.Dataset):
-        refs = right.to_arrow_refs()
-        tables = ray.get(refs)
-        tables = [t for t in tables if t.num_rows >= 0]
-        return pa.concat_tables(tables, promote_options="default") if tables else pa.table({})
+        from ..util import pull_table
+
+        return pull_table(right)
     raise TypeError(type(right))
 
 
@@ -773,7 +782,13 @@ def sjoin_shuffle(
             {lid_out: b.column(lid_out), "__t": pa.array(np.ones(len(b), dtype=np.int64))}
         )
 
+    # test probe: captured into a LOCAL here (workers re-import the module
+    # and would see None if tag_left read the global directly)
+    probe = _ANTI_JOIN_PROBE
+
     def tag_left(b: pa.Table) -> pa.Table:
+        if probe is not None:
+            probe.incr.remote(len(b))
         return pa.table(
             {lid_out: b.column(left_id), "__t": pa.array(np.zeros(len(b), dtype=np.int64))}
         )
@@ -786,7 +801,10 @@ def sjoin_shuffle(
         .groupby(lid_out)
         .aggregate(Sum("__t", alias_name="__s"))
     )
-    unmatched = flags.filter(expr="__s == 0")
+    # materialize BEFORE count(): `unmatched` is consumed twice (count here,
+    # row pull below) and a lazy filter would re-execute the whole
+    # tag+union+groupby exchange per consumer (r3 VERDICT defect #1)
+    unmatched = flags.filter(expr="__s == 0").materialize()
     n_un = unmatched.count()
     if n_un == 0:
         return joined
@@ -804,7 +822,10 @@ def sjoin_shuffle(
         return pa.table(cols)
 
     if n_un <= unmatched_broadcast_cap:
-        un_tbl = pa.concat_tables(ray.get(unmatched.to_arrow_refs()), promote_options="default")
+        # block-type-safe bounded pull (filter(expr=) can emit pandas blocks)
+        from ..util import pull_table
+
+        un_tbl = pull_table(unmatched, columns=[lid_out])
         un_ref = ray.put(un_tbl.column(lid_out).combine_chunks())
 
         def pad_filter(b: pa.Table) -> pa.Table:

@@ -22,6 +22,26 @@ def default_pool(concurrency=None) -> tuple[int, int]:
     return (1, max(2, cpus))
 
 
+def pull_table(ds, columns: list[str] | None = None):
+    """Bounded driver-side pull that is safe on ANY block type.
+
+    ``filter(expr=...)`` and pandas-stage outputs can leave PANDAS blocks in
+    a dataset; ``to_arrow_refs()`` on those raises (CLAUDE.md pitfall).
+    ``iter_batches(batch_format="pyarrow")`` converts per block regardless of
+    the underlying block type. Only for results already known to be small
+    (broadcast sides, unmatched tails, distinct keys) - never a full big
+    dataset.
+    """
+    import pyarrow as pa
+
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default")
+
+
 def default_shuffle_partitions(n: int | None = None) -> int:
     """Partition count to repartition to BEFORE a groupby shuffle.
 

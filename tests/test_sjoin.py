@@ -471,3 +471,51 @@ def test_sjoin_shuffle_auto_salt_matches_unsalted():
     a = set(map(tuple, base.to_numpy()))
     b = set(map(tuple, auto.to_numpy()))
     assert a == b and len(a) > 0
+
+
+def test_shuffle_left_anti_join_plan_executes_once(rng):
+    """r3 VERDICT defect #1: the how='left' flags plan (tag+union+groupby)
+    was consumed lazily by count() AND the row pull, re-executing the whole
+    exchange. Probe: tag_left reports every batch's rows through a counter
+    actor; a single execution tags exactly len(left) rows total."""
+    import ray as _ray
+    from geopandas_ray.stages import sjoin as sj
+
+    @_ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def incr(self, k):
+            self.n += k
+
+        def get(self):
+            return self.n
+
+    left, right, _ = _random_layers(rng, n_pts=300, n_zones=10)
+    c = Counter.remote()
+    sj._ANTI_JOIN_PROBE = c
+    try:
+        out = sjoin_shuffle(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            predicate="intersects",
+            how="left",
+            left_id="pid",
+            res=4,
+            domain=(0.0, 0.0, 1024.0, 1024.0),
+        ).to_pandas()
+    finally:
+        sj._ANTI_JOIN_PROBE = None
+    assert len(out) >= 300
+    assert _ray.get(c.get.remote()) == 300  # 600 == double-executed plan
+
+
+def test_broadcast_sjoin_pandas_block_right(micro_left, micro_right):
+    """_materialize must accept a right side whose blocks are PANDAS (e.g.
+    from filter(expr=)) - the to_arrow_refs() pitfall (r3 VERDICT item #9)."""
+    right = ray.data.from_arrow(micro_right).filter(expr="zid >= 10")
+    j = sjoin(
+        ray.data.from_arrow(micro_left), right, right_index="zid"
+    ).to_pandas()
+    assert sorted(j.zid.astype(int)) == [10, 10, 20, 20]
