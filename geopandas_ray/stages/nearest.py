@@ -371,6 +371,8 @@ def sjoin_nearest_shuffle(
     left_id: str = "doc_id",
     right_id: str = "zone_key",
     distance_col: str | None = None,
+    floor_res: int = 3,
+    group_row_cap: int | None = None,
 ) -> "ray.data.Dataset":
     """Cell-partitioned nearest join for two LARGE sides.
 
@@ -383,14 +385,18 @@ def sjoin_nearest_shuffle(
     cell. Ties all returned (return_all).
 
     Unbounded plan (``max_distance=None``, reference sindex.py:220
-    default): iterative COARSENING ring expansion. Round k uses grid
-    resolution res-k with rights dilated by one cell extent; a left row
-    ACCEPTS its per-cell best when best <= cell extent (any right absent
-    from the cell is provably farther: its dilated bbox missed the whole
-    cell), otherwise it carries to the next, 2x-coarser round. The last
-    round (res 0, one cell) is a full candidate set, so every left row
-    resolves; isolated points cost O(log) rounds, each a groupby over the
-    (shrinking) unresolved set - never a broadcast of either side.
+    default): iterative COARSENING + DILATION expansion. Rounds coarsen the
+    grid one level at a time down to ``floor_res``, then stay at floor_res
+    doubling the right-side dilation; a left row ACCEPTS its per-cell best
+    when best <= the round's dilation (any right absent from the cell is
+    provably farther: its dilated bbox missed the whole cell), otherwise it
+    carries to the next round. The last round dilates past the domain
+    diagonal so every cell holds the full candidate set and every left row
+    resolves - but the work stays spread over the floor grid (4^floor_res
+    tasks, salted further when a cell is dense) instead of collapsing into
+    one res-0 task. Isolated points cost O(log) rounds, each a groupby over
+    the (shrinking) unresolved set - never a broadcast of either side.
+    ``group_row_cap`` makes any oversized shuffle group raise (scale guard).
     """
     import numpy as np
     import pyarrow as pa
@@ -403,7 +409,8 @@ def sjoin_nearest_shuffle(
         return _nearest_shuffle_unbounded(
             left, right, res=res, domain=domain, geometry=geometry,
             right_geometry=right_geometry, left_id=left_id, right_id=right_id,
-            distance_col=distance_col,
+            distance_col=distance_col, floor_res=floor_res,
+            group_row_cap=group_row_cap,
         )
     d = float(max_distance)
     # id columns keep their ORIGINAL arrow types (r1 cast to int64 broke
@@ -476,24 +483,32 @@ def sjoin_nearest_shuffle(
         px = lg.coords[ci, 0]
         py = lg.coords[ci, 1]
         n_r = len(rt)
+        nL = len(px)
         dmax2 = d * d
-        # two streaming passes over the right candidates - NO (R x L) dense
-        # matrix (r1 'What's wrong' #5): pass 1 computes each left row's
-        # best distance, pass 2 re-walks candidates emitting exact ties
-        best = np.full(len(px), np.inf)
-        for j in range(n_r):
-            d2 = K.points_to_geom_sqdist(rg, j, px, py)
-            np.minimum(best, d2, out=best)
-        within = best <= dmax2
+        # single chunked pass (r3 VERDICT #2 - the old shape recomputed every
+        # distance in a second tie-emission pass): chunk lefts so the dense
+        # (R x chunk) block stays ~16MB, extract min AND ties from the block
+        chunk = max(1, int(_PAIR_BLOCK_ELEMS // max(n_r, 1)))
+        best = np.full(nL, np.inf)
         pair_li: list[np.ndarray] = []
         pair_rj: list[np.ndarray] = []
-        for j in range(n_r):
-            d2 = K.points_to_geom_sqdist(rg, j, px, py)
-            hit = within & (d2 == best)
-            if hit.any():
-                idx = np.nonzero(hit)[0]
-                pair_li.append(idx)
-                pair_rj.append(np.full(len(idx), j, dtype=np.int64))
+        for s in range(0, nL, chunk):
+            e = min(s + chunk, nL)
+            cx, cy = px[s:e], py[s:e]
+            D = np.empty((n_r, e - s))
+            for j in range(n_r):
+                D[j] = K.points_to_geom_sqdist(rg, j, cx, cy)
+            bc = D.min(axis=0)
+            best[s:e] = bc
+            within = bc <= dmax2
+            if not within.any():
+                continue
+            for j in range(n_r):
+                hit = within & (D[j] == bc)
+                if hit.any():
+                    idx = np.nonzero(hit)[0]
+                    pair_li.append(idx + s)
+                    pair_rj.append(np.full(len(idx), j, dtype=np.int64))
         if not pair_li:
             return pa.table(
                 {
@@ -554,6 +569,13 @@ def sjoin_nearest_shuffle(
 # ~16MB of float64 per task temporary; tests shrink it to force chunking)
 _PAIR_BLOCK_ELEMS = 2_000_000
 
+# unresolved-row ceiling under which the unbounded round loop pulls exact
+# per-cell counts to the driver (live-cell pruning + exact salt sizing)
+_LIVE_CELL_PULL_CAP = 2_000_000
+
+# target unresolved-left rows per shuffle group; cells above it are salted
+_SALT_TARGET_ROWS = 200_000
+
 
 def _nearest_shuffle_unbounded(
     left: "ray.data.Dataset",
@@ -565,17 +587,40 @@ def _nearest_shuffle_unbounded(
     left_id: str,
     right_id: str,
     distance_col: str | None,
+    floor_res: int = 3,
+    group_row_cap: int | None = None,
 ) -> "ray.data.Dataset":
-    """Unbounded two-large-sides nearest: coarsening ring expansion
+    """Unbounded two-large-sides nearest: coarsening + dilation expansion
     (see sjoin_nearest_shuffle docstring). Left rows must be points (the
-    shuffle path's contract); rights are arbitrary geometries."""
+    shuffle path's contract); rights are arbitrary geometries.
+
+    Round schedule (r3 VERDICT #3 - the old final round coarsened to res 0,
+    concentrating ALL unresolved lefts x ALL rights into ONE task):
+
+    - phase 1 COARSENS: (rr=res, m=1), (res-1, 1), ... down to (floor_res, 1);
+    - phase 2 stays at ``floor_res`` and DOUBLES the dilation multiplier m
+      (2, 4, ...) until m x cell-extent covers the domain diagonal - that
+      last round has the complete candidate set per cell, so every left
+      resolves, but the work stays spread over the floor grid's cells
+      (4^floor_res tasks) instead of one.
+
+    Acceptance invariant per round (dilation t = m x cell extent): a right
+    absent from a cell has bbox farther than t from every point of the cell,
+    so a per-cell best <= t is the global best. Rights replicate only into
+    cells that still HOLD unresolved lefts (the live-cell set is pulled each
+    round - bounded by 4^rr ids); when many lefts share a floor cell the
+    left side is salted so no group exceeds ~the salt target (rights
+    replicate per salt - nearest per left is independent so the split is
+    exact). ``group_row_cap`` is a scale guard: any shuffle group larger
+    than it raises instead of silently serializing."""
     from ..grid import cell_id, cells_for_bbox
-    from ..util import default_shuffle_partitions
+    from ..util import default_shuffle_partitions, pull_table
 
     ltype = dict(zip(left.schema().names, left.schema().types))[left_id]
     rtype = dict(zip(right.schema().names, right.schema().types))[right_id]
     x0, y0, x1, y1 = domain
     nparts = default_shuffle_partitions()
+    floor_res = max(0, min(floor_res, res))
 
     def slim_left(b: pa.Table) -> pa.Table:
         g = from_wkb(b.column(geometry))
@@ -610,19 +655,68 @@ def _nearest_shuffle_unbounded(
     # res+1 times — a lazy right would re-execute its whole upstream plan
     # (and re-decode every WKB) per round
     rslim = right.map_batches(slim_right, batch_format="pyarrow").materialize()
+
+    # round schedule: coarsen res -> floor_res at dilation m=1, then stay at
+    # floor_res doubling m until m x cell-extent covers the domain diagonal
+    # (that round sees the full candidate set per cell -> everything resolves)
+    diag = float(np.hypot(x1 - x0, y1 - y0))
+    schedule: list[tuple[int, int]] = [(rr, 1) for rr in range(res, floor_res - 1, -1)]
+    m = 2
+    while True:
+        schedule.append((floor_res, m))
+        csize_f = min((x1 - x0), (y1 - y0)) / float(1 << floor_res)
+        if m * csize_f >= diag:
+            break
+        m *= 2
+
     rounds: list[ray.data.Dataset] = []
-    for rr in range(res, -1, -1):
+    n_unres = unresolved.count()
+    for rr, mult in schedule:
         n_cells = 1 << rr
         csize = min((x1 - x0) / n_cells, (y1 - y0) / n_cells)
-        final_round = rr == 0
+        t_accept = mult * csize
+        final_round = t_accept >= diag
 
-        def key_left(b: pa.Table, _rr=rr) -> pa.Table:
+        # live-cell pull: rights only replicate into cells that still hold
+        # unresolved lefts; per-cell counts also size the left salt so no
+        # group serializes a dense city cell (r3 VERDICT #3)
+        salt = 1
+        live_sorted = None
+        if n_unres <= _LIVE_CELL_PULL_CAP:
+
+            def cell_counts(b: pa.Table, _rr=rr) -> pa.Table:
+                lx = np.asarray(b.column("__lx"), dtype=np.float64)
+                ly = np.asarray(b.column("__ly"), dtype=np.float64)
+                cells = cell_id(lx, ly, _rr, domain).astype(np.int64)
+                uniq, cnt = np.unique(cells, return_counts=True)
+                return pa.table({"cell": pa.array(uniq), "n": pa.array(cnt)})
+
+            cc = pull_table(unresolved.map_batches(cell_counts, batch_format="pyarrow"))
+            if cc.num_columns and len(cc):
+                cells_all = np.asarray(cc.column("cell"), dtype=np.int64)
+                cnts_all = np.asarray(cc.column("n"), dtype=np.int64)
+                live_sorted, inv = np.unique(cells_all, return_inverse=True)
+                per_cell_n = np.zeros(len(live_sorted), dtype=np.int64)
+                np.add.at(per_cell_n, inv, cnts_all)
+                salt = int(min(32, max(1, int(np.ceil(per_cell_n.max() / _SALT_TARGET_ROWS)))))
+            else:
+                live_sorted = np.empty(0, dtype=np.int64)
+        else:
+            # too many unresolved rows to pull exact counts: assume the worst
+            # plausible concentration and salt proportionally
+            salt = int(min(32, 1 + n_unres // (4 * _SALT_TARGET_ROWS)))
+        live_ref = ray.put(live_sorted)
+
+        def key_left(b: pa.Table, _rr=rr, _salt=salt) -> pa.Table:
             lx = np.asarray(b.column("__lx"), dtype=np.float64)
             ly = np.asarray(b.column("__ly"), dtype=np.float64)
             cells = cell_id(lx, ly, _rr, domain).astype(np.int64)
             return pa.table(
                 {
                     "cell": pa.array(cells),
+                    "__salt2": pa.array(
+                        (np.arange(len(b), dtype=np.int64) % _salt).astype(np.int8)
+                    ),
                     "__side": pa.array(np.zeros(len(b), dtype=np.int8)),
                     "__lid": b.column("__lid"),
                     "__lx": b.column("__lx"),
@@ -632,7 +726,7 @@ def _nearest_shuffle_unbounded(
                 }
             )
 
-        def key_right(b: pa.Table, _rr=rr, _d=csize) -> pa.Table:
+        def key_right(b: pa.Table, _rr=rr, _d=t_accept, _salt=salt, _live=live_ref) -> pa.Table:
             row_idx, cells = cells_for_bbox(
                 np.asarray(b.column("__minx"), dtype=np.float64) - _d,
                 np.asarray(b.column("__miny"), dtype=np.float64) - _d,
@@ -641,11 +735,25 @@ def _nearest_shuffle_unbounded(
                 _rr,
                 domain,
             )
+            cells = cells.astype(np.int64)
+            live = ray.get(_live)
+            if live is not None:
+                keep = np.isin(cells, live)
+                row_idx, cells = row_idx[keep], cells[keep]
+            # replicate each right row into every left salt bucket (nearest
+            # per left is independent, so splitting lefts is exact)
+            if _salt > 1:
+                row_idx = np.repeat(row_idx, _salt)
+                cells = np.repeat(cells, _salt)
+                salts = np.tile(np.arange(_salt, dtype=np.int8), len(row_idx) // _salt)
+            else:
+                salts = np.zeros(len(row_idx), dtype=np.int8)
             taken = b.take(pa.array(row_idx))
             n = len(row_idx)
             return pa.table(
                 {
-                    "cell": pa.array(cells.astype(np.int64)),
+                    "cell": pa.array(cells),
+                    "__salt2": pa.array(salts),
                     "__side": pa.array(np.ones(n, dtype=np.int8)),
                     "__lid": pa.nulls(n, ltype),
                     "__lx": pa.nulls(n, pa.float64()),
@@ -655,8 +763,13 @@ def _nearest_shuffle_unbounded(
                 }
             )
 
-        def per_cell(b: pa.Table, _csize=csize, _final=final_round) -> pa.Table:
+        def per_cell(b: pa.Table, _t=t_accept, _final=final_round) -> pa.Table:
             """Emit accepted pairs (rid set) and carried lefts (rid null)."""
+            if group_row_cap is not None and len(b) > group_row_cap:
+                raise RuntimeError(
+                    f"nearest-shuffle group of {len(b)} rows exceeds "
+                    f"group_row_cap={group_row_cap}"
+                )
             side = np.asarray(b.column("__side"))
             lmask = side == 0
             lt = b.filter(pa.array(lmask))
@@ -693,14 +806,14 @@ def _nearest_shuffle_unbounded(
                     D[j] = K.points_to_geom_sqdist(rg, j, cx, cy)
                 bc = D.min(axis=0)
                 best[s:e] = bc
-                acc = np.isfinite(bc) if _final else bc <= _csize * _csize
+                acc = np.isfinite(bc) if _final else bc <= _t * _t
                 for j in range(nR):
                     hit = acc & (D[j] == bc)
                     if hit.any():
                         idx = np.nonzero(hit)[0]
                         pair_li.append(idx + s)
                         pair_rj.append(np.full(len(idx), j, dtype=np.int64))
-            accept = np.isfinite(best) if _final else best <= _csize * _csize
+            accept = np.isfinite(best) if _final else best <= _t * _t
             parts = []
             if pair_li:
                 li = np.concatenate(pair_li)
@@ -739,7 +852,7 @@ def _nearest_shuffle_unbounded(
         round_out = (
             lkeyed.union(rkeyed)
             .repartition(nparts)
-            .groupby("cell")
+            .groupby(["cell", "__salt2"])
             .map_groups(per_cell, batch_format="pyarrow")
             .materialize()
         )
@@ -757,7 +870,8 @@ def _nearest_shuffle_unbounded(
                 batch_format="pyarrow",
             )
         ).materialize()
-        if unresolved.count() == 0:
+        n_unres = unresolved.count()
+        if n_unres == 0:
             break
 
     out = rounds[0]

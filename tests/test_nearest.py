@@ -308,3 +308,73 @@ def test_shuffle_nearest_unbounded_chunked_kernel(rng, monkeypatch):
     best = d2.min(axis=1)
     expect = {(i, j) for i in range(n) for j in range(m) if d2[i, j] == best[i]}
     assert set(zip(got.doc_id, got.zone_key)) == expect
+
+
+def test_shuffle_nearest_unbounded_adversarial_bounded_groups(rng, monkeypatch):
+    """r3 VERDICT #3: clustered lefts + far sparse rights used to coarsen to
+    res 0 and evaluate EVERYTHING in one task. The floor-res + doubling-
+    dilation schedule must (a) still be exact, (b) salt the dense left cell,
+    and (c) keep every shuffle group under group_row_cap (the cap RAISES on
+    violation, so completion is the assertion)."""
+    import geopandas_ray.stages.nearest as N
+
+    # every left in one tiny corner patch (one cell at every res), rights in
+    # the far corner -> carries until the dilation reaches the diagonal
+    n, m = 200, 5
+    px = rng.uniform(0, 8, n)
+    py = rng.uniform(0, 8, n)
+    qx = rng.uniform(1010, 1020, m)
+    qy = rng.uniform(1010, 1020, m)
+    left = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n)), "geometry": W.points_to_wkb(px, py)})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"zone_key": pa.array(np.arange(m)), "geometry": W.points_to_wkb(qx, qy)})
+    )
+    # force the salt path: cells above 50 unresolved lefts split
+    monkeypatch.setattr(N, "_SALT_TARGET_ROWS", 50)
+    got = N.sjoin_nearest_shuffle(
+        left,
+        right,
+        max_distance=None,
+        res=6,
+        distance_col="d",
+        floor_res=3,
+        # old plan: one group with all 200 lefts + all rights; salted floor
+        # plan: <= ~50 lefts + m rights per group
+        group_row_cap=120,
+    ).to_pandas()
+    d2 = (px[:, None] - qx[None, :]) ** 2 + (py[:, None] - qy[None, :]) ** 2
+    expect = {(i, int(d2[i].argmin())) for i in range(n)}
+    assert set(zip(got.doc_id, got.zone_key)) == expect
+    assert np.allclose(
+        np.sort(got.d.to_numpy()), np.sort(np.sqrt(d2.min(axis=1)))
+    )
+
+
+def test_shuffle_nearest_unbounded_group_cap_trips(rng):
+    """The scale guard itself must fire: an impossible cap raises."""
+    import pytest as _pytest
+
+    import geopandas_ray.stages.nearest as N
+
+    n, m = 60, 3
+    px = rng.uniform(0, 8, n)
+    py = rng.uniform(0, 8, n)
+    left = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n)), "geometry": W.points_to_wkb(px, py)})
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "zone_key": pa.array(np.arange(m)),
+                "geometry": W.points_to_wkb(
+                    np.full(m, 1000.0), np.full(m, 1000.0)
+                ),
+            }
+        )
+    )
+    with _pytest.raises(Exception, match="group_row_cap"):
+        N.sjoin_nearest_shuffle(
+            left, right, max_distance=None, res=5, group_row_cap=10
+        ).to_pandas()
