@@ -580,6 +580,44 @@ def q_clip_two_rect_mask(sf_dir):
     return _select(with_xy(c), ["doc_id", "x", "y"])
 
 
+def q_clip_mixed_sorted(sf_dir):
+    # clip(keep_geom_type=True, sort=True) on a MIXED points+rects layer
+    # (reference tools/clip.py:54 kwargs): mixed input warns and skips the
+    # type filter (tests/test_clip.py:308), sort orders by the key column.
+    # Half-integer mask coords so no zone edge can coincide with the mask.
+    import warnings
+
+    import ray.data
+
+    from geopandas_ray.pipelines.datasets import doc_points, zone_table
+    from geopandas_ray.stages.clip import clip
+    from geopandas_ray.stages.ops import with_bounds
+
+    pts = doc_points(sf_dir)
+
+    def as_key(b):
+        return pa.table({"key": b.column("doc_id"), "geometry": b.column("geometry")})
+
+    zt = zone_table(sf_dir)
+    zones = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(
+                    np.asarray(zt.column("zone_key"), dtype=np.int64) + 1_000_000
+                ),
+                "geometry": zt.column("geometry").cast(pa.large_binary()),
+            }
+        )
+    )
+    mixed = pts.map_batches(as_key, batch_format="pyarrow").union(zones)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)  # mixed-input warn is the spec
+        c = clip(
+            mixed, (200.5, 150.5, 700.5, 650.5), keep_geom_type=True, sort=True, sort_col="key"
+        )
+    return _select(with_bounds(c), ["key", "minx", "miny", "maxx", "maxy"])
+
+
 def q_sessions(sf_dir):
     import pandas as pd
     import ray.data
@@ -2764,6 +2802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlay_points_intersection": q_overlay_points_intersection,
         "overlay_points_difference": q_overlay_points_difference,
         "clip_two_rect_mask": q_clip_two_rect_mask,
+        "clip_mixed_sorted": q_clip_mixed_sorted,
         "sessions": q_sessions,
         "sliding_windows": q_sliding_windows,
         "asof_join": q_asof_join,
@@ -3124,6 +3163,15 @@ def oracle_sql() -> dict[str, str]:
             f"{W} SELECT doc_id, px AS x, py AS y FROM pts WHERE "
             "(px BETWEEN 100 AND 400 AND py BETWEEN 100 AND 400) OR "
             "(px BETWEEN 600 AND 900 AND py BETWEEN 500 AND 800)"
+        ),
+        "clip_mixed_sorted": (
+            f"{W} SELECT doc_id AS key, px AS minx, py AS miny, px AS maxx, py AS maxy "
+            "FROM pts WHERE px > 200.5 AND px < 700.5 AND py > 150.5 AND py < 650.5 "
+            "UNION ALL "
+            "SELECT 1000000 + zone_key AS key, GREATEST(zminx, 200.5) AS minx, "
+            "GREATEST(zminy, 150.5) AS miny, LEAST(zmaxx, 700.5) AS maxx, "
+            "LEAST(zmaxy, 650.5) AS maxy FROM zones "
+            "WHERE zminx < 700.5 AND zmaxx > 200.5 AND zminy < 650.5 AND zmaxy > 150.5"
         ),
         "sessions": (
             "SELECT user_id, CAST(1 + SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "

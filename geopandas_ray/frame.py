@@ -543,10 +543,19 @@ class GeoDataset:
             overlay_shuffle(self.ds, rds, how, left_id=left_id, right_id=right_id, **kw)
         )
 
-    def clip(self, mask):
+    def clip(self, mask, keep_geom_type: bool = False, sort: bool = False, sort_col=None):
         from .stages.clip import clip
 
-        return self._wrap(clip(self.ds, mask, geometry=self.geometry))
+        return self._wrap(
+            clip(
+                self.ds,
+                mask,
+                geometry=self.geometry,
+                keep_geom_type=keep_geom_type,
+                sort=sort,
+                sort_col=sort_col,
+            )
+        )
 
     def clip_by_rect(self, xmin, ymin, xmax, ymax):
         from .stages.clip import clip_rect

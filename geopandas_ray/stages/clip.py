@@ -99,7 +99,77 @@ def _parts_to_wkb(parts: list[tuple[int, list[np.ndarray]]]) -> bytes:
     return to_wkb(g)[0].as_py()
 
 
-def clip_rect(ds: ray.data.Dataset, minx, miny, maxx, maxy, geometry="geometry"):
+def _input_dims(ds: ray.data.Dataset, geometry: str) -> tuple[set, bool]:
+    """(set of dims present {0 point,1 line,2 poly}, any GeometryCollection).
+
+    One slim streaming scan over the geometry column; the per-batch result is
+    a <=4-row table, so the driver pull is O(batches)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        rt = np.asarray(g.row_types)
+        dims = np.full(len(rt), -9, dtype=np.int8)
+        dims[(rt == 1) | (rt == 4)] = 0
+        dims[(rt == 2) | (rt == 5)] = 1
+        dims[(rt == 3) | (rt == 6)] = 2
+        dims[rt == 7] = -1  # collection marker
+        return pa.table({"d": pa.array(np.unique(dims[dims != -9]))})
+
+    from ..util import pull_table
+
+    t = pull_table(ds.map_batches(f, batch_format="pyarrow"), columns=["d"])
+    vals = set(np.unique(np.asarray(t.column("d"))).tolist()) if len(t) else set()
+    return {d for d in vals if d >= 0}, (-1 in vals)
+
+
+def _finish_clip(
+    ds_in: ray.data.Dataset,
+    out: ray.data.Dataset,
+    geometry: str,
+    keep_geom_type: bool,
+    sort: bool,
+    sort_col: str | None,
+) -> ray.data.Dataset:
+    """Shared keep_geom_type / sort epilogue (reference tools/clip.py:54
+    kwargs; tests/test_clip.py:290-319,376). keep_geom_type on a mixed-type
+    or collection-bearing input warns and is skipped (test_clip.py:308-319);
+    on homogeneous input it drops output parts of other dimensions (shared
+    machinery with overlay, stages/overlay.py _keep_geom_type). sort orders
+    by ``sort_col`` - the engine's index-as-column analog of the reference's
+    sort_index; defaults to the first non-geometry column."""
+    if keep_geom_type:
+        import warnings
+
+        dims, has_coll = _input_dims(ds_in, geometry)
+        if has_coll or len(dims) > 1:
+            warnings.warn(
+                "Geometry types of input geodataframe are not homogenous; "
+                "keep_geom_type is skipped",
+                UserWarning,
+                stacklevel=3,
+            )
+        elif dims:
+            from .overlay import _keep_geom_type
+
+            out = _keep_geom_type(out, True, dims.pop(), geometry=geometry)
+    if sort:
+        if sort_col is None:
+            sort_col = next(n for n in ds_in.schema().names if n != geometry)
+        out = out.sort(sort_col)
+    return out
+
+
+def clip_rect(
+    ds: ray.data.Dataset,
+    minx,
+    miny,
+    maxx,
+    maxy,
+    geometry="geometry",
+    keep_geom_type: bool = False,
+    sort: bool = False,
+    sort_col: str | None = None,
+):
     """clip with a rectangle mask (the clip_by_rect fast path)."""
 
     def f(b: pa.Table) -> pa.Table:
@@ -109,17 +179,30 @@ def clip_rect(ds: ray.data.Dataset, minx, miny, maxx, maxy, geometry="geometry")
         b = b.set_column(idx, geometry, pa.array(vals, type=pa.large_binary()))
         return b.filter(pa.array(keep))
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    out = ds.map_batches(f, batch_format="pyarrow")
+    if keep_geom_type or sort:
+        out = _finish_clip(ds, out, geometry, keep_geom_type, sort, sort_col)
+    return out
 
 
-def clip(ds: ray.data.Dataset, mask, geometry="geometry"):
+def clip(
+    ds: ray.data.Dataset,
+    mask,
+    geometry="geometry",
+    keep_geom_type: bool = False,
+    sort: bool = False,
+    sort_col: str | None = None,
+):
     """clip by a mask: rect tuple, WKB bytes, or a pa.Table of geometry.
 
     Non-rect masks: each mask polygon part must be convex (documented scope,
     SURVEY.md §7.3); the row keeps the piece inside the union of parts.
+    ``keep_geom_type`` / ``sort`` per reference tools/clip.py:54 (see
+    _finish_clip).
     """
+    kw = dict(keep_geom_type=keep_geom_type, sort=sort, sort_col=sort_col)
     if isinstance(mask, tuple) and len(mask) == 4:
-        return clip_rect(ds, *mask, geometry=geometry)
+        return clip_rect(ds, *mask, geometry=geometry, **kw)
     if isinstance(mask, bytes):
         mg = from_wkb([mask])
     elif isinstance(mask, pa.Table):
@@ -139,7 +222,7 @@ def clip(ds: ray.data.Dataset, mask, geometry="geometry"):
     if regions is not None:
         rects = np.concatenate([r.rects for r in regions]) if regions else np.empty((0, 4))
         if len(rects) == 1:
-            return clip_rect(ds, *rects[0], geometry=geometry)
+            return clip_rect(ds, *rects[0], geometry=geometry, **kw)
 
         def f_multi(b: pa.Table) -> pa.Table:
             g = from_wkb(b.column(geometry))
@@ -169,7 +252,10 @@ def clip(ds: ray.data.Dataset, mask, geometry="geometry"):
             b = b.set_column(idx, geometry, pa.array(out_vals, type=pa.large_binary()))
             return b.filter(pa.array(keep))
 
-        return ds.map_batches(f_multi, batch_format="pyarrow")
+        out = ds.map_batches(f_multi, batch_format="pyarrow")
+        if keep_geom_type or sort:
+            out = _finish_clip(ds, out, geometry, keep_geom_type, sort, sort_col)
+        return out
 
     # general polygon mask: slab-sweep boolean kernel per polygon row,
     # even-odd membership for points, segment-split clip for lines
@@ -236,4 +322,7 @@ def clip(ds: ray.data.Dataset, mask, geometry="geometry"):
         b = b.set_column(idx, geometry, pa.array(out_vals, type=pa.large_binary()))
         return b.filter(pa.array(keep))
 
-    return ds.map_batches(f_general, batch_format="pyarrow")
+    out = ds.map_batches(f_general, batch_format="pyarrow")
+    if keep_geom_type or sort:
+        out = _finish_clip(ds, out, geometry, keep_geom_type, sort, sort_col)
+    return out

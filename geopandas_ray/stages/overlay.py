@@ -628,7 +628,9 @@ def overlay(
     return _keep_geom_type(out, keep_geom_type, target_dim)
 
 
-def _keep_geom_type(ds: ray.data.Dataset, keep: bool | None, target_dim: int) -> ray.data.Dataset:
+def _keep_geom_type(
+    ds: ray.data.Dataset, keep: bool | None, target_dim: int, geometry: str = "geometry"
+) -> ray.data.Dataset:
     """keep_geom_type filter (overlay.py:106-110, tests/test_overlay.py:587-707):
     keep only parts of df1's dimensionality (``target_dim``: 0 point,
     1 line, 2 polygon), exploding GeometryCollections; None defaults to
@@ -642,7 +644,7 @@ def _keep_geom_type(ds: ray.data.Dataset, keep: bool | None, target_dim: int) ->
     def f(b: pa.Table) -> pa.Table:
         from ..geom.wkb import from_wkb
 
-        g = from_wkb(b.column("geometry"))
+        g = from_wkb(b.column(geometry))
         vals = []
         keep_rows = np.zeros(len(g), dtype=bool)
         for i in range(len(g)):
@@ -656,7 +658,7 @@ def _keep_geom_type(ds: ray.data.Dataset, keep: bool | None, target_dim: int) ->
                 continue
             keep_rows[i] = True
             if len(match) == p1 - p0:
-                vals.append(b.column("geometry")[i].as_py())
+                vals.append(b.column(geometry)[i].as_py())
             else:
                 # drop other-dimension parts from mixed collections
                 from .clip import _parts_to_wkb
@@ -666,8 +668,8 @@ def _keep_geom_type(ds: ray.data.Dataset, keep: bool | None, target_dim: int) ->
                     r0, r1 = g.part_ring_range(p)
                     parts.append((int(want_type), [g.ring_coords(r) for r in range(r0, r1)]))
                 vals.append(_parts_to_wkb(parts))
-        idx = b.column_names.index("geometry")
-        b = b.set_column(idx, "geometry", pa.array(vals, type=pa.large_binary()))
+        idx = b.column_names.index(geometry)
+        b = b.set_column(idx, geometry, pa.array(vals, type=pa.large_binary()))
         return b.filter(pa.array(keep_rows))
 
     return ds.map_batches(f, batch_format="pyarrow")

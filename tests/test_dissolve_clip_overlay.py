@@ -328,3 +328,51 @@ def test_dissolve_first_last_block_order_preserved():
     d = dissolve(ray.data.from_arrow(t), by="k", aggfunc={"v": ["first", "last"]}).to_pandas()
     # single block: partial stage already takes iloc[0]=NaN, iloc[-1]=NaN
     assert pd.isna(d.v_first.iloc[0]) and pd.isna(d.v_last.iloc[0])
+
+
+def test_clip_sort_and_keep_geom_type_homogeneous():
+    # keep_geom_type over homogeneous polygons routes through the filter and
+    # keeps everything (dims match); sort orders by the id column
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([3, 1, 2]),
+                "geometry": W.boxes_to_wkb(
+                    [0.0, 4.0, 8.0], [0.0, 4.0, 8.0], [3.0, 7.0, 11.0], [3.0, 7.0, 11.0]
+                ),
+            }
+        )
+    )
+    got = clip_rect(ds, 1, 1, 9, 9, keep_geom_type=True, sort=True).to_pandas()
+    assert got.id.tolist() == [1, 2, 3]
+    plain = clip_rect(ds, 1, 1, 9, 9).to_pandas().sort_values("id")
+    assert got.geometry.tolist() == plain.geometry.tolist()
+
+
+def test_clip_keep_geom_type_mixed_warns():
+    # reference tests/test_clip.py:308-319: mixed-dim input warns and the
+    # filter is skipped (everything clipped comes back)
+    pts = W.points_to_wkb([1.0, 20.0], [1.0, 20.0]).to_pylist()
+    box = W.boxes_to_wkb([0.0], [0.0], [5.0], [5.0]).to_pylist()
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([0, 1, 2]),
+                "geometry": pa.array(pts + box, type=pa.large_binary()),
+            }
+        )
+    )
+    with pytest.warns(UserWarning, match="Geometry types of input geodataframe"):
+        got = clip_rect(ds, 0, 0, 10, 10, keep_geom_type=True, sort=True).to_pandas()
+    assert got.id.tolist() == [0, 2]
+
+
+def test_clip_general_mask_sort_kwargs():
+    # kwargs thread through the general-mask path too
+    pts = W.points_to_wkb([1.0, 3.0, 9.0], [1.0, 3.0, 9.0])
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array([2, 0, 1]), "geometry": pts})
+    )
+    mask = pa.table({"geometry": W.boxes_to_wkb([0.5], [0.5], [4.0], [4.0])})
+    got = clip(ds, mask, keep_geom_type=True, sort=True).to_pandas()
+    assert got.id.tolist() == [0, 2]
