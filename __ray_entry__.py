@@ -1388,6 +1388,28 @@ def q_overlay_concave(sf_dir):
     return _select(o, ["zone_key", "s_key", "inter_area"])
 
 
+def q_overlay_auto_concave(sf_dir):
+    # facade-default plan selection (r4): ids + Dataset right side routes to
+    # the shuffle plan when the right side clears the measured threshold,
+    # broadcast below it - either way byte-parity, same oracle
+    from geopandas_ray.pipelines.datasets import supplier_l_table, zone_l_dataset
+    from geopandas_ray.stages.overlay import overlay_auto
+    from geopandas_ray.stages.ops import with_area
+    import ray.data as _rd
+
+    o = overlay_auto(
+        zone_l_dataset(sf_dir),
+        _rd.from_arrow(supplier_l_table(sf_dir)),
+        "intersection",
+        left_id="zone_key",
+        right_id="s_key",
+        threshold_rows=50,  # sf0.001 supplier is tiny; force the shuffle route
+        res=5,
+    )
+    o = with_area(o, out="inter_area")
+    return _select(o, ["zone_key", "s_key", "inter_area"])
+
+
 def q_overlay_shuffle_concave(sf_dir):
     # SAME concave L x L overlay through the CELL-PARTITIONED plan (no df2
     # broadcast: both layers shuffle by covering cell, pairs dedup by the
@@ -2891,6 +2913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dissolve_minmax": q_dissolve_minmax,
         "overlay_concave": q_overlay_concave,
         "overlay_shuffle_concave": q_overlay_shuffle_concave,
+        "overlay_auto_concave": q_overlay_auto_concave,
         "clip_concave_mask": q_clip_concave_mask,
         "make_valid_area": q_make_valid_area,
     }
@@ -3415,6 +3438,10 @@ def oracle_sql() -> dict[str, str]:
             f"FROM lzones z JOIN lzones2 s ON {L_IE} > 0"
         ),
         "overlay_shuffle_concave": (
+            f"{WL} SELECT z.zone_key, s.s_key, CAST({L_IE} AS DOUBLE) AS inter_area "
+            f"FROM lzones z JOIN lzones2 s ON {L_IE} > 0"
+        ),
+        "overlay_auto_concave": (
             f"{WL} SELECT z.zone_key, s.s_key, CAST({L_IE} AS DOUBLE) AS inter_area "
             f"FROM lzones z JOIN lzones2 s ON {L_IE} > 0"
         ),

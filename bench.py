@@ -367,6 +367,24 @@ def run_bench() -> dict:
 
     timed("overlay_shuffle_concave", run_overlay_shuffle_concave, reps=2)
 
+    def run_overlay_auto_concave():
+        # facade-default plan selection (r4): with ids + a large right
+        # Dataset it must route to the shuffle plan, so this entry should
+        # track overlay_shuffle_concave, not overlay_concave
+        from geopandas_ray.pipelines.datasets import supplier_l_table, zone_l_dataset
+        from geopandas_ray.stages.overlay import overlay_auto
+
+        return overlay_auto(
+            zone_l_dataset(SF_DIR),
+            ray.data.from_arrow(supplier_l_table(SF_DIR)),
+            "intersection",
+            left_id="zone_key",
+            right_id="s_key",
+            res=5,
+        ).count()
+
+    timed("overlay_auto_concave", run_overlay_auto_concave, reps=2)
+
     def run_polyfill():
         # exact polygon polyfill (res-6 cells, vectorized rect kernel) +
         # per-zone covering minimization (hash-partitioned compact)

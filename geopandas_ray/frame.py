@@ -528,10 +528,18 @@ class GeoDataset:
 
         return total_bounds(self.ds, geometry=self.geometry)
 
-    def overlay(self, right, how: str = "intersection", **kw):
-        from .stages.overlay import overlay
+    def overlay(self, right, how: str = "intersection", *, left_id=None, right_id=None, **kw):
+        """overlay with automatic physical-plan selection: when unique id
+        columns are given and the right side is a large Dataset, the
+        cell-partitioned shuffle plan is used (byte-parity, measured faster
+        above ~20k right rows); otherwise the broadcast plan."""
+        from .stages.overlay import overlay_auto
 
-        return self._wrap(overlay(self.ds, self._right_side(right), how, **kw))
+        return self._wrap(
+            overlay_auto(
+                self.ds, self._right_side(right), how, left_id=left_id, right_id=right_id, **kw
+            )
+        )
 
     def overlay_shuffle(self, right, how: str = "intersection", *, left_id: str, right_id: str, **kw):
         """Cell-partitioned overlay for two LARGE layers (no broadcast);

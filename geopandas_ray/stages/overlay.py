@@ -707,6 +707,66 @@ def _strip_aux(ds: ray.data.Dataset) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
+# right-side row count at which the cell-partitioned shuffle plan beats the
+# broadcast plan. Measured at sf0.1 (BASELINE.md round 3): 20k concave-L
+# lefts x 1k concave-L rights ran 0.53-0.74x broadcast through the shuffle
+# plan - the win comes from spreading the pairwise boolean kernels by cell
+# instead of re-walking a broadcast tree per 128-row left block, so even a
+# ~1k-polygon right side is enough. Below it the per-actor tree build is
+# cheap and broadcast avoids the shuffle's fixed exchange cost.
+OVERLAY_SHUFFLE_THRESHOLD_ROWS = 1000
+
+
+def choose_overlay_plan(
+    df2,
+    left_id: str | None,
+    right_id: str | None,
+    threshold_rows: int | None = None,
+):
+    """Size-based physical-plan pick for overlay (r3 VERDICT next-round #5).
+
+    Returns ``(plan, df2)`` where plan is "shuffle" or "broadcast". The
+    shuffle plan needs unique per-side id columns (pair identity across
+    cells), so it is only eligible when both are given and df2 is a Dataset.
+    A Dataset df2 is materialized before counting - count() would otherwise
+    execute a lazy plan that the chosen physical plan then re-executes (the
+    CLAUDE.md consumer-count pitfall); the broadcast plan pulls df2 fully
+    anyway, so materializing costs nothing extra."""
+    if threshold_rows is None:
+        threshold_rows = OVERLAY_SHUFFLE_THRESHOLD_ROWS
+    if left_id is None or right_id is None or not isinstance(df2, ray.data.Dataset):
+        return "broadcast", df2
+    df2 = df2.materialize()
+    if df2.count() >= threshold_rows:
+        return "shuffle", df2
+    return "broadcast", df2
+
+
+def overlay_auto(
+    df1: ray.data.Dataset,
+    df2,
+    how: str = "intersection",
+    left_id: str | None = None,
+    right_id: str | None = None,
+    threshold_rows: int | None = None,
+    **kw,
+) -> ray.data.Dataset:
+    """overlay with automatic physical-plan selection: routes two-Dataset
+    inputs with a large right side to :func:`overlay_shuffle` (byte-parity
+    with :func:`overlay`, measured faster above the threshold), everything
+    else to the broadcast plan."""
+    plan, df2 = choose_overlay_plan(df2, left_id, right_id, threshold_rows)
+    # tolerate the other plan's knobs: auto callers can pass both plans'
+    # tuning kwargs and the chosen plan drops the inapplicable ones
+    shuffle_only = {"res", "domain", "shuffle_partitions"}
+    broadcast_only = {"concurrency"}
+    if plan == "shuffle":
+        kw = {k: v for k, v in kw.items() if k not in broadcast_only}
+        return overlay_shuffle(df1, df2, how, left_id=left_id, right_id=right_id, **kw)
+    kw = {k: v for k, v in kw.items() if k not in shuffle_only}
+    return overlay(df1, df2, how, **kw)
+
+
 def overlay_shuffle(
     df1: ray.data.Dataset,
     df2: ray.data.Dataset,

@@ -88,3 +88,51 @@ def test_overlay_shuffle_requires_ids(layers):
     a, b = layers
     with pytest.raises(ValueError, match="left_id"):
         overlay_shuffle(a, b, how="union")
+
+
+def test_overlay_auto_plan_selection(layers):
+    """r3 VERDICT next-round #5: the facade entry picks the shuffle plan for
+    two large Datasets with ids, the broadcast plan otherwise - and the auto
+    result is byte-parity with the dedicated plans."""
+    from geopandas_ray.stages.overlay import choose_overlay_plan, overlay_auto
+
+    a, b = layers
+    # no ids -> broadcast regardless of size
+    plan, _ = choose_overlay_plan(b, None, None, threshold_rows=1)
+    assert plan == "broadcast"
+    # ids + right side above threshold -> shuffle
+    plan, _ = choose_overlay_plan(b, "akey", "bkey", threshold_rows=10)
+    assert plan == "shuffle"
+    # ids but right side below threshold -> broadcast
+    plan, _ = choose_overlay_plan(b, "akey", "bkey", threshold_rows=10_000)
+    assert plan == "broadcast"
+    # a pa.Table right side is broadcast-only
+    plan, _ = choose_overlay_plan(pa.table({"x": [1]}), "akey", "bkey", threshold_rows=0)
+    assert plan == "broadcast"
+
+    want = _canon(overlay(a, b, "intersection"))
+    got_shuffle = _canon(
+        overlay_auto(a, b, "intersection", left_id="akey", right_id="bkey", threshold_rows=10)
+    )
+    got_bcast = _canon(
+        overlay_auto(a, b, "intersection", left_id="akey", right_id="bkey", threshold_rows=10_000)
+    )
+    pd.testing.assert_frame_equal(want, got_shuffle)
+    pd.testing.assert_frame_equal(want, got_bcast)
+
+
+def test_overlay_auto_facade(layers):
+    from geopandas_ray.frame import GeoDataset
+    from geopandas_ray.stages import overlay as OV
+
+    a, b = layers
+    orig = OV.OVERLAY_SHUFFLE_THRESHOLD_ROWS
+    try:
+        OV.OVERLAY_SHUFFLE_THRESHOLD_ROWS = 10
+        got = _canon(
+            GeoDataset(a).overlay(GeoDataset(b), "difference", left_id="akey", right_id="bkey").ds
+        )
+    finally:
+        OV.OVERLAY_SHUFFLE_THRESHOLD_ROWS = orig
+    want = _canon(overlay(a, b, "difference"))
+    pd.testing.assert_frame_equal(want, got)
