@@ -1376,6 +1376,21 @@ def q_sjoin_nearest_rect(sf_dir):
     return _select(j, ["zone_key", "doc_id"])
 
 
+def q_sjoin_nearest_rect_shuffle(sf_dir):
+    # SAME rect-left nearest through the cell-partitioned SHUFFLE plan
+    # (r4: non-point lefts lift the points-only contract; bbox-center cell
+    # keying + per-row extent acceptance + exact rect-to-point refine) -
+    # must hash-match the broadcast path's oracle
+    from geopandas_ray.pipelines.datasets import DOMAIN, doc_points, zone_dataset
+    from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+    j = sjoin_nearest_shuffle(
+        zone_dataset(sf_dir), doc_points(sf_dir), max_distance=None, res=5,
+        domain=DOMAIN, left_id="zone_key", right_id="doc_id",
+    )
+    return _select(j, ["zone_key", "doc_id"])
+
+
 def q_overlay_concave(sf_dir):
     # concave L x L overlay: exercises the general slab-sweep boolean kernel
     # (non-rectilinear, non-convex operands)
@@ -2866,6 +2881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "buffer_array_area": q_buffer_array_area,
         "buffer_erode_area": q_buffer_erode_area,
         "sjoin_nearest_rect": q_sjoin_nearest_rect,
+        "sjoin_nearest_rect_shuffle": q_sjoin_nearest_rect_shuffle,
         "covered_by_join": q_covered_by_join,
         "covers_join": q_covers_join,
         "overlaps_join": q_overlaps_join,
@@ -3427,6 +3443,13 @@ def oracle_sql() -> dict[str, str]:
             "*(zmaxy-zminy+2*((zone_key%5)+1)) AS DOUBLE) AS area FROM zones"
         ),
         "sjoin_nearest_rect": (
+            f"{W}, d AS (SELECT z.zone_key, p.doc_id, "
+            "POWER(GREATEST(z.zminx - p.px, p.px - z.zmaxx, 0), 2) + "
+            "POWER(GREATEST(z.zminy - p.py, p.py - z.zmaxy, 0), 2) AS d2 "
+            "FROM zones z CROSS JOIN pts p) "
+            "SELECT zone_key, doc_id FROM d QUALIFY d2 = MIN(d2) OVER (PARTITION BY zone_key)"
+        ),
+        "sjoin_nearest_rect_shuffle": (
             f"{W}, d AS (SELECT z.zone_key, p.doc_id, "
             "POWER(GREATEST(z.zminx - p.px, p.px - z.zmaxx, 0), 2) + "
             "POWER(GREATEST(z.zminy - p.py, p.py - z.zmaxy, 0), 2) AS d2 "

@@ -373,16 +373,31 @@ def sjoin_nearest_shuffle(
     distance_col: str | None = None,
     floor_res: int = 3,
     group_row_cap: int | None = None,
+    left_points: bool | None = None,
 ) -> "ray.data.Dataset":
     """Cell-partitioned nearest join for two LARGE sides.
 
-    Bounded plan (``max_distance`` set): left rows key to their cell at
-    ``res``; right rows replicate to every cell their max_distance-dilated
-    bbox covers. One groupby(cell) shuffle; per cell, exact nearest among
-    the replicated candidates. A left row's true nearest within
-    max_distance is guaranteed to be among its cell's candidates because
-    any right geometry within max_distance of the point dilates into that
-    cell. Ties all returned (return_all).
+    Bounded plan (``max_distance`` set), point lefts: left rows key to their
+    cell at ``res``; right rows replicate to every cell their
+    max_distance-dilated bbox covers. One groupby(cell) shuffle; per cell,
+    exact nearest among the replicated candidates. A left row's true nearest
+    within max_distance is guaranteed to be among its cell's candidates
+    because any right geometry within max_distance of the point dilates
+    into that cell. Ties all returned (return_all).
+
+    NON-POINT lefts (r3 VERDICT next-round #6, reference tools/sjoin.py:341
+    takes any geometry): lefts replicate to every cell of their (undilated)
+    bbox, rights dilate by max_distance as above - any right within
+    max_distance of the left shares >=1 cell (per-axis gap <= Euclidean
+    distance). Each cell emits its per-left min+ties with EXACT
+    geometry-to-geometry distances (point rights vectorize through
+    points_to_geom_sqdist per left row; mixed rights fall back to the
+    per-pair kernel), then one hash-partitioned reduce on the left id keeps
+    the global min+ties and dedupes pairs seen from multiple shared cells.
+
+    ``left_points=None`` auto-detects with a slim byte-length scan (a point
+    WKB is exactly 21 bytes; no decode) - one extra pass over the left's
+    geometry column; pass True/False to skip it.
 
     Unbounded plan (``max_distance=None``, reference sindex.py:220
     default): iterative COARSENING + DILATION expansion. Rounds coarsen the
@@ -405,11 +420,20 @@ def sjoin_nearest_shuffle(
 
     domain = domain or DEFAULT_DOMAIN
     right_geometry = right_geometry or geometry
+    if left_points is None:
+        left_points = _all_point_wkb(left, geometry)
     if max_distance is None:
         return _nearest_shuffle_unbounded(
             left, right, res=res, domain=domain, geometry=geometry,
             right_geometry=right_geometry, left_id=left_id, right_id=right_id,
             distance_col=distance_col, floor_res=floor_res,
+            group_row_cap=group_row_cap, left_points=left_points,
+        )
+    if not left_points:
+        return _nearest_shuffle_bounded_general(
+            left, right, d=float(max_distance), res=res, domain=domain,
+            geometry=geometry, right_geometry=right_geometry, left_id=left_id,
+            right_id=right_id, distance_col=distance_col,
             group_row_cap=group_row_cap,
         )
     d = float(max_distance)
@@ -577,6 +601,231 @@ _LIVE_CELL_PULL_CAP = 2_000_000
 _SALT_TARGET_ROWS = 200_000
 
 
+def _all_point_wkb(ds: "ray.data.Dataset", geometry: str) -> bool:
+    """True iff every geometry is a single 2-D Point. Slim detection scan:
+    the engine's canonical point WKB is exactly 21 bytes (header + x + y)
+    and no other geometry fits in 21, so byte LENGTHS decide - no decode.
+    False positives are impossible; a false negative (e.g. a 29-byte XYZ
+    point from external data) just routes to the general path, which is
+    correct for points too."""
+    import pyarrow.compute as pc
+
+    from ..util import pull_table
+
+    def f(b: pa.Table) -> pa.Table:
+        ln = pc.binary_length(b.column(geometry))
+        ok = pc.all(pc.equal(ln, 21)).as_py()
+        return pa.table({"ok": pa.array([ok is not False])})
+
+    t = pull_table(
+        ds.select_columns([geometry]).map_batches(f, batch_format="pyarrow"),
+        columns=["ok"],
+    )
+    if not t.num_columns or not len(t):
+        return True
+    return bool(np.all(np.asarray(t.column("ok"))))
+
+
+def _general_min_ties(lg, rg, thr2: np.ndarray):
+    """Exact per-left-row min squared distance to the right rows + tie
+    pairs for rows whose best clears the per-row threshold.
+
+    Point rights (the common table shape) vectorize: one
+    points_to_geom_sqdist call per LEFT row over all right points (C-level
+    over rights). Mixed rights fall back to the per-pair exact kernel
+    (geom_to_geom_sqdist) - correct for every type family, Python-per-pair,
+    sized by the cell's candidate volume."""
+    nL, nR = len(lg), len(rg)
+    best = np.full(nL, np.inf)
+    pair_li: list[np.ndarray] = []
+    pair_rj: list[np.ndarray] = []
+    if nR == 0:
+        return best, pair_li, pair_rj
+    rts = np.asarray(rg.row_types)
+    point_rights = bool(np.all(rts == 1))
+    if point_rights:
+        ci = rg.ring_offsets[rg.part_offsets[rg.row_offsets[:-1]]]
+        rx = rg.coords[ci, 0]
+        ry = rg.coords[ci, 1]
+    for i in range(nL):
+        if point_rights:
+            d2 = K.points_to_geom_sqdist(lg, i, rx, ry)
+        else:
+            d2 = np.array([K.geom_to_geom_sqdist(lg, i, rg, j) for j in range(nR)])
+        b = float(np.min(d2))
+        best[i] = b
+        if b <= thr2[i]:
+            ties = np.nonzero(d2 == b)[0].astype(np.int64)
+            pair_li.append(np.full(len(ties), i, dtype=np.int64))
+            pair_rj.append(ties)
+    return best, pair_li, pair_rj
+
+
+def _nearest_shuffle_bounded_general(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    d: float,
+    res: int,
+    domain,
+    geometry: str,
+    right_geometry: str,
+    left_id: str,
+    right_id: str,
+    distance_col: str | None,
+    group_row_cap: int | None = None,
+) -> "ray.data.Dataset":
+    """Bounded nearest for NON-POINT lefts (see sjoin_nearest_shuffle
+    docstring): lefts replicate to their bbox's cells, rights to their
+    d-dilated bbox's cells, each cell emits its per-left exact min+ties,
+    and a hash-partitioned reduce on the left id keeps the global min+ties
+    (deduping pairs emitted by multiple shared cells). Two exchanges total;
+    the reduce is one vectorized pandas pass per partition, never
+    per-distinct-key (CLAUDE.md)."""
+    import pandas as pd
+
+    from ..grid import cells_for_bbox
+    from ..util import default_shuffle_partitions
+
+    ltype = dict(zip(left.schema().names, left.schema().types))[left_id]
+    rtype = dict(zip(right.schema().names, right.schema().types))[right_id]
+    nparts = default_shuffle_partitions()
+    dmax2 = d * d
+
+    def key_left(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(geometry))
+        bb = K.bounds(g)
+        valid = ~np.isnan(bb).any(axis=1)
+        row_idx, cells = cells_for_bbox(
+            np.where(valid, bb[:, 0], 0.0),
+            np.where(valid, bb[:, 1], 0.0),
+            np.where(valid, bb[:, 2], 0.0),
+            np.where(valid, bb[:, 3], 0.0),
+            res,
+            domain,
+        )
+        keep = valid[row_idx]
+        row_idx, cells = row_idx[keep], cells[keep]
+        taken = b.take(pa.array(row_idx))
+        n = len(row_idx)
+        return pa.table(
+            {
+                "cell": pa.array(cells.astype(np.int64)),
+                "__side": pa.array(np.zeros(n, dtype=np.int8)),
+                "__lid": taken.column(left_id),
+                "__rid": pa.nulls(n, rtype),
+                "__geom": taken.column(geometry).cast(pa.large_binary()),
+            }
+        )
+
+    def key_right(b: pa.Table) -> pa.Table:
+        g = from_wkb(b.column(right_geometry))
+        bb = K.bounds(g)
+        valid = ~np.isnan(bb).any(axis=1)
+        row_idx, cells = cells_for_bbox(
+            np.where(valid, bb[:, 0] - d, 0.0),
+            np.where(valid, bb[:, 1] - d, 0.0),
+            np.where(valid, bb[:, 2] + d, 0.0),
+            np.where(valid, bb[:, 3] + d, 0.0),
+            res,
+            domain,
+        )
+        keep = valid[row_idx]
+        row_idx, cells = row_idx[keep], cells[keep]
+        taken = b.take(pa.array(row_idx))
+        n = len(row_idx)
+        return pa.table(
+            {
+                "cell": pa.array(cells.astype(np.int64)),
+                "__side": pa.array(np.ones(n, dtype=np.int8)),
+                "__lid": pa.nulls(n, ltype),
+                "__rid": taken.column(right_id),
+                "__geom": taken.column(right_geometry).cast(pa.large_binary()),
+            }
+        )
+
+    def empty_pairs() -> pa.Table:
+        return pa.table(
+            {
+                left_id: pa.nulls(0, ltype),
+                right_id: pa.nulls(0, rtype),
+                "distance": pa.nulls(0, pa.float64()),
+            }
+        )
+
+    def per_cell(b: pa.Table) -> pa.Table:
+        if group_row_cap is not None and len(b) > group_row_cap:
+            raise RuntimeError(
+                f"nearest-shuffle group of {len(b)} rows exceeds "
+                f"group_row_cap={group_row_cap}"
+            )
+        side = np.asarray(b.column("__side"))
+        lmask = side == 0
+        if not lmask.any() or lmask.all():
+            return empty_pairs()
+        lt = b.filter(pa.array(lmask))
+        rt = b.filter(pa.array(~lmask))
+        lg = from_wkb(lt.column("__geom"))
+        rg = from_wkb(rt.column("__geom"))
+        thr2 = np.full(len(lg), dmax2)
+        best, pair_li, pair_rj = _general_min_ties(lg, rg, thr2)
+        if not pair_li:
+            return empty_pairs()
+        li = np.concatenate(pair_li)
+        rj = np.concatenate(pair_rj)
+        return pa.table(
+            {
+                left_id: lt.column("__lid").take(pa.array(li, type=pa.int64())),
+                right_id: rt.column("__rid").take(pa.array(rj, type=pa.int64())),
+                "distance": pa.array(np.sqrt(best[li])),
+            }
+        )
+
+    lkeyed = left.map_batches(key_left, batch_format="pyarrow")
+    rkeyed = right.map_batches(key_right, batch_format="pyarrow")
+    pairs = (
+        lkeyed.union(rkeyed)
+        .repartition(nparts)
+        .groupby("cell")
+        .map_groups(per_cell, batch_format="pyarrow")
+    )
+
+    # global reduce: a pair can be emitted by every cell the two bboxes
+    # share, always with the SAME exact distance - keep the per-left min
+    # (+ties) and dedupe (lid, rid). Hash-partitioned, one vectorized pandas
+    # pass per partition.
+    def part_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[left_id] = df[left_id].infer_objects()
+        df["__part"] = pd.util.hash_array(df[left_id].to_numpy()) % nparts
+        return df
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.drop(columns=["__part"])
+        m = df.groupby(left_id)["distance"].transform("min")
+        out = df[df["distance"] == m].drop_duplicates([left_id, right_id])
+        return out.drop(columns=["__part"])
+
+    out = (
+        pairs.map_batches(part_key, batch_format="pandas")
+        .repartition(nparts)
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pandas")
+    )
+    if distance_col is None:
+        out = out.map_batches(
+            lambda t: t.drop_columns(["distance"]), batch_format="pyarrow"
+        )
+    elif distance_col != "distance":
+        out = out.map_batches(
+            lambda t: t.rename_columns(
+                [distance_col if c == "distance" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    return out
+
+
 def _nearest_shuffle_unbounded(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -589,10 +838,16 @@ def _nearest_shuffle_unbounded(
     distance_col: str | None,
     floor_res: int = 3,
     group_row_cap: int | None = None,
+    left_points: bool = True,
 ) -> "ray.data.Dataset":
     """Unbounded two-large-sides nearest: coarsening + dilation expansion
-    (see sjoin_nearest_shuffle docstring). Left rows must be points (the
-    shuffle path's contract); rights are arbitrary geometries.
+    (see sjoin_nearest_shuffle docstring). Rights are arbitrary geometries;
+    ``left_points=False`` lifts the points-only left contract (r3 VERDICT
+    next-round #6): each left keys by its bbox CENTER and carries its WKB
+    plus extent bound r = half the bbox diagonal; the round acceptance
+    tightens to ``best <= t - r`` (a right absent from the cell is farther
+    than t from the center, hence farther than t - r from any point of the
+    left geometry), and per-cell distances are exact geometry-to-geometry.
 
     Round schedule (r3 VERDICT #3 - the old final round coarsened to res 0,
     concentrating ALL unresolved lefts x ALL rights into ONE task):
@@ -622,17 +877,25 @@ def _nearest_shuffle_unbounded(
     nparts = default_shuffle_partitions()
     floor_res = max(0, min(floor_res, res))
 
+    gen = not left_points
+
     def slim_left(b: pa.Table) -> pa.Table:
         g = from_wkb(b.column(geometry))
         bb = K.bounds(g)
         valid = ~np.isnan(bb).any(axis=1)
-        return pa.table(
-            {
-                "__lid": b.column(left_id),
-                "__lx": pa.array(np.where(valid, (bb[:, 0] + bb[:, 2]) * 0.5, np.nan)),
-                "__ly": pa.array(np.where(valid, (bb[:, 1] + bb[:, 3]) * 0.5, np.nan)),
-            }
-        ).filter(pa.array(valid))
+        cols = {
+            "__lid": b.column(left_id),
+            "__lx": pa.array(np.where(valid, (bb[:, 0] + bb[:, 2]) * 0.5, np.nan)),
+            "__ly": pa.array(np.where(valid, (bb[:, 1] + bb[:, 3]) * 0.5, np.nan)),
+        }
+        if gen:
+            # extent bound: max distance from the bbox center to the
+            # geometry <= half the bbox diagonal
+            cols["__lr"] = pa.array(
+                0.5 * np.hypot(bb[:, 2] - bb[:, 0], bb[:, 3] - bb[:, 1])
+            )
+            cols["__lgeom"] = b.column(geometry).cast(pa.large_binary())
+        return pa.table(cols).filter(pa.array(valid))
 
     unresolved = left.map_batches(slim_left, batch_format="pyarrow").materialize()
 
@@ -711,20 +974,22 @@ def _nearest_shuffle_unbounded(
             lx = np.asarray(b.column("__lx"), dtype=np.float64)
             ly = np.asarray(b.column("__ly"), dtype=np.float64)
             cells = cell_id(lx, ly, _rr, domain).astype(np.int64)
-            return pa.table(
-                {
-                    "cell": pa.array(cells),
-                    "__salt2": pa.array(
-                        (np.arange(len(b), dtype=np.int64) % _salt).astype(np.int8)
-                    ),
-                    "__side": pa.array(np.zeros(len(b), dtype=np.int8)),
-                    "__lid": b.column("__lid"),
-                    "__lx": b.column("__lx"),
-                    "__ly": b.column("__ly"),
-                    "__rid": pa.nulls(len(b), rtype),
-                    "__geom": pa.nulls(len(b), pa.large_binary()),
-                }
-            )
+            cols = {
+                "cell": pa.array(cells),
+                "__salt2": pa.array(
+                    (np.arange(len(b), dtype=np.int64) % _salt).astype(np.int8)
+                ),
+                "__side": pa.array(np.zeros(len(b), dtype=np.int8)),
+                "__lid": b.column("__lid"),
+                "__lx": b.column("__lx"),
+                "__ly": b.column("__ly"),
+                "__rid": pa.nulls(len(b), rtype),
+                "__geom": pa.nulls(len(b), pa.large_binary()),
+            }
+            if gen:
+                cols["__lr"] = b.column("__lr")
+                cols["__lgeom"] = b.column("__lgeom")
+            return pa.table(cols)
 
         def key_right(b: pa.Table, _rr=rr, _d=t_accept, _salt=salt, _live=live_ref) -> pa.Table:
             row_idx, cells = cells_for_bbox(
@@ -750,18 +1015,20 @@ def _nearest_shuffle_unbounded(
                 salts = np.zeros(len(row_idx), dtype=np.int8)
             taken = b.take(pa.array(row_idx))
             n = len(row_idx)
-            return pa.table(
-                {
-                    "cell": pa.array(cells),
-                    "__salt2": pa.array(salts),
-                    "__side": pa.array(np.ones(n, dtype=np.int8)),
-                    "__lid": pa.nulls(n, ltype),
-                    "__lx": pa.nulls(n, pa.float64()),
-                    "__ly": pa.nulls(n, pa.float64()),
-                    "__rid": taken.column("__srid"),
-                    "__geom": taken.column("__sgeom"),
-                }
-            )
+            cols = {
+                "cell": pa.array(cells),
+                "__salt2": pa.array(salts),
+                "__side": pa.array(np.ones(n, dtype=np.int8)),
+                "__lid": pa.nulls(n, ltype),
+                "__lx": pa.nulls(n, pa.float64()),
+                "__ly": pa.nulls(n, pa.float64()),
+                "__rid": taken.column("__srid"),
+                "__geom": taken.column("__sgeom"),
+            }
+            if gen:
+                cols["__lr"] = pa.nulls(n, pa.float64())
+                cols["__lgeom"] = pa.nulls(n, pa.large_binary())
+            return pa.table(cols)
 
         def per_cell(b: pa.Table, _t=t_accept, _final=final_round) -> pa.Table:
             """Emit accepted pairs (rid set) and carried lefts (rid null)."""
@@ -774,77 +1041,97 @@ def _nearest_shuffle_unbounded(
             lmask = side == 0
             lt = b.filter(pa.array(lmask))
             if len(lt) == 0:
-                return _empty_round(ltype, rtype)
+                return _empty_round(ltype, rtype, gen)
             rt = b.filter(pa.array(~lmask))
             px = np.asarray(lt.column("__lx"), dtype=np.float64)
             py = np.asarray(lt.column("__ly"), dtype=np.float64)
             if len(rt) == 0:
                 if _final:
-                    return _empty_round(ltype, rtype)  # no rights at all
-                return pa.table(
-                    {
-                        "__lid": lt.column("__lid"),
-                        "__lx": lt.column("__lx"),
-                        "__ly": lt.column("__ly"),
-                        "__rid": pa.nulls(len(lt), rtype),
-                        "__dist": pa.nulls(len(lt), pa.float64()),
-                    }
-                )
+                    return _empty_round(ltype, rtype, gen)  # no rights at all
+                cols = {
+                    "__lid": lt.column("__lid"),
+                    "__lx": lt.column("__lx"),
+                    "__ly": lt.column("__ly"),
+                    "__rid": pa.nulls(len(lt), rtype),
+                    "__dist": pa.nulls(len(lt), pa.float64()),
+                }
+                if gen:
+                    cols["__lr"] = lt.column("__lr")
+                    cols["__lgeom"] = lt.column("__lgeom")
+                return pa.table(cols)
             rg = from_wkb(rt.column("__geom"))
             nL, nR = len(px), len(rt)
-            # single kernel pass: chunk lefts so the dense d2 block stays
-            # ~16MB, take min + tie hits from the same block instead of
-            # recomputing every distance for the pair-emission loop
-            chunk = max(1, int(_PAIR_BLOCK_ELEMS // max(nR, 1)))
-            best = np.full(nL, np.inf)
-            pair_li, pair_rj = [], []
-            for s in range(0, nL, chunk):
-                e = min(s + chunk, nL)
-                cx, cy = px[s:e], py[s:e]
-                D = np.empty((nR, e - s))
-                for j in range(nR):
-                    D[j] = K.points_to_geom_sqdist(rg, j, cx, cy)
-                bc = D.min(axis=0)
-                best[s:e] = bc
-                acc = np.isfinite(bc) if _final else bc <= _t * _t
-                for j in range(nR):
-                    hit = acc & (D[j] == bc)
-                    if hit.any():
-                        idx = np.nonzero(hit)[0]
-                        pair_li.append(idx + s)
-                        pair_rj.append(np.full(len(idx), j, dtype=np.int64))
-            accept = np.isfinite(best) if _final else best <= _t * _t
+            if gen:
+                # exact geometry-to-geometry distances; per-row acceptance
+                # threshold t - r_i (see docstring invariant)
+                lg = from_wkb(lt.column("__lgeom"))
+                lr = np.asarray(lt.column("__lr"), dtype=np.float64)
+                if _final:
+                    thr2 = np.full(nL, np.inf)
+                else:
+                    # rows whose extent exceeds t can NEVER accept this
+                    # round (the invariant only bounds absent rights below
+                    # by t - r, which is negative): thr2=-1 rejects even
+                    # best=0, where a zero-clamp would wrongly accept while
+                    # distance-0 ties are still outside the cell
+                    thr = _t - lr
+                    thr2 = np.where(thr >= 0.0, thr * thr, -1.0)
+                best, pair_li, pair_rj = _general_min_ties(lg, rg, thr2)
+                accept = np.isfinite(best) if _final else best <= thr2
+            else:
+                # single kernel pass: chunk lefts so the dense d2 block stays
+                # ~16MB, take min + tie hits from the same block instead of
+                # recomputing every distance for the pair-emission loop
+                chunk = max(1, int(_PAIR_BLOCK_ELEMS // max(nR, 1)))
+                best = np.full(nL, np.inf)
+                pair_li, pair_rj = [], []
+                for s in range(0, nL, chunk):
+                    e = min(s + chunk, nL)
+                    cx, cy = px[s:e], py[s:e]
+                    D = np.empty((nR, e - s))
+                    for j in range(nR):
+                        D[j] = K.points_to_geom_sqdist(rg, j, cx, cy)
+                    bc = D.min(axis=0)
+                    best[s:e] = bc
+                    acc = np.isfinite(bc) if _final else bc <= _t * _t
+                    for j in range(nR):
+                        hit = acc & (D[j] == bc)
+                        if hit.any():
+                            idx = np.nonzero(hit)[0]
+                            pair_li.append(idx + s)
+                            pair_rj.append(np.full(len(idx), j, dtype=np.int64))
+                accept = np.isfinite(best) if _final else best <= _t * _t
             parts = []
             if pair_li:
                 li = np.concatenate(pair_li)
                 rj = np.concatenate(pair_rj)
-                parts.append(
-                    pa.table(
-                        {
-                            "__lid": lt.column("__lid").take(pa.array(li, type=pa.int64())),
-                            "__lx": pa.nulls(len(li), pa.float64()),
-                            "__ly": pa.nulls(len(li), pa.float64()),
-                            "__rid": rt.column("__rid").take(pa.array(rj, type=pa.int64())),
-                            "__dist": pa.array(np.sqrt(best[li])),
-                        }
-                    )
-                )
+                pcols = {
+                    "__lid": lt.column("__lid").take(pa.array(li, type=pa.int64())),
+                    "__lx": pa.nulls(len(li), pa.float64()),
+                    "__ly": pa.nulls(len(li), pa.float64()),
+                    "__rid": rt.column("__rid").take(pa.array(rj, type=pa.int64())),
+                    "__dist": pa.array(np.sqrt(best[li])),
+                }
+                if gen:
+                    pcols["__lr"] = pa.nulls(len(li), pa.float64())
+                    pcols["__lgeom"] = pa.nulls(len(li), pa.large_binary())
+                parts.append(pa.table(pcols))
             carry = ~accept
             if carry.any():
                 ct = lt.filter(pa.array(carry))
-                parts.append(
-                    pa.table(
-                        {
-                            "__lid": ct.column("__lid"),
-                            "__lx": ct.column("__lx"),
-                            "__ly": ct.column("__ly"),
-                            "__rid": pa.nulls(len(ct), rtype),
-                            "__dist": pa.nulls(len(ct), pa.float64()),
-                        }
-                    )
-                )
+                ccols = {
+                    "__lid": ct.column("__lid"),
+                    "__lx": ct.column("__lx"),
+                    "__ly": ct.column("__ly"),
+                    "__rid": pa.nulls(len(ct), rtype),
+                    "__dist": pa.nulls(len(ct), pa.float64()),
+                }
+                if gen:
+                    ccols["__lr"] = ct.column("__lr")
+                    ccols["__lgeom"] = ct.column("__lgeom")
+                parts.append(pa.table(ccols))
             if not parts:
-                return _empty_round(ltype, rtype)
+                return _empty_round(ltype, rtype, gen)
             return pa.concat_tables(parts)
 
         lkeyed = unresolved.map_batches(key_left, batch_format="pyarrow")
@@ -887,13 +1174,15 @@ def _nearest_shuffle_unbounded(
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-def _empty_round(ltype, rtype) -> pa.Table:
-    return pa.table(
-        {
-            "__lid": pa.nulls(0, ltype),
-            "__lx": pa.nulls(0, pa.float64()),
-            "__ly": pa.nulls(0, pa.float64()),
-            "__rid": pa.nulls(0, rtype),
-            "__dist": pa.nulls(0, pa.float64()),
-        }
-    )
+def _empty_round(ltype, rtype, gen: bool = False) -> pa.Table:
+    cols = {
+        "__lid": pa.nulls(0, ltype),
+        "__lx": pa.nulls(0, pa.float64()),
+        "__ly": pa.nulls(0, pa.float64()),
+        "__rid": pa.nulls(0, rtype),
+        "__dist": pa.nulls(0, pa.float64()),
+    }
+    if gen:
+        cols["__lr"] = pa.nulls(0, pa.float64())
+        cols["__lgeom"] = pa.nulls(0, pa.large_binary())
+    return pa.table(cols)
