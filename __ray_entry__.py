@@ -2535,6 +2535,47 @@ def q_to_crs_laea_roundtrip(sf_dir):
     return back.map_batches(rounded, batch_format="pyarrow")
 
 
+def q_estimate_utm_roundtrip(sf_dir):
+    # estimate_utm_crs on an NYC-window fixture must yield EPSG:32618, and
+    # to_crs must consume it: 4326 -> 32618 -> 4326, rounded to 6 dp (the
+    # original lon/lat have <=3 decimals; TM roundtrip error ~1e-12 deg)
+    from geopandas_ray.crs import estimate_utm_crs, to_crs
+    from geopandas_ray.pipelines.datasets import doc_points
+
+    def scale(b: pa.Table) -> pa.Table:
+        from geopandas_ray.geom import kernels as K
+        from geopandas_ray.geom.wkb import from_wkb, points_to_wkb
+
+        g = from_wkb(b.column("geometry"))
+        bb = K.bounds(g)
+        lon = -75.0 + bb[:, 0] * 0.002
+        lat = 40.0 + bb[:, 1] * 0.001
+        i = b.column_names.index("geometry")
+        return b.set_column(i, "geometry", points_to_wkb(lon, lat))
+
+    ds = doc_points(sf_dir).map_batches(scale, batch_format="pyarrow").materialize()
+    utm = estimate_utm_crs(ds)
+    if utm != "EPSG:32618":  # the NYC window is zone 18 north by definition
+        raise AssertionError(f"estimated {utm}, expected EPSG:32618")
+    back = to_crs(to_crs(ds, "EPSG:4326", utm), utm, "EPSG:4326")
+
+    def rounded(b: pa.Table) -> pa.Table:
+        from geopandas_ray.geom import kernels as K
+        from geopandas_ray.geom.wkb import from_wkb
+
+        g = from_wkb(b.column("geometry"))
+        bb = K.bounds(g)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "x": pa.array(np.round(bb[:, 0], 6)),
+                "y": pa.array(np.round(bb[:, 1], 6)),
+            }
+        )
+
+    return back.map_batches(rounded, batch_format="pyarrow")
+
+
 def q_feather_roundtrip(sf_dir):
     # feather sink fragments + streamed read-back (io/arrow.py:367 parity)
     import shutil
@@ -2916,6 +2957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_repeated_count": q_remove_repeated_count,
         "to_crs_offset": q_to_crs_offset,
         "to_crs_laea_roundtrip": q_to_crs_laea_roundtrip,
+        "estimate_utm_roundtrip": q_estimate_utm_roundtrip,
         "near_dup_verified": q_near_dup_verified,
         "feather_roundtrip": q_feather_roundtrip,
         "geojson_roundtrip": q_geojson_roundtrip,
@@ -3669,6 +3711,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "to_crs_laea_roundtrip": (
             f"{W} SELECT doc_id, ROUND(px*0.04, 6) AS x, ROUND(35.0+py*0.02, 6) AS y FROM pts"
+        ),
+        "estimate_utm_roundtrip": (
+            f"{W} SELECT doc_id, ROUND(-75.0+px*0.002, 6) AS x, ROUND(40.0+py*0.001, 6) AS y FROM pts"
         ),
         "near_dup_verified": (
             "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws "

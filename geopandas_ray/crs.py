@@ -273,3 +273,16 @@ def estimate_utm_zone(total_bounds) -> str:
     zone = int(np.floor((lon + 180.0) / 6.0)) % 60 + 1
     epsg = (32600 if lat >= 0 else 32700) + zone
     return f"EPSG:{epsg}"
+
+
+def estimate_utm_crs(ds, geometry: str = "geometry") -> str:
+    """geoseries.py:957: estimate the WGS84 UTM CRS covering the dataset.
+
+    Returns an "EPSG:326xx"/"EPSG:327xx" code straight from the proj
+    REGISTRY, so the result is consumable by :func:`to_crs`. Geometry must
+    be in lon/lat (EPSG:4326), like the reference (it raises without a
+    geographic CRS). One streaming total_bounds pass."""
+    from .stages.dissolve import total_bounds
+
+    tb = total_bounds(ds, geometry=geometry)
+    return estimate_utm_zone(tb)

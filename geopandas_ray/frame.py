@@ -599,6 +599,15 @@ class GeoDataset:
         out = to_crs(self.ds, self.crs, crs, geometry=self.geometry)
         return GeoDataset(out, geometry=self.geometry, crs=crs)
 
+    def estimate_utm_crs(self) -> str:
+        """geoseries.py:957: WGS84 UTM code covering the data; feed it
+        straight back into to_crs. Requires lon/lat geometry."""
+        from .crs import estimate_utm_crs
+
+        if self.crs is not None and str(self.crs) not in ("EPSG:4326", "OGC:CRS84"):
+            raise RuntimeError("estimate_utm_crs needs geographic (lon/lat) input")
+        return estimate_utm_crs(self.ds, geometry=self.geometry)
+
     def rename_geometry(self, new_name: str) -> "GeoDataset":
         out = _ops3.rename_geometry(self.ds, new_name, geometry=self.geometry)
         return GeoDataset(out, geometry=new_name, crs=self.crs)

@@ -398,6 +398,18 @@ REGISTRY: dict[str, CrsDef] = {
         f"EPSG:258{z:02d}": CrsDef("GRS80", None, "tm", (z * 6 - 183.0, 0.0, 0.9996, 500000.0, 0.0))
         for z in range(28, 38)
     },
+    # WGS 84 / UTM north (326xx) + south (327xx) — the estimate_utm_crs
+    # targets (geoseries.py:957); standard UTM TM parameters
+    **{
+        f"EPSG:326{z:02d}": CrsDef("WGS84", None, "tm", (z * 6 - 183.0, 0.0, 0.9996, 500000.0, 0.0))
+        for z in range(1, 61)
+    },
+    **{
+        f"EPSG:327{z:02d}": CrsDef(
+            "WGS84", None, "tm", (z * 6 - 183.0, 0.0, 0.9996, 500000.0, 10000000.0)
+        )
+        for z in range(1, 61)
+    },
 }
 
 

@@ -73,6 +73,8 @@ def dissolve(
     sort: bool = True,
     observed: bool = False,
     method: str = "unary",
+    level=None,
+    index_cols=None,
 ) -> ray.data.Dataset:
     """Grouped geometry union + attribute aggregation.
 
@@ -92,6 +94,25 @@ def dissolve(
     """
     if method not in ("unary", "coverage"):
         raise ValueError(f"method must be 'unary' or 'coverage', got {method!r}")
+    # level= (geodataframe.py:1338): group by index level(s). In the
+    # index-as-columns model an index level IS a column - a str level names
+    # it directly; an int level is positional into ``index_cols`` (the
+    # dataset's index-role columns, in index order).
+    if level is not None:
+        if by is not None:
+            raise ValueError("pass `by` or `level`, not both")
+        levels = [level] if isinstance(level, (str, int)) else list(level)
+        by = []
+        for lv in levels:
+            if isinstance(lv, int):
+                if index_cols is None:
+                    raise ValueError(
+                        "integer `level` needs `index_cols` (the dataset's "
+                        "index-role column names, in index order)"
+                    )
+                by.append(index_cols[lv])
+            else:
+                by.append(lv)
     if by is None:
         by_cols: list[str] = []
     elif isinstance(by, str):

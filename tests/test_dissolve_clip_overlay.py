@@ -376,3 +376,72 @@ def test_clip_general_mask_sort_kwargs():
     mask = pa.table({"geometry": W.boxes_to_wkb([0.5], [0.5], [4.0], [4.0])})
     got = clip(ds, mask, keep_geom_type=True, sort=True).to_pandas()
     assert got.id.tolist() == [0, 2]
+
+
+def test_dissolve_level():
+    # level= groups by index-role columns (index-as-columns model,
+    # geodataframe.py:1338): int levels positional into index_cols, str
+    # levels name the column directly
+    from geopandas_ray.stages.dissolve import dissolve
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "lvl_a": pa.array(["x", "x", "y", "y"]),
+                "lvl_b": pa.array([0, 1, 0, 1]),
+                "w": pa.array([1.0, 2.0, 3.0, 4.0]),
+                "geometry": W.boxes_to_wkb(
+                    [0.0, 1.0, 10.0, 20.0], [0.0, 1.0, 10.0, 20.0],
+                    [2.0, 3.0, 12.0, 22.0], [2.0, 3.0, 12.0, 22.0],
+                ),
+            }
+        )
+    )
+    by_int = dissolve(
+        ds, level=0, index_cols=["lvl_a", "lvl_b"], aggfunc={"w": "sum"}
+    ).to_pandas().sort_values("lvl_a").reset_index(drop=True)
+    by_str = dissolve(ds, level="lvl_a", aggfunc={"w": "sum"}).to_pandas().sort_values(
+        "lvl_a"
+    ).reset_index(drop=True)
+    by_col = dissolve(ds, by="lvl_a", aggfunc={"w": "sum"}).to_pandas().sort_values(
+        "lvl_a"
+    ).reset_index(drop=True)
+    assert by_int.w_sum.tolist() == by_col.w_sum.tolist() == [3.0, 7.0]
+    assert by_str.geometry.tolist() == by_col.geometry.tolist()
+    with pytest.raises(ValueError, match="not both"):
+        dissolve(ds, by="lvl_a", level=0, index_cols=["lvl_a"])
+    with pytest.raises(ValueError, match="index_cols"):
+        dissolve(ds, level=1)
+
+
+def test_estimate_utm_crs_roundtrip():
+    from geopandas_ray.crs import estimate_utm_crs, to_crs
+    from geopandas_ray.frame import GeoDataset
+
+    # NYC-ish points -> zone 18 north; Sydney-ish -> zone 56 south
+    nyc = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([0, 1]),
+                "geometry": W.points_to_wkb([-74.0, -73.9], [40.7, 40.8]),
+            }
+        )
+    )
+    syd = ray.data.from_arrow(
+        pa.table(
+            {"id": pa.array([0]), "geometry": W.points_to_wkb([151.2], [-33.9])}
+        )
+    )
+    assert estimate_utm_crs(nyc) == "EPSG:32618"
+    assert estimate_utm_crs(syd) == "EPSG:32756"
+    # the estimated code is consumable by to_crs and roundtrips
+    back = to_crs(to_crs(nyc, "EPSG:4326", "EPSG:32618"), "EPSG:32618", "EPSG:4326")
+    got = back.to_pandas().sort_values("id")
+    bb = _areas.__globals__["K"].bounds(W.from_wkb(got.geometry.tolist()))
+    assert np.allclose(bb[:, 0], [-74.0, -73.9], atol=1e-9)
+    assert np.allclose(bb[:, 1], [40.7, 40.8], atol=1e-9)
+    # facade: metadata-carrying path
+    gd = GeoDataset(nyc, crs="EPSG:4326")
+    assert gd.estimate_utm_crs() == "EPSG:32618"
+    with pytest.raises(RuntimeError, match="geographic"):
+        GeoDataset(nyc, crs="EPSG:3035").estimate_utm_crs()
