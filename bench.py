@@ -50,7 +50,14 @@ def run_bench() -> dict:
     @ray.remote
     def _warm():
         import geopandas_ray.stages.sjoin  # noqa: F401
+        import numpy as _np
 
+        # spin up OpenBLAS's thread pool too: the first sizeable matmul in
+        # a fresh worker costs ~0.6-0.7s of thread spawn on this host
+        # (measured; warm calls are 0.04s) - without this, sub-second
+        # matmul entries (knn_brute) measure BLAS startup, not the pipeline
+        x = _np.ones((512, 512))
+        (x @ x).sum()
         time.sleep(0.1)
         return 1
 
