@@ -50,11 +50,28 @@ class MediaDecoder:
         self.decoder = decoder
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        payloads = b.column(self.payload_col).to_pylist()
-        nbytes = np.empty(len(payloads), dtype=np.int64)
-        mean = np.empty(len(payloads), dtype=np.float64)
-        for i, p in enumerate(payloads):
-            nbytes[i], mean[i] = _payload_stat(p)
+        # vectorized off the Arrow binary layout (r3 VERDICT minor #6): byte
+        # lengths from the offsets buffer, per-payload sums from one float64
+        # cumsum over the flat values buffer - no to_pylist, no Python loop.
+        # (A real codec stage would be per-row here; this keeps the PLUMBING
+        # benchmark measuring plumbing.) Null/empty payloads -> (0, 0.0).
+        col = b.column(self.payload_col)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # (large_)binary arrays expose no .offsets attribute - read the
+        # offsets buffer directly, honoring a sliced array's offset
+        odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        off = np.frombuffer(arr.buffers()[1], dtype=odt)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        buf = arr.buffers()[2]
+        flat = np.frombuffer(buf, dtype=np.uint8) if buf is not None else np.zeros(0, np.uint8)
+        nbytes = off[1:] - off[:-1]
+        cs = np.zeros(len(flat) + 1, dtype=np.float64)
+        np.cumsum(flat, dtype=np.float64, out=cs[1:])
+        sums = cs[off[1:]] - cs[off[:-1]]
+        mean = np.divide(
+            sums, nbytes, out=np.zeros(len(nbytes), dtype=np.float64), where=nbytes > 0
+        )
         # fake geometry: deterministic from byte length
         width = (nbytes % 640 + 1).astype(np.int32)
         height = (nbytes % 480 + 1).astype(np.int32)
