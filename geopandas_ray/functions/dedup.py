@@ -212,6 +212,15 @@ def minhash_candidate_pairs(
 
     est_jaccard = fraction of agreeing minhash positions, computed inside the
     band-bucket groupby; pairs below threshold dropped there (no extra pass).
+
+    CONNECTIVITY-PRESERVING, NOT EXHAUSTIVE (ADVICE r3): identical-signature
+    groups emit a STAR around their min-id member (m-1 pairs, not the m*(m-1)/2
+    clique), and per-bucket pairwise comparison is capped at ``pair_cap``
+    with oversized buckets recursively re-split. The pair set connects the
+    same components the full clique would (the clustering consumer's
+    contract) but callers counting pairs or scoring each pair without
+    re-verification must not assume completeness — run
+    ``verify_pairs_exact`` or widen ``pair_cap`` for per-pair analyses.
     """
     banded = ds.map_batches(
         MinHasher,

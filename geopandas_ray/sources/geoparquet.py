@@ -64,12 +64,22 @@ def bbox_filter_expr(minx: float, miny: float, maxx: float, maxy: float):
     return (f("minx") <= maxx) & (f("maxx") >= minx) & (f("miny") <= maxy) & (f("maxy") >= miny)
 
 
-def _peek_schema(paths, filesystem=None) -> pa.Schema:
-    """Parquet schema from file metadata only (no data pages read)."""
+def _bbox_cols_everywhere(paths, filesystem=None) -> bool:
+    """True iff minx/miny/maxx/maxy exist in EVERY fragment's physical
+    schema (footers only, no data pages). Checking just the first file
+    would push a filter that evaluates to null on files missing the bbox
+    columns and silently drops all their rows (ADVICE r3); any mismatch
+    falls back to the exact post-read cx filter instead."""
     import pyarrow.dataset as pads
 
-    p = paths if isinstance(paths, (str,)) else list(paths)[0]
-    return pads.dataset(p, filesystem=filesystem, format="parquet").schema
+    need = {"minx", "miny", "maxx", "maxy"}
+    dset = pads.dataset(paths, filesystem=filesystem, format="parquet")
+    if not need.issubset(set(dset.schema.names)):
+        return False
+    for frag in dset.get_fragments():
+        if not need.issubset(set(frag.physical_schema.names)):
+            return False
+    return True
 
 
 def read_geoparquet(
@@ -92,8 +102,7 @@ def read_geoparquet(
     """
     if bbox is not None:
         minx, miny, maxx, maxy = bbox
-        schema = _peek_schema(paths, filesystem=kwargs.get("filesystem"))
-        if all(c in schema.names for c in ("minx", "miny", "maxx", "maxy")):
+        if _bbox_cols_everywhere(paths, filesystem=kwargs.get("filesystem")):
             # the filter may reference columns outside `columns`: pyarrow
             # reads them for evaluation without projecting them
             return ray.data.read_parquet(

@@ -96,19 +96,26 @@ class FragmentWriter:
                 if v is None:
                     sub = batch.filter(pc.is_null(col))
                     safe_v = "__null__"
+                    # a DISTINCT manifest marker for null partitions:
+                    # str(None) == "None" is ambiguous with a literal "None"
+                    part_value = "__null__"
                 else:
                     sub = batch.filter(pc.equal(col, v))
                     raw = str(v)
                     safe_v = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in raw)[-60:]
                     # distinct values can collide after sanitization or the
                     # 60-char truncation ("a/b" vs "a_b"); a stable hash
-                    # suffix keeps one directory per distinct value.
-                    if safe_v != raw:
+                    # suffix keeps one directory per distinct value. The
+                    # null sentinel directory is reserved: a LITERAL
+                    # "__null__" value sanitizes to itself, so force the
+                    # hash-suffix path for it too.
+                    if safe_v != raw or raw == "__null__":
                         import hashlib
 
                         safe_v += "-" + hashlib.md5(raw.encode()).hexdigest()[:8]
+                    part_value = raw
                 rows.append(
-                    self._write_one(sub, f"{self.partition_by}_{safe_v}", str(v))
+                    self._write_one(sub, f"{self.partition_by}_{safe_v}", part_value)
                 )
         return pa.table(
             {

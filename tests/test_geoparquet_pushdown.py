@@ -85,3 +85,41 @@ def test_fallback_without_bbox_columns(tmp_path):
     pq.write_table(t, path)
     got = read_geoparquet(path, bbox=(5.0, 5.0, 25.0, 25.0)).to_pandas()
     assert sorted(got["id"]) == [1, 2]
+
+
+def test_bbox_pushdown_mixed_fragment_schemas(tmp_path):
+    """ADVICE r3: a multi-file read where only SOME files carry the bbox
+    covering columns must fall back to the exact cx filter instead of
+    pushing a filter that nulls out (and silently drops) the bare files."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geopandas_ray.geom.wkb import points_to_wkb
+    from geopandas_ray.sources.geoparquet import read_geoparquet
+
+    d = tmp_path / "mixed"
+    os.makedirs(d)
+    x = np.array([1.0, 5.0, 9.0])
+    t_bbox = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2]),
+            "geometry": points_to_wkb(x, x),
+            "minx": pa.array(x), "miny": pa.array(x),
+            "maxx": pa.array(x), "maxy": pa.array(x),
+        }
+    )
+    t_bare = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12]),
+            "geometry": points_to_wkb(x, x),
+        }
+    )
+    pq.write_table(t_bbox, str(d / "a.parquet"))
+    pq.write_table(t_bare, str(d / "b.parquet"))
+    got = read_geoparquet(str(d), bbox=(0.0, 0.0, 6.0, 6.0)).to_pandas()
+    # both files' in-bbox rows survive (bare file rows were the data-loss
+    # hazard); doc_id 2/12 at (9,9) are outside
+    assert sorted(got.doc_id) == [0, 1, 10, 11]

@@ -154,3 +154,37 @@ def test_partitioned_write_null_keys_and_collisions(tmp_path):
     assert sorted(full.doc_id) == list(range(n))
     null_part = read_geoparquet(os.path.join(frag_dir, "k___null__")).to_pandas()
     assert sorted(null_part.doc_id) == [2, 4]
+
+
+def test_partitioned_write_literal_null_sentinel(tmp_path):
+    # ADVICE r3: a LITERAL "__null__" string value must not share the null
+    # sentinel's directory, and the manifest records nulls as a distinct
+    # marker (not str(None))
+    import numpy as np
+    from geopandas_ray.geom.wkb import points_to_wkb
+    from geopandas_ray.sources.geoparquet import read_geoparquet, write_geoparquet
+    from geopandas_ray.state.manifest import load_manifest
+
+    out = str(tmp_path / "sentinel")
+    keys = pa.array(["__null__", None, "None", "__null__"])
+    n = len(keys)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n)),
+            "k": keys,
+            "geometry": points_to_wkb(np.arange(n, dtype=float), np.zeros(n)),
+        }
+    )
+    write_geoparquet(ray.data.from_arrow(t), out, partition_by="k")
+    frag_dir = os.path.join(out, "fragments")
+    subdirs = sorted(os.listdir(frag_dir))
+    assert "k___null__" in subdirs
+    assert len(subdirs) == 3, subdirs  # null sentinel, literal (hashed), "None"
+    null_part = read_geoparquet(os.path.join(frag_dir, "k___null__")).to_pandas()
+    assert sorted(null_part.doc_id) == [1]
+    lit_dir = next(d for d in subdirs if d.startswith("k___null__-"))
+    lit = read_geoparquet(os.path.join(frag_dir, lit_dir)).to_pandas()
+    assert sorted(lit.doc_id) == [0, 3]
+    m = load_manifest(out)
+    vals = {r["partition"] for r in m}
+    assert vals == {"__null__", "None"}
