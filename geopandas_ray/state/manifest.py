@@ -32,6 +32,10 @@ import ray
 from ..util import default_pool
 
 
+def _sanitize_tag(tag: str) -> str:
+    return "".join(c if (c.isalnum() or c in "-_.") else "_" for c in tag)[-80:]
+
+
 class FragmentWriter:
     """map_batches sink stage: writes each batch as one parquet fragment
     (atomic rename) and emits a manifest row instead of data.
@@ -58,7 +62,7 @@ class FragmentWriter:
 
     def _write_one(self, batch: pa.Table, subdir: str | None, partition: str) -> dict:
         t0 = time.time()
-        safe_tag = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in self.tag)[-80:]
+        safe_tag = _sanitize_tag(self.tag)
         name = f"part-{safe_tag}-{uuid.uuid4().hex[:12]}.parquet"
         d = self.frag_dir if subdir is None else os.path.join(self.frag_dir, subdir)
         os.makedirs(d, exist_ok=True)
@@ -179,28 +183,115 @@ def pending_inputs(input_files: list[str], out_dir: str) -> list[str]:
     return [f for f in input_files if f not in done]
 
 
+def clean_orphan_fragments(out_dir: str, tag: str) -> int:
+    """Remove fragments written for ``tag`` that never committed to the
+    manifest (a killed run renames fragments as it goes but appends
+    manifest lines only once the whole shard finishes), so a resumed shard
+    starts clean and a directory-glob read-back never double-counts.
+    Returns the number of files removed."""
+    frag_dir = os.path.join(out_dir, "fragments")
+    if not os.path.isdir(frag_dir):
+        return 0
+    prefix = f"part-{_sanitize_tag(tag)}-"
+    # exact shape: prefix + 12 hex chars + ".parquet" (tmp files included)
+    n_removed = 0
+    for root, _dirs, files in os.walk(frag_dir):
+        for name in files:
+            base = name[1:-4] if name.startswith(".") and name.endswith(".tmp") else name
+            if (
+                base.startswith(prefix)
+                and base.endswith(".parquet")
+                and len(base) == len(prefix) + 12 + len(".parquet")
+            ):
+                os.remove(os.path.join(root, name))
+                n_removed += 1
+    return n_removed
+
+
+def shard_inputs(paths: list[str], target_rows: int = 2_000_000) -> list[str]:
+    """Split parquet inputs into row-group-range shard specs
+    ``path::rg<lo>-<hi>`` (half-open) of roughly ``target_rows`` each.
+
+    At 100 TB the resume unit must be smaller than a file: a killed run
+    that processed 90% of a monolithic input would otherwise redo it all.
+    Sharding on row-group boundaries keeps reads zero-copy (no row
+    slicing) and each shard commits independently in the manifest. Files
+    whose metadata can't be read (or with a single row group) stay whole.
+    """
+    shards: list[str] = []
+    for p in paths:
+        try:
+            md = pq.ParquetFile(p).metadata
+        except Exception:
+            shards.append(p)
+            continue
+        n_rg = md.num_row_groups
+        if n_rg <= 1:
+            shards.append(p)
+            continue
+        lo, acc = 0, 0
+        for i in range(n_rg):
+            acc += md.row_group(i).num_rows
+            if acc >= target_rows or i == n_rg - 1:
+                shards.append(f"{p}::rg{lo}-{i + 1}")
+                lo, acc = i + 1, 0
+        if len(shards) and shards[-1] == f"{p}::rg0-{n_rg}":
+            shards[-1] = p  # one shard covering the whole file = the file
+    return shards
+
+
+@ray.remote
+def _read_row_group(path: str, i: int, columns: list[str] | None) -> pa.Table:
+    return pq.ParquetFile(path).read_row_groups([i], columns=columns)
+
+
+def read_shard(spec: str, columns: list[str] | None = None):
+    """Dataset for a shard spec from :func:`shard_inputs`.
+
+    Row-group shards read each group in its own Ray task
+    (``from_arrow_refs`` over remote reads — no driver materialization);
+    plain paths go through ``ray.data.read_parquet``.
+    """
+    import ray.data as rd
+
+    if "::rg" not in spec:
+        return rd.read_parquet(spec, columns=columns)
+    path, _, rng = spec.rpartition("::rg")
+    lo, hi = (int(x) for x in rng.split("-"))
+    refs = [_read_row_group.remote(path, i, columns) for i in range(lo, hi)]
+    return rd.from_arrow_refs(refs)
+
+
 def run_resumable(
     input_files: list[str],
     out_dir: str,
     pipeline,
     schema_metadata: dict | None = None,
+    partition_by: str | None = None,
+    columns: list[str] | None = None,
 ) -> dict:
-    """Run ``pipeline(ds_for_one_input) -> Dataset`` over every input file
-    not yet in the manifest; each input commits independently so a killed
-    run resumes where it stopped.
+    """Run ``pipeline(ds_for_one_input) -> Dataset`` over every input
+    shard (file path or ``shard_inputs`` row-group spec) not yet in the
+    manifest; each shard commits independently so a killed run resumes
+    where it stopped.
+
+    ``partition_by`` threads to the fragment sink: output blocks land in
+    one directory per key value and the manifest line records the value —
+    the full input fragment → cell → output block lineage.
 
     Returns summary {"processed": n, "skipped": n, "rows": n}.
     """
-    import ray.data as rd
-
     todo = pending_inputs(input_files, out_dir)
     skipped = len(input_files) - len(todo)
     total_rows = 0
     for f in todo:
         t0 = time.time()
-        ds = rd.read_parquet(f)
+        clean_orphan_fragments(out_dir, f)
+        ds = read_shard(f, columns=columns)
         out = pipeline(ds)
-        rows = write_fragments(out, out_dir, tag=f, schema_metadata=schema_metadata)
+        rows = write_fragments(
+            out, out_dir, tag=f, schema_metadata=schema_metadata, partition_by=partition_by
+        )
         n = sum(r["rows"] for r in rows)
         total_rows += n
         # per-partition lineage + stage metrics line (north rule)

@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--res", type=int, default=5)
     ap.add_argument("--zoom", type=int, default=5)
+    ap.add_argument(
+        "--shard-rows",
+        type=int,
+        default=2_000_000,
+        help="resume-unit size: inputs split into row-group shards of ~this many rows",
+    )
     args = ap.parse_args()
 
     import ray
@@ -45,21 +51,37 @@ def main():
     DataContext.get_current().enable_progress_bars = False
     import ray.data
 
+    import pyarrow as pa
+
     from geopandas_ray.pipelines.datasets import DOMAIN, _derive_points, zone_table
     from geopandas_ray.stages.sjoin import sjoin
     from geopandas_ray.stages.tiles import assign_tiles
-    from geopandas_ray.state.manifest import run_resumable
+    from geopandas_ray.state.manifest import run_resumable, shard_inputs
 
     zt = zone_table(args.sf)
+    # coarse cell for output partitioning/lineage: tiles regrouped at
+    # zoom-2 granularity (16 partitions at zoom 5) so the sink writes a
+    # handful of directories per shard, not one per tile
+    shift = max(args.zoom - 2, 0)
+    nx_coarse = 1 << (args.zoom - shift)
+
+    def add_cell(b: "pa.Table") -> "pa.Table":
+        tx = b.column("tile_x").to_numpy()
+        ty = b.column("tile_y").to_numpy()
+        cell = (ty >> shift) * nx_coarse + (tx >> shift)
+        return b.append_column("cell", pa.array(cell, type=pa.int64()))
 
     def pipeline(ds):
         pts = ds.map_batches(_derive_points, batch_format="pyarrow")
         joined = sjoin(pts, zt, how="inner", predicate="intersects", right_index="zone_key")
-        return assign_tiles(joined, args.zoom, domain=DOMAIN)
+        tiled = assign_tiles(joined, args.zoom, domain=DOMAIN)
+        return tiled.map_batches(add_cell, batch_format="pyarrow")
 
-    inputs = sorted(glob.glob(f"{args.sf}/documents.parquet"))
+    inputs = shard_inputs(
+        sorted(glob.glob(f"{args.sf}/documents.parquet")), target_rows=args.shard_rows
+    )
     t0 = time.time()
-    summary = run_resumable(inputs, args.out, pipeline)
+    summary = run_resumable(inputs, args.out, pipeline, partition_by="cell")
     summary["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
     ray.shutdown()

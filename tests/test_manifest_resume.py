@@ -10,7 +10,9 @@ import ray.data
 from geopandas_ray.state.manifest import (
     load_manifest,
     pending_inputs,
+    read_shard,
     run_resumable,
+    shard_inputs,
     write_fragments,
 )
 
@@ -61,6 +63,67 @@ def test_resume_skips_completed(inputs, tmp_path):
     assert pending_inputs(inputs, out) == [inputs[1]]
     s3 = run_resumable(inputs, out, pipeline)
     assert s3["processed"] == 1 and s3["rows"] == 10
+
+
+def test_shard_inputs_row_groups(tmp_path):
+    # 100 rows in 10 row groups; ~25-row shards -> rg0-3, rg3-6, rg6-9, rg9-10
+    p = str(tmp_path / "big.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(np.arange(100, dtype=np.int64))}), p, row_group_size=10
+    )
+    shards = shard_inputs([p], target_rows=25)
+    assert shards == [f"{p}::rg0-3", f"{p}::rg3-6", f"{p}::rg6-9", f"{p}::rg9-10"]
+    # shards read back to exactly the file, each in its own Ray task
+    got = []
+    for s in shards:
+        got.extend(read_shard(s).to_pandas().doc_id.tolist())
+    assert sorted(got) == list(range(100))
+    # a single-row-group file (or one covering shard) stays a plain path
+    small = str(tmp_path / "small.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2])}), small)
+    assert shard_inputs([small], target_rows=25) == [small]
+    assert shard_inputs([p], target_rows=10**9) == [p]
+
+
+def test_resume_over_shards_with_partition_lineage(tmp_path):
+    # the north-rule lineage: input shard -> cell -> output block, resumable
+    p = str(tmp_path / "in.parquet")
+    n = 60
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "cell": pa.array(np.arange(n, dtype=np.int64) % 3),
+            }
+        ),
+        p,
+        row_group_size=10,
+    )
+    shards = shard_inputs([p], target_rows=20)
+    assert len(shards) == 3
+    out = str(tmp_path / "out")
+
+    def pipeline(ds):
+        return ds.map_batches(lambda b: b, batch_format="pyarrow")
+
+    s1 = run_resumable(shards, out, pipeline, partition_by="cell")
+    assert s1["processed"] == 3 and s1["rows"] == n
+    man = [r for r in load_manifest(out) if not r["input_fragment"].endswith("#metrics")]
+    # every manifest line carries shard + cell + block path
+    assert {r["partition"] for r in man} == {"0", "1", "2"}
+    assert {r["input_fragment"] for r in man} == set(shards)
+    for r in man:
+        assert os.path.exists(r["output"])
+    # resume: drop one shard's lines, only that shard reruns
+    keep = [r for r in load_manifest(out) if shards[1] not in r["input_fragment"]]
+    with open(os.path.join(out, "manifest.jsonl"), "w") as f:
+        for r in keep:
+            f.write(json.dumps(r) + "\n")
+    s2 = run_resumable(shards, out, pipeline, partition_by="cell")
+    assert s2["processed"] == 1 and s2["skipped"] == 2 and s2["rows"] == 20
+    # read-back of the partitioned fragment tree covers every row once
+    back = ray.data.read_parquet(os.path.join(out, "fragments")).to_pandas()
+    assert sorted(back.doc_id) == list(range(n))
 
 
 def test_geoparquet_metadata_roundtrip(tmp_path):
