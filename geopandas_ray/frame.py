@@ -532,7 +532,8 @@ class GeoDataset:
         """overlay with automatic physical-plan selection: when unique id
         columns are given and the right side is a large Dataset, the
         cell-partitioned shuffle plan is used (byte-parity, measured faster
-        above ~20k right rows); otherwise the broadcast plan."""
+        above OVERLAY_SHUFFLE_THRESHOLD_ROWS=1000 right rows); otherwise
+        the broadcast plan."""
         from .stages.overlay import overlay_auto
 
         return self._wrap(

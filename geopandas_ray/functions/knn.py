@@ -130,8 +130,17 @@ def knn_brute(
         from ..stages.sjoin import _materialize
 
         corpus = _materialize(corpus)
-    m = _stack_embeddings(corpus.column(vec_col))
-    if m.nbytes <= _STATELESS_CORPUS_BYTES:
+    vc = corpus.column(vec_col)
+    # size probe from METADATA (rows x dim x 8), not by building the float64
+    # matrix on the driver - the actor path would otherwise pay a transient
+    # full-matrix allocation just to read .nbytes
+    if pa.types.is_fixed_size_list(vc.type):
+        dim = vc.type.list_size
+    else:
+        first = vc[0].as_py() if corpus.num_rows else None
+        dim = len(first) if first is not None else 1
+    if corpus.num_rows * max(dim, 1) * 8 <= _STATELESS_CORPUS_BYTES:
+        m = _stack_embeddings(vc)
         ids = np.asarray(corpus.column(id_col), dtype=np.int64)
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
@@ -143,7 +152,9 @@ def knn_brute(
                 b, ray.get(mat_ref), ray.get(ids_ref), k, id_col, vec_col, exclude_self
             )
 
-        return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+        return ds.map_batches(
+            f, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+        )
     ref = ray.put(corpus)
     return ds.map_batches(
         _BruteKnn,

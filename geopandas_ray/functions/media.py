@@ -69,6 +69,15 @@ class MediaDecoder:
         cs = np.zeros(len(flat) + 1, dtype=np.float64)
         np.cumsum(flat, dtype=np.float64, out=cs[1:])
         sums = cs[off[1:]] - cs[off[:-1]]
+        if arr.null_count:
+            # the Arrow spec allows a NULL slot to span a non-empty offset
+            # range (undefined bytes) - mask them to the (0, 0.0) the row
+            # loop produced, or garbage bytes leak into the stats
+            import pyarrow.compute as pc
+
+            null_mask = np.asarray(pc.is_null(arr))
+            nbytes = np.where(null_mask, 0, nbytes)
+            sums = np.where(null_mask, 0.0, sums)
         mean = np.divide(
             sums, nbytes, out=np.zeros(len(nbytes), dtype=np.float64), where=nbytes > 0
         )

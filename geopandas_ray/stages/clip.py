@@ -154,7 +154,12 @@ def _finish_clip(
             out = _keep_geom_type(out, True, dims.pop(), geometry=geometry)
     if sort:
         if sort_col is None:
-            sort_col = next(n for n in ds_in.schema().names if n != geometry)
+            sort_col = next((n for n in ds_in.schema().names if n != geometry), None)
+            if sort_col is None:
+                raise ValueError(
+                    "clip(sort=True) needs a non-geometry column to order by; "
+                    "pass sort_col explicitly"
+                )
         out = out.sort(sort_col)
     return out
 
@@ -171,6 +176,10 @@ def clip_rect(
     sort_col: str | None = None,
 ):
     """clip with a rectangle mask (the clip_by_rect fast path)."""
+    if keep_geom_type:
+        # the _input_dims scan is a second consumer of the (lazy) input —
+        # materialize or the clip stage re-executes the whole upstream plan
+        ds = ds.materialize()
 
     def f(b: pa.Table) -> pa.Table:
         g = from_wkb(b.column(geometry))
@@ -203,6 +212,10 @@ def clip(
     kw = dict(keep_geom_type=keep_geom_type, sort=sort, sort_col=sort_col)
     if isinstance(mask, tuple) and len(mask) == 4:
         return clip_rect(ds, *mask, geometry=geometry, **kw)
+    if keep_geom_type:
+        # _input_dims is a second consumer of the (lazy) input (CLAUDE.md
+        # consumer-count rule) — clip_rect materializes on its own path
+        ds = ds.materialize()
     if isinstance(mask, bytes):
         mg = from_wkb([mask])
     elif isinstance(mask, pa.Table):

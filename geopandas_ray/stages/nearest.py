@@ -421,6 +421,10 @@ def sjoin_nearest_shuffle(
     domain = domain or DEFAULT_DOMAIN
     right_geometry = right_geometry or geometry
     if left_points is None:
+        # the detection scan is a SECOND consumer of the (lazy) left plan —
+        # materialize first or the chosen join plan re-executes the whole
+        # upstream (CLAUDE.md consumer-count rule)
+        left = left.materialize()
         left_points = _all_point_wkb(left, geometry)
     if max_distance is None:
         return _nearest_shuffle_unbounded(
@@ -489,6 +493,11 @@ def sjoin_nearest_shuffle(
     rkeyed = right.map_batches(key_right, batch_format="pyarrow")
 
     def per_cell(b: pa.Table) -> pa.Table:
+        if group_row_cap is not None and len(b) > group_row_cap:
+            raise RuntimeError(
+                f"nearest-shuffle group of {len(b)} rows exceeds "
+                f"group_row_cap={group_row_cap}"
+            )
         side = np.asarray(b.column("__side"))
         lmask = side == 0
         if not lmask.any() or lmask.all():
@@ -707,11 +716,22 @@ def _nearest_shuffle_bounded_general(
         row_idx, cells = row_idx[keep], cells[keep]
         taken = b.take(pa.array(row_idx))
         n = len(row_idx)
+        # per-ROW identity for the global reduce: left ids may repeat (two
+        # distinct rows sharing an id each keep their own nearest set, like
+        # a duplicated pandas index in the reference join). 64-bit random
+        # batch salt + row index is unique across the run; replicas of the
+        # same row (this take) share it, so the reduce still dedupes pairs
+        # seen from multiple shared cells.
+        import uuid
+
+        salt = uuid.uuid4().hex[:16]
+        uid = pa.array(np.char.add(salt + ":", np.arange(len(b)).astype("U12")))
         return pa.table(
             {
                 "cell": pa.array(cells.astype(np.int64)),
                 "__side": pa.array(np.zeros(n, dtype=np.int8)),
                 "__lid": taken.column(left_id),
+                "__uid": uid.take(pa.array(row_idx)),
                 "__rid": pa.nulls(n, rtype),
                 "__geom": taken.column(geometry).cast(pa.large_binary()),
             }
@@ -738,6 +758,7 @@ def _nearest_shuffle_bounded_general(
                 "cell": pa.array(cells.astype(np.int64)),
                 "__side": pa.array(np.ones(n, dtype=np.int8)),
                 "__lid": pa.nulls(n, ltype),
+                "__uid": pa.nulls(n, pa.string()),
                 "__rid": taken.column(right_id),
                 "__geom": taken.column(right_geometry).cast(pa.large_binary()),
             }
@@ -747,6 +768,7 @@ def _nearest_shuffle_bounded_general(
         return pa.table(
             {
                 left_id: pa.nulls(0, ltype),
+                "__uid": pa.nulls(0, pa.string()),
                 right_id: pa.nulls(0, rtype),
                 "distance": pa.nulls(0, pa.float64()),
             }
@@ -775,6 +797,7 @@ def _nearest_shuffle_bounded_general(
         return pa.table(
             {
                 left_id: lt.column("__lid").take(pa.array(li, type=pa.int64())),
+                "__uid": lt.column("__uid").take(pa.array(li, type=pa.int64())),
                 right_id: rt.column("__rid").take(pa.array(rj, type=pa.int64())),
                 "distance": pa.array(np.sqrt(best[li])),
             }
@@ -790,21 +813,21 @@ def _nearest_shuffle_bounded_general(
     )
 
     # global reduce: a pair can be emitted by every cell the two bboxes
-    # share, always with the SAME exact distance - keep the per-left min
-    # (+ties) and dedupe (lid, rid). Hash-partitioned, one vectorized pandas
-    # pass per partition.
+    # share, always with the SAME exact distance - keep the per-ROW min
+    # (+ties) and dedupe (row, rid). Keyed on __uid, not the left id: ids
+    # may repeat across distinct rows and each row keeps its own nearest
+    # set. Hash-partitioned, one vectorized pandas pass per partition.
     def part_key(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df[left_id] = df[left_id].infer_objects()
-        df["__part"] = pd.util.hash_array(df[left_id].to_numpy()) % nparts
+        df["__part"] = pd.util.hash_array(df["__uid"].to_numpy()) % nparts
         return df
 
     def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
-            return df.drop(columns=["__part"])
-        m = df.groupby(left_id)["distance"].transform("min")
-        out = df[df["distance"] == m].drop_duplicates([left_id, right_id])
-        return out.drop(columns=["__part"])
+            return df.drop(columns=["__part", "__uid"])
+        m = df.groupby("__uid")["distance"].transform("min")
+        out = df[df["distance"] == m].drop_duplicates(["__uid", right_id])
+        return out.drop(columns=["__part", "__uid"])
 
     out = (
         pairs.map_batches(part_key, batch_format="pandas")

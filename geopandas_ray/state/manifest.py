@@ -33,7 +33,16 @@ from ..util import default_pool
 
 
 def _sanitize_tag(tag: str) -> str:
-    return "".join(c if (c.isalnum() or c in "-_.") else "_" for c in tag)[-80:]
+    """Filesystem-safe, COLLISION-FREE fragment-name tag: sanitized last 80
+    chars for readability plus a stable hash of the full raw tag. Distinct
+    shard specs that sanitize or truncate alike (long lake paths differing
+    only in an early path segment) must not share a tag — the resume-time
+    orphan scrub deletes by tag prefix, and a collision there would remove
+    a COMMITTED shard's fragments."""
+    import hashlib
+
+    safe = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in tag)[-80:]
+    return f"{safe}.{hashlib.md5(tag.encode()).hexdigest()[:10]}"
 
 
 class FragmentWriter:
@@ -100,9 +109,10 @@ class FragmentWriter:
                 if v is None:
                     sub = batch.filter(pc.is_null(col))
                     safe_v = "__null__"
-                    # a DISTINCT manifest marker for null partitions:
-                    # str(None) == "None" is ambiguous with a literal "None"
-                    part_value = "__null__"
+                    # the manifest marker for the null partition is JSON
+                    # null (None) — unambiguous with ANY string value,
+                    # including literal "None" and literal "__null__"
+                    part_value = None
                 else:
                     sub = batch.filter(pc.equal(col, v))
                     raw = str(v)
@@ -125,7 +135,7 @@ class FragmentWriter:
             {
                 "input_fragment": pa.array([r["input_fragment"] for r in rows]),
                 "output": pa.array([r["output"] for r in rows]),
-                "partition": pa.array([r["partition"] for r in rows]),
+                "partition": pa.array([r["partition"] for r in rows], type=pa.string()),
                 "rows": pa.array([r["rows"] for r in rows], type=pa.int64()),
                 "bytes": pa.array([r["bytes"] for r in rows], type=pa.int64()),
                 "wall_s": pa.array([r["wall_s"] for r in rows]),

@@ -445,3 +445,13 @@ def test_estimate_utm_crs_roundtrip():
     assert gd.estimate_utm_crs() == "EPSG:32618"
     with pytest.raises(RuntimeError, match="geographic"):
         GeoDataset(nyc, crs="EPSG:3035").estimate_utm_crs()
+
+
+def test_clip_sort_geometry_only_raises():
+    """r4 review: sort=True with no derivable sort column raises a clear
+    ValueError, not a bare StopIteration."""
+    ds = ray.data.from_arrow(
+        pa.table({"geometry": W.points_to_wkb([1.0, 2.0], [1.0, 2.0])})
+    )
+    with pytest.raises(ValueError, match="sort_col"):
+        clip_rect(ds, 0, 0, 10, 10, sort=True).to_pandas()

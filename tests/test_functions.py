@@ -629,3 +629,27 @@ def test_media_resize_and_embed():
                        "embedding": pa.FixedSizeListArray.from_arrays(pa.array(V.ravel()), 32)})
     kn = knn_brute(e, corpus, k=2).to_pandas()
     assert kn.vec_id.nunique() == 4
+
+
+def test_media_decoder_null_slot_with_nonempty_offset_range():
+    """r4 review: the Arrow spec allows a NULL binary slot to span a
+    non-empty offset range with undefined bytes — stats must come from the
+    validity bitmap, not the offsets."""
+    import numpy as np
+
+    from geopandas_ray.functions.media import MediaDecoder
+
+    # 3 slots over b"abcdef": [0,3) valid, [3,6) NULL (non-empty extent!),
+    # [6,6) valid empty
+    validity = pa.py_buffer(bytes([0b101]))
+    offsets = pa.py_buffer(np.array([0, 3, 6, 6], np.int32).tobytes())
+    data = pa.py_buffer(b"abcdef")
+    arr = pa.Array.from_buffers(pa.binary(), 3, [validity, offsets, data], null_count=1)
+    assert arr.to_pylist() == [b"abc", None, b""]
+    out = MediaDecoder(payload_col="payload")(
+        pa.table({"doc_id": pa.array([0, 1, 2]), "payload": arr})
+    )
+    assert out.column("media_bytes").to_pylist() == [3, 0, 0]
+    means = out.column("media_mean").to_pylist()
+    assert means[0] == pytest.approx(np.frombuffer(b"abc", np.uint8).mean())
+    assert means[1] == 0.0 and means[2] == 0.0

@@ -250,4 +250,35 @@ def test_partitioned_write_literal_null_sentinel(tmp_path):
     assert sorted(lit.doc_id) == [0, 3]
     m = load_manifest(out)
     vals = {r["partition"] for r in m}
-    assert vals == {"__null__", "None"}
+    # actual nulls record as JSON null — unambiguous with the literal
+    # strings "__null__" and "None"
+    assert vals == {None, "__null__", "None"}
+    null_lines = [r for r in m if r["partition"] is None]
+    assert sum(r["rows"] for r in null_lines) == 1
+
+
+def test_sanitize_tag_collision_free_and_orphan_scrub_scoped(tmp_path):
+    """r4 review: two shard tags identical in their last 80 sanitized chars
+    (long lake paths differing only in an early segment) must not share a
+    fragment-name tag — the orphan scrub deletes by tag, and a collision
+    would remove a COMMITTED shard's fragments."""
+    from geopandas_ray.state.manifest import _sanitize_tag, clean_orphan_fragments
+
+    tail = "x" * 100 + ".parquet::rg1-2"
+    tag_a = "/lake/region=us-east/" + tail
+    tag_b = "/lake/region=eu-west/" + tail
+    assert _sanitize_tag(tag_a) != _sanitize_tag(tag_b)
+
+    out = str(tmp_path / "out")
+    ds = ray.data.from_arrow(pa.table({"a": pa.array([1, 2, 3], type=pa.int64())}))
+    write_fragments(ds, out, tag=tag_a)
+    write_fragments(ds, out, tag=tag_b)
+    frag_dir = os.path.join(out, "fragments")
+    n_before = sum(len(fs) for _, _, fs in os.walk(frag_dir))
+    removed = clean_orphan_fragments(out, tag_a)
+    assert removed > 0
+    # tag_b's committed fragments survive
+    n_after = sum(len(fs) for _, _, fs in os.walk(frag_dir))
+    assert n_after == n_before - removed
+    back = ray.data.read_parquet(frag_dir).to_pandas()
+    assert sorted(back.a) == [1, 2, 3]

@@ -482,3 +482,98 @@ def test_point_left_autodetect_still_fast_path(rng):
         if d2[i, j] == best[i] and best[i] <= 10000.0
     }
     assert set(zip(got.pid, got.rid)) == expect
+
+
+def test_shuffle_nearest_general_left_duplicate_ids():
+    """Two DISTINCT left rows sharing an id each keep their own nearest set
+    (r4 review: the global reduce keys per row, not per left id — a
+    groupby(left_id) min would collapse row B's matches into row A's)."""
+    from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+    # row A (id=7) is a rect nearest right 0 at d=1; row B (also id=7) is a
+    # rect nearest right 1 at d=5; a third row (id=9) sanity-checks uniques
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "zid": pa.array([7, 7, 9]),
+                "geometry": W.boxes_to_wkb(
+                    np.array([0.0, 500.0, 800.0]),
+                    np.array([0.0, 500.0, 800.0]),
+                    np.array([10.0, 510.0, 810.0]),
+                    np.array([10.0, 510.0, 810.0]),
+                ),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array([0, 1, 2]),
+                "geometry": W.points_to_wkb(
+                    np.array([11.0, 515.0, 811.0]), np.array([5.0, 505.0, 805.0])
+                ),
+            }
+        )
+    )
+    got = sjoin_nearest_shuffle(
+        left, right, max_distance=20.0, res=4, left_id="zid", right_id="rid",
+        distance_col="d",
+    ).to_pandas()
+    pairs = sorted(zip(got.zid, got.rid, got.d))
+    assert pairs == [(7, 0, 1.0), (7, 1, 5.0), (9, 2, 1.0)]
+
+
+def test_shuffle_nearest_general_left_identical_duplicate_rows():
+    """Two IDENTICAL left rows (same id AND geometry) each emit their pair,
+    like two rows with a duplicated index in the reference join."""
+    from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "zid": pa.array([3, 3]),
+                "geometry": W.boxes_to_wkb(
+                    np.array([0.0, 0.0]), np.array([0.0, 0.0]),
+                    np.array([10.0, 10.0]), np.array([10.0, 10.0]),
+                ),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rid": pa.array([0]), "geometry": W.points_to_wkb([12.0], [5.0])})
+    )
+    got = sjoin_nearest_shuffle(
+        left, right, max_distance=5.0, res=4, left_id="zid", right_id="rid",
+        distance_col="d",
+    ).to_pandas()
+    assert len(got) == 2
+    assert sorted(zip(got.zid, got.rid, got.d)) == [(3, 0, 2.0), (3, 0, 2.0)]
+
+
+def test_shuffle_nearest_bounded_point_group_cap_trips(rng):
+    """group_row_cap fires on the bounded POINT plan too (r4 review: the
+    guard existed only on the general and unbounded plans)."""
+    import pytest as _pytest
+
+    from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+    n = 200
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "pid": pa.array(np.arange(n)),
+                # all points in one tiny cluster -> one cell group > cap
+                "geometry": W.points_to_wkb(
+                    rng.uniform(0, 1, n), rng.uniform(0, 1, n)
+                ),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rid": pa.array([0]), "geometry": W.points_to_wkb([0.5], [0.5])})
+    )
+    with _pytest.raises(Exception, match="group_row_cap"):
+        sjoin_nearest_shuffle(
+            left, right, max_distance=10.0, res=3, group_row_cap=50,
+            left_id="pid", right_id="rid",
+        ).to_pandas()
