@@ -473,6 +473,48 @@ def run_bench() -> dict:
 
     timed("sjoin_nearest_unbounded", run_nearest_unbounded)
 
+    def run_nearest_rect_shuffle():
+        # the general (non-point-left) bounded plan: box lefts replicate
+        # to their bbox cells, per-cell exact min+ties, per-row uid reduce.
+        # Lefts = doc points inflated to 4x4 boxes (same cardinality as the
+        # point entry, so the two plans are directly comparable); rights =
+        # zone centroids. Large zone rects as lefts are degenerate for
+        # nearest (every contained point ties at distance 0 -> 10.6M rows).
+        import pyarrow as pa
+
+        from geopandas_ray.geom.kernels import bounds as kb
+        from geopandas_ray.geom.wkb import boxes_to_wkb, from_wkb, points_to_wkb
+        from geopandas_ray.pipelines.datasets import DOMAIN, doc_points, zone_table
+        from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+        zt = zone_table(SF_DIR)
+        zb = kb(from_wkb(zt.column("geometry")))
+        cents = ray.data.from_arrow(
+            pa.table(
+                {
+                    "zone_key": zt.column("zone_key"),
+                    "geometry": points_to_wkb(
+                        (zb[:, 0] + zb[:, 2]) / 2.0, (zb[:, 1] + zb[:, 3]) / 2.0
+                    ),
+                }
+            )
+        )
+
+        def inflate(b: pa.Table) -> pa.Table:
+            bb = kb(from_wkb(b.column("geometry")))
+            boxes = boxes_to_wkb(bb[:, 0] - 2.0, bb[:, 1] - 2.0, bb[:, 2] + 2.0, bb[:, 3] + 2.0)
+            return b.set_column(b.column_names.index("geometry"), "geometry", boxes)
+
+        lefts = doc_points(SF_DIR, replicate=max(1, REPLICATE // 10)).map_batches(
+            inflate, batch_format="pyarrow"
+        )
+        return sjoin_nearest_shuffle(
+            lefts, cents, max_distance=100.0, res=5, domain=DOMAIN,
+            left_id="doc_id", right_id="zone_key",
+        ).count()
+
+    timed("sjoin_nearest_rect_shuffle", run_nearest_rect_shuffle)
+
     def run_knn_lsh():
         # 50k deterministic 64-dim vectors with a skewed dense cluster
         # (20% of rows near one centroid) to exercise bucket-cap re-split
