@@ -399,6 +399,13 @@ def sjoin_nearest_shuffle(
     WKB is exactly 21 bytes; no decode) - one extra pass over the left's
     geometry column; pass True/False to skip it.
 
+    Contract: ``right_id`` should identify right ROWS uniquely. Two distinct
+    right rows sharing an id that both tie at a left row's min distance
+    collapse to one output pair on the shuffle plans (the broadcast
+    ``sjoin_nearest`` keeps both rows, like the reference's duplicated
+    index). Left ids may repeat freely - each left ROW keeps its own
+    nearest set on every plan.
+
     Unbounded plan (``max_distance=None``, reference sindex.py:220
     default): iterative COARSENING + DILATION expansion. Rounds coarsen the
     grid one level at a time down to ``floor_res``, then stay at floor_res

@@ -577,3 +577,56 @@ def test_shuffle_nearest_bounded_point_group_cap_trips(rng):
             left, right, max_distance=10.0, res=3, group_row_cap=50,
             left_id="pid", right_id="rid",
         ).to_pandas()
+
+
+def test_shuffle_nearest_general_mixed_rights_brute(rng):
+    """General plan with NON-POINT rights: rect lefts x (rect + point)
+    rights, shuffle result vs an exact geom_to_geom_sqdist brute force.
+    Rights replicate to their d-dilated bbox cells; the per-cell kernel
+    falls back to the per-pair exact kernel for mixed right types."""
+    from geopandas_ray.geom import kernels as K
+    from geopandas_ray.geom.wkb import from_wkb
+    from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+    n, m = 50, 30
+    lminx = rng.uniform(0, 900, n)
+    lminy = rng.uniform(0, 900, n)
+    lw = rng.uniform(5, 60, n)
+    lh = rng.uniform(5, 60, n)
+    lwkb = W.boxes_to_wkb(lminx, lminy, lminx + lw, lminy + lh)
+    # rights: first half rects, second half points (mixed type family)
+    rminx = rng.uniform(0, 950, m // 2)
+    rminy = rng.uniform(0, 950, m // 2)
+    rs = rng.uniform(3, 40, m // 2)
+    rects = W.boxes_to_wkb(rminx, rminy, rminx + rs, rminy + rs)
+    px = rng.uniform(0, 1000, m - m // 2)
+    py = rng.uniform(0, 1000, m - m // 2)
+    pts = W.points_to_wkb(px, py)
+    rwkb = pa.concat_arrays([rects.combine_chunks() if isinstance(rects, pa.ChunkedArray) else rects,
+                             pts.combine_chunks() if isinstance(pts, pa.ChunkedArray) else pts])
+    left = ray.data.from_arrow(
+        pa.table({"zid": pa.array(np.arange(n)), "geometry": lwkb})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rid": pa.array(np.arange(m)), "geometry": rwkb})
+    )
+    dmax = 120.0
+    got = sjoin_nearest_shuffle(
+        left, right, max_distance=dmax, res=5, left_id="zid", right_id="rid",
+        distance_col="d",
+    ).to_pandas()
+    lg = from_wkb(lwkb)
+    rg = from_wkb(rwkb)
+    d2 = np.array(
+        [[K.geom_to_geom_sqdist(lg, i, rg, j) for j in range(m)] for i in range(n)]
+    )
+    best = d2.min(axis=1)
+    expect = {
+        (i, j)
+        for i in range(n)
+        for j in range(m)
+        if d2[i, j] == best[i] and best[i] <= dmax * dmax
+    }
+    assert set(zip(got.zid, got.rid)) == expect
+    for zid, rid, dv in zip(got.zid, got.rid, got.d):
+        assert np.isclose(dv, np.sqrt(d2[zid, rid]))
