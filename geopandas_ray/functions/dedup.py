@@ -165,16 +165,18 @@ class MinHasher:
             for c in range(r):
                 h = h * np.uint64(1099511628211) + seg[:, c]
             band_hash[bi::self.bands] = h
-        sig_list = pa.array(list(sigs.astype(np.int64)), type=pa.list_(pa.int64()))
+        # signature column: each doc's row repeated once per band, built as
+        # one flat buffer + offsets (a per-row Python list of arrays was a
+        # measurable cost at 500k docs x 8 bands)
+        flat = np.repeat(sigs.astype(np.int64), self.bands, axis=0).ravel()
+        offs = np.arange(n * self.bands + 1, dtype=np.int32) * np.int32(self.num_perm)
+        sig_col = pa.ListArray.from_arrays(pa.array(offs), pa.array(flat))
         return pa.table(
             {
                 self.id_col: pa.array(doc_ids),
                 "band": pa.array(band_ids),
                 "band_hash": pa.array(band_hash.astype(np.int64)),
-                "signature": pa.array(
-                    [sigs[i].astype(np.int64) for i in np.repeat(np.arange(n), self.bands)],
-                    type=pa.list_(pa.int64()),
-                ),
+                "signature": sig_col,
             }
         )
 
