@@ -161,7 +161,7 @@ def q_sjoin_nearest(sf_dir):
     return _select(j, ["doc_id", "zone_key"])
 
 
-def q_sjoin_nearest_shuffle(sf_dir):
+def q_sjoin_nearest_shuffle(sf_dir, salt=1):
     import ray.data
 
     from geopandas_ray.geom.kernels import bounds as kb
@@ -181,9 +181,15 @@ def q_sjoin_nearest_shuffle(sf_dir):
     )
     j = sjoin_nearest_shuffle(
         doc_points(sf_dir), cents, max_distance=100.0, res=5, domain=DOMAIN,
-        left_id="doc_id", right_id="zone_key",
+        left_id="doc_id", right_id="zone_key", salt=salt,
     )
     return _select(j, ["doc_id", "zone_key"])
+
+
+def q_sjoin_nearest_shuffle_salted(sf_dir):
+    # salt=4: every cell's lefts split across 4 shuffle groups, rights
+    # replicated into each - must be pair-identical to the unsalted plan
+    return q_sjoin_nearest_shuffle(sf_dir, salt=4)
 
 
 def q_sjoin_nearest_shuffle_unbounded(sf_dir):
@@ -2845,6 +2851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sjoin_on_attr": q_sjoin_on_attr,
         "sjoin_nearest": q_sjoin_nearest,
         "sjoin_nearest_shuffle": q_sjoin_nearest_shuffle,
+        "sjoin_nearest_shuffle_salted": q_sjoin_nearest_shuffle_salted,
         "sjoin_nearest_shuffle_unbounded": q_sjoin_nearest_shuffle_unbounded,
         "clip_rect": q_clip_rect,
         "tile_assign": q_tile_assign,
@@ -3054,6 +3061,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, zone_key FROM d QUALIFY d2 = MIN(d2) OVER (PARTITION BY doc_id)"
         ),
         "sjoin_nearest_shuffle": (
+            f"{W}, cents AS (SELECT zone_key, (zminx+zmaxx)/2.0 AS cx, (zminy+zmaxy)/2.0 AS cy FROM zones), "
+            "d AS (SELECT p.doc_id, c.zone_key, (p.px-c.cx)*(p.px-c.cx)+(p.py-c.cy)*(p.py-c.cy) AS d2 "
+            "FROM pts p CROSS JOIN cents c) "
+            "SELECT doc_id, zone_key FROM d WHERE d2 <= 10000.0 "
+            "QUALIFY d2 = MIN(d2) OVER (PARTITION BY doc_id)"
+        ),
+        "sjoin_nearest_shuffle_salted": (
             f"{W}, cents AS (SELECT zone_key, (zminx+zmaxx)/2.0 AS cx, (zminy+zmaxy)/2.0 AS cy FROM zones), "
             "d AS (SELECT p.doc_id, c.zone_key, (p.px-c.cx)*(p.px-c.cx)+(p.py-c.cy)*(p.py-c.cy) AS d2 "
             "FROM pts p CROSS JOIN cents c) "

@@ -374,6 +374,7 @@ def sjoin_nearest_shuffle(
     floor_res: int = 3,
     group_row_cap: int | None = None,
     left_points: bool | None = None,
+    salt: int = 1,
 ) -> "ray.data.Dataset":
     """Cell-partitioned nearest join for two LARGE sides.
 
@@ -419,6 +420,13 @@ def sjoin_nearest_shuffle(
     one res-0 task. Isolated points cost O(log) rounds, each a groupby over
     the (shrinking) unresolved set - never a broadcast of either side.
     ``group_row_cap`` makes any oversized shuffle group raise (scale guard).
+
+    ``salt`` (bounded plans) splits every cell's LEFT rows across ``salt``
+    shuffle groups, replicating the cell's right candidates into each -
+    exact (nearest per left row is independent), trades right-side
+    replication for straggler relief on dense-city cells. The unbounded
+    plan sizes its own per-round salt from live-cell counts and ignores
+    this knob.
     """
     import numpy as np
     import pyarrow as pa
@@ -445,9 +453,10 @@ def sjoin_nearest_shuffle(
             left, right, d=float(max_distance), res=res, domain=domain,
             geometry=geometry, right_geometry=right_geometry, left_id=left_id,
             right_id=right_id, distance_col=distance_col,
-            group_row_cap=group_row_cap,
+            group_row_cap=group_row_cap, salt=salt,
         )
     d = float(max_distance)
+    salt = max(1, int(salt))
     # id columns keep their ORIGINAL arrow types (r1 cast to int64 broke
     # string doc_ids); nulls for the other side use the matching type
     ltype = dict(zip(left.schema().names, left.schema().types))[left_id]
@@ -463,6 +472,7 @@ def sjoin_nearest_shuffle(
         out = pa.table(
             {
                 "cell": pa.array(np.where(valid, cells, -1)),
+                "__salt2": pa.array((np.arange(len(g), dtype=np.int64) % salt).astype(np.int8)),
                 "__side": pa.array(np.zeros(len(g), dtype=np.int8)),
                 "__lid": b.column(left_id),
                 "__rid": pa.nulls(len(g), rtype),
@@ -485,10 +495,19 @@ def sjoin_nearest_shuffle(
         )
         keep = valid[row_idx]
         row_idx, cells = row_idx[keep], cells[keep]
+        # rights replicate into every left salt bucket of each cell (nearest
+        # per left row is independent, so splitting lefts is exact)
+        if salt > 1:
+            row_idx = np.repeat(row_idx, salt)
+            cells = np.repeat(cells, salt)
+            salts = np.tile(np.arange(salt, dtype=np.int8), len(row_idx) // salt)
+        else:
+            salts = np.zeros(len(row_idx), dtype=np.int8)
         taken = b.take(pa.array(row_idx))
         return pa.table(
             {
                 "cell": pa.array(cells.astype(np.int64)),
+                "__salt2": pa.array(salts),
                 "__side": pa.array(np.ones(len(row_idx), dtype=np.int8)),
                 "__lid": pa.nulls(len(row_idx), ltype),
                 "__rid": taken.column(right_id),
@@ -588,7 +607,7 @@ def sjoin_nearest_shuffle(
     out = (
         lkeyed.union(rkeyed)
         .repartition(default_shuffle_partitions())
-        .groupby("cell")
+        .groupby(["cell", "__salt2"])
         .map_groups(per_cell, batch_format="pyarrow")
     )
     if distance_col is None:
@@ -689,6 +708,7 @@ def _nearest_shuffle_bounded_general(
     right_id: str,
     distance_col: str | None,
     group_row_cap: int | None = None,
+    salt: int = 1,
 ) -> "ray.data.Dataset":
     """Bounded nearest for NON-POINT lefts (see sjoin_nearest_shuffle
     docstring): lefts replicate to their bbox's cells, rights to their
@@ -706,6 +726,7 @@ def _nearest_shuffle_bounded_general(
     rtype = dict(zip(right.schema().names, right.schema().types))[right_id]
     nparts = default_shuffle_partitions()
     dmax2 = d * d
+    salt = max(1, int(salt))
 
     def key_left(b: pa.Table) -> pa.Table:
         g = from_wkb(b.column(geometry))
@@ -731,11 +752,12 @@ def _nearest_shuffle_bounded_general(
         # seen from multiple shared cells.
         import uuid
 
-        salt = uuid.uuid4().hex[:16]
-        uid = pa.array(np.char.add(salt + ":", np.arange(len(b)).astype("U12")))
+        bsalt = uuid.uuid4().hex[:16]
+        uid = pa.array(np.char.add(bsalt + ":", np.arange(len(b)).astype("U12")))
         return pa.table(
             {
                 "cell": pa.array(cells.astype(np.int64)),
+                "__salt2": pa.array((np.arange(n, dtype=np.int64) % salt).astype(np.int8)),
                 "__side": pa.array(np.zeros(n, dtype=np.int8)),
                 "__lid": taken.column(left_id),
                 "__uid": uid.take(pa.array(row_idx)),
@@ -758,11 +780,20 @@ def _nearest_shuffle_bounded_general(
         )
         keep = valid[row_idx]
         row_idx, cells = row_idx[keep], cells[keep]
+        # rights replicate into every left salt bucket (exact: nearest per
+        # left row is independent)
+        if salt > 1:
+            row_idx = np.repeat(row_idx, salt)
+            cells = np.repeat(cells, salt)
+            salts = np.tile(np.arange(salt, dtype=np.int8), len(row_idx) // salt)
+        else:
+            salts = np.zeros(len(row_idx), dtype=np.int8)
         taken = b.take(pa.array(row_idx))
         n = len(row_idx)
         return pa.table(
             {
                 "cell": pa.array(cells.astype(np.int64)),
+                "__salt2": pa.array(salts),
                 "__side": pa.array(np.ones(n, dtype=np.int8)),
                 "__lid": pa.nulls(n, ltype),
                 "__uid": pa.nulls(n, pa.string()),
@@ -815,7 +846,7 @@ def _nearest_shuffle_bounded_general(
     pairs = (
         lkeyed.union(rkeyed)
         .repartition(nparts)
-        .groupby("cell")
+        .groupby(["cell", "__salt2"])
         .map_groups(per_cell, batch_format="pyarrow")
     )
 

@@ -630,3 +630,50 @@ def test_shuffle_nearest_general_mixed_rights_brute(rng):
     assert set(zip(got.zid, got.rid)) == expect
     for zid, rid, dv in zip(got.zid, got.rid, got.d):
         assert np.isclose(dv, np.sqrt(d2[zid, rid]))
+
+
+def test_shuffle_nearest_bounded_salted_parity(rng):
+    """salt>1 on the bounded POINT plan: identical pair set + distances to
+    salt=1 (rights replicate into every left salt bucket; exact)."""
+    from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+    n, m = 300, 40
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "pid": pa.array(np.arange(n)),
+                "geometry": W.points_to_wkb(
+                    rng.uniform(0, 1000, n), rng.uniform(0, 1000, n)
+                ),
+            }
+        )
+    ).repartition(4)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array(np.arange(m)),
+                "geometry": W.points_to_wkb(
+                    rng.uniform(0, 1000, m), rng.uniform(0, 1000, m)
+                ),
+            }
+        )
+    )
+    kw = dict(max_distance=150.0, res=4, left_id="pid", right_id="rid", distance_col="d")
+    base = sjoin_nearest_shuffle(left, right, salt=1, **kw).to_pandas()
+    salted = sjoin_nearest_shuffle(left, right, salt=4, **kw).to_pandas()
+    assert set(zip(base.pid, base.rid)) == set(zip(salted.pid, salted.rid))
+    a = base.sort_values(["pid", "rid"]).reset_index(drop=True)
+    b = salted.sort_values(["pid", "rid"]).reset_index(drop=True)
+    assert np.allclose(a.d.values, b.d.values)
+
+
+def test_shuffle_nearest_general_salted_parity(rect_left_fixture):
+    """salt>1 on the bounded GENERAL plan: identical pair set to salt=1."""
+    from geopandas_ray.stages.nearest import sjoin_nearest_shuffle
+
+    left, right, d2 = rect_left_fixture
+    kw = dict(max_distance=60.0, res=5, left_id="zid", right_id="rid", distance_col="d")
+    base = sjoin_nearest_shuffle(left, right, salt=1, **kw).to_pandas()
+    salted = sjoin_nearest_shuffle(left, right, salt=3, **kw).to_pandas()
+    assert set(zip(base.zid, base.rid)) == set(zip(salted.zid, salted.rid))
+    assert len(base) == len(salted)
