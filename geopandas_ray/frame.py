@@ -508,6 +508,14 @@ class GeoDataset:
 
         return self._wrap(sjoin_nearest(self.ds, self._right_side(right), **kw))
 
+    def sjoin_nearest_shuffle(self, right, **kw):
+        """Cell-partitioned nearest join for two large sides (bounded or
+        unbounded via max_distance; point or general geometries on either
+        side; ``salt`` for dense-cell straggler relief)."""
+        from .stages.nearest import sjoin_nearest_shuffle
+
+        return self._wrap(sjoin_nearest_shuffle(self.ds, self._right_side(right), **kw))
+
     def dissolve(self, by=None, aggfunc="first", **kw):
         from .stages.dissolve import dissolve
 

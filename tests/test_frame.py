@@ -138,3 +138,23 @@ def test_facade_overlay_shuffle_matches_overlay():
         (int(r.ak), int(r.bk), r.geometry.hex()) for r in df.itertuples(index=False)
     )
     assert key(got) == key(want) and len(got) > 0
+
+
+def test_facade_sjoin_nearest_shuffle(boxes):
+    pts = GeoDataset(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "pid": pa.array([0, 1], type=pa.int64()),
+                    "geometry": W.points_to_wkb([1.0, 11.0], [1.0, 11.0]),
+                }
+            )
+        )
+    )
+    j = pts.sjoin_nearest_shuffle(
+        boxes, max_distance=100.0, res=3, left_id="pid", right_id="zid",
+        distance_col="d", salt=2,
+    ).to_pandas()
+    # both points sit inside a box -> distance 0 to their container
+    assert (j.d == 0).all()
+    assert set(j.pid) == {0, 1}
