@@ -30,13 +30,18 @@ from .wkb import (
 
 
 def _ring_reduceat(values: np.ndarray, offsets: np.ndarray, n_items: int) -> np.ndarray:
-    """Sum ``values`` per CSR segment; empty segments give 0."""
+    """Sum ``values`` per CSR segment; empty segments give 0.
+
+    reduceat cannot take start == len(values) (trailing empty segments), and
+    CLAMPING the start corrupts the preceding segment by splitting it (a
+    multi-part row followed by a trailing null row lost its tail parts in
+    area/length — r4 fix). CSR segments tile ``values``, so the nonempty
+    starts alone are exactly the reduceat boundaries."""
     out = np.zeros(n_items, dtype=np.float64)
     starts = offsets[:-1]
     nonempty = offsets[1:] > starts
     if values.size and nonempty.any():
-        sums = np.add.reduceat(values, np.minimum(starts, len(values) - 1))
-        out[nonempty] = sums[nonempty]
+        out[nonempty] = np.add.reduceat(values, starts[nonempty])
     return out
 
 
@@ -60,12 +65,7 @@ def _ring_signed_areas(g: Geoms) -> np.ndarray:
     # zero out the contribution that crosses ring boundaries
     ends = g.ring_offsets[1:] - 1
     cross[ends[ends >= 0]] = 0.0
-    out = np.zeros(n_rings)
-    starts = g.ring_offsets[:-1]
-    nonempty = g.ring_offsets[1:] > starts
-    if nonempty.any():
-        sums = np.add.reduceat(cross, np.minimum(starts, len(cross) - 1))
-        out[nonempty] = sums[nonempty]
+    out = _ring_reduceat(cross, np.asarray(g.ring_offsets, dtype=np.int64), n_rings)
     return out * 0.5
 
 
@@ -103,12 +103,7 @@ def length(g: Geoms) -> np.ndarray:
         seg = np.append(seg, 0.0)
         ends = g.ring_offsets[1:] - 1
         seg[ends[ends >= 0]] = 0.0
-    ring_len = np.zeros(n_rings)
-    starts = g.ring_offsets[:-1]
-    nonempty = g.ring_offsets[1:] > starts
-    if len(seg) and nonempty.any():
-        sums = np.add.reduceat(seg, np.minimum(starts, len(seg) - 1))
-        ring_len[nonempty] = sums[nonempty]
+    ring_len = _ring_reduceat(seg, np.asarray(g.ring_offsets, dtype=np.int64), n_rings)
     # points contribute 0; line+polygon rings contribute their length
     keep = np.ones(n_rings)
     for p in range(len(g.part_offsets) - 1):

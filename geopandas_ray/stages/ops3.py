@@ -72,13 +72,15 @@ def with_count_interior_rings(ds, geometry="geometry", out="count_interior_rings
         holes_per_part = np.where(
             g.part_types[:n_parts] == POLYGON, np.maximum(rings_per_part - 1, 0), 0
         )
-        # sum per row over its part range
-        out_v = np.zeros(len(g), dtype=np.int64)
-        starts = g.row_offsets[:-1]
-        nonempty = g.row_offsets[1:] > starts
-        if n_parts and nonempty.any():
-            sums = np.add.reduceat(holes_per_part, np.minimum(starts, n_parts - 1))
-            out_v[nonempty] = sums[nonempty]
+        # sum per row over its part range (K._ring_reduceat: reduceat with
+        # empty segments filtered — clamping corrupts the preceding row)
+        from ..geom.kernels import _ring_reduceat
+
+        out_v = _ring_reduceat(
+            holes_per_part.astype(np.float64),
+            np.asarray(g.row_offsets, dtype=np.int64),
+            len(g),
+        ).astype(np.int64)
         return b.append_column(out, pa.array(out_v))
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -97,3 +97,40 @@ def test_counts(hole_poly):
     assert K.count_coordinates(hole_poly)[0] == 10
     assert K.count_geometries(hole_poly)[0] == 1
     assert K.geom_type(hole_poly) == ["Polygon"]
+
+
+def test_multi_row_before_trailing_null_not_truncated():
+    """r4 regression: np.add.reduceat start-clamping for trailing EMPTY
+    segments split the preceding segment — a multi-part row followed by a
+    trailing null row lost its tail parts in length/area/hole counts."""
+    from geopandas_ray.stages.clip import _parts_to_wkb
+
+    mline = _parts_to_wkb(
+        [
+            (2, [np.array([[0, 0], [0, 5]], dtype=np.float64)]),
+            (2, [np.array([[1, 0], [1, 7]], dtype=np.float64)]),
+        ]
+    )
+    line = _parts_to_wkb([(2, [np.array([[0, 0], [3, 4]], dtype=np.float64)])])
+    g = W.from_wkb([line, mline, None])
+    lens = K.length(g)
+    assert lens[0] == 5.0 and lens[1] == 12.0 and np.isnan(lens[2])
+    shell = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=np.float64)
+    mpoly = _parts_to_wkb([(3, [shell]), (3, [shell + 100.0])])
+    poly = _parts_to_wkb([(3, [shell])])
+    g2 = W.from_wkb([poly, mpoly, None])
+    areas = K.area(g2)
+    assert areas[0] == 100.0 and areas[1] == 200.0
+    # hole-count per row with a trailing null after a multi-polygon row
+    hole = np.array([[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]], dtype=np.float64)
+    mpoly_holes = _parts_to_wkb([(3, [shell, hole]), (3, [shell + 100.0, hole + 100.0])])
+    import pyarrow as pa
+    import ray.data
+
+    from geopandas_ray.stages.ops3 import with_count_interior_rings
+
+    ds = ray.data.from_arrow(
+        pa.table({"geometry": pa.array([mpoly_holes, None], type=pa.large_binary())})
+    )
+    got = with_count_interior_rings(ds).to_pandas()["count_interior_rings"].tolist()
+    assert got[0] == 2
