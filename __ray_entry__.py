@@ -2827,6 +2827,117 @@ def q_dissolve_minmax(sf_dir):
     return _select(d, ["category", "wmin", "wmax", "n", "minx", "maxx"])
 
 
+def q_sjoin_nearest_right(sf_dir):
+    # how='right' (tools/sjoin.py:365): nearest DOC per zone centroid;
+    # keys + geometry retained from the right side
+    from geopandas_ray.geom.kernels import bounds as kb
+    from geopandas_ray.geom.wkb import from_wkb, points_to_wkb
+    from geopandas_ray.pipelines.datasets import doc_points, zone_table
+    from geopandas_ray.stages.nearest import sjoin_nearest
+
+    import ray.data
+
+    zt = zone_table(sf_dir)
+    zb = kb(from_wkb(zt.column("geometry")))
+    cents = pa.table(
+        {
+            "zone_key": zt.column("zone_key"),
+            "geometry": points_to_wkb((zb[:, 0] + zb[:, 2]) / 2.0, (zb[:, 1] + zb[:, 3]) / 2.0),
+        }
+    )
+    j = sjoin_nearest(doc_points(sf_dir), ray.data.from_arrow(cents), how="right")
+    return _select(j, ["doc_id", "zone_key"])
+
+
+def q_shapefile_roundtrip(sf_dir):
+    # native ESRI Shapefile sink + sharded .shx-indexed read-back
+    import shutil
+    import tempfile
+
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.sources.shapefile import read_shapefile, write_shapefile
+    from geopandas_ray.stages.ops import with_xy
+
+    out = tempfile.mkdtemp(prefix="graft_shp_", dir="/tmp")
+    try:
+        write_shapefile(doc_points(sf_dir), f"{out}/docs.shp")
+        back = read_shapefile(f"{out}/docs.shp")
+        t = _select(with_xy(back), ["doc_id", "x", "y"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return t
+
+
+def q_geopackage_roundtrip(sf_dir):
+    # native GeoPackage (sqlite) sink + rowid-sharded read-back
+    import shutil
+    import tempfile
+
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.sources.geopackage import read_geopackage, write_geopackage
+    from geopandas_ray.stages.ops import with_xy
+
+    out = tempfile.mkdtemp(prefix="graft_gpkg_", dir="/tmp")
+    try:
+        write_geopackage(doc_points(sf_dir), f"{out}/docs.gpkg")
+        back = read_geopackage(f"{out}/docs.gpkg").drop_columns(["fid"])
+        t = _select(with_xy(back), ["doc_id", "x", "y"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return t
+
+
+def q_sindex_query(sf_dir):
+    # public sindex surface (reference sindex.py query): zone rects probe the
+    # doc-point index with predicate(probe, tree)='contains'; positions are
+    # dataset-global row order == doc_id (single ordered parquet read)
+    import pyarrow as pa
+
+    from geopandas_ray import GeoDataset
+    from geopandas_ray.geom.wkb import boxes_to_wkb
+    from geopandas_ray.pipelines.datasets import doc_points
+
+    ks = np.arange(50, dtype=np.int64)
+    minx = ((ks * 13) % 900).astype(np.float64)
+    miny = ((ks * 29) % 880).astype(np.float64)
+    maxx = minx + 40 + (ks % 5) * 30
+    maxy = miny + 30 + (ks % 7) * 25
+    probes = [w.as_py() for w in boxes_to_wkb(minx, miny, maxx, maxy)]
+    res = GeoDataset(doc_points(sf_dir)).sindex.query(probes, predicate="contains", sort=True)
+    return pa.table(
+        {
+            "probe_idx": pa.array(res[0], type=pa.int64()),
+            "position": pa.array(res[1], type=pa.int64()),
+        }
+    )
+
+
+def q_sindex_nearest(sf_dir):
+    # sindex.nearest with all exact ties + distances (single sqrt of an
+    # integer d2 -> bit-identical to DuckDB's SQRT)
+    import pyarrow as pa
+
+    from geopandas_ray import GeoDataset
+    from geopandas_ray.geom.wkb import points_to_wkb
+    from geopandas_ray.pipelines.datasets import doc_points
+
+    ks = np.arange(20, dtype=np.int64)
+    qx = ((ks * 17) % 1000).astype(np.float64)
+    qy = ((ks * 41) % 1000).astype(np.float64)
+    probes = [w.as_py() for w in points_to_wkb(qx, qy)]
+    res, dist = GeoDataset(doc_points(sf_dir)).sindex.nearest(
+        probes, return_all=True, return_distance=True
+    )
+    order = np.lexsort((res[1], res[0]))
+    return pa.table(
+        {
+            "probe_idx": pa.array(res[0][order], type=pa.int64()),
+            "position": pa.array(res[1][order], type=pa.int64()),
+            "distance": pa.array(dist[order], type=pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2981,6 +3092,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlay_auto_concave": q_overlay_auto_concave,
         "clip_concave_mask": q_clip_concave_mask,
         "make_valid_area": q_make_valid_area,
+        "sindex_query": q_sindex_query,
+        "sindex_nearest": q_sindex_nearest,
+        "shapefile_roundtrip": q_shapefile_roundtrip,
+        "geopackage_roundtrip": q_geopackage_roundtrip,
+        "sjoin_nearest_right": q_sjoin_nearest_right,
     }
 
 
@@ -3059,6 +3175,12 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT p.doc_id, c.zone_key, (p.px-c.cx)*(p.px-c.cx)+(p.py-c.cy)*(p.py-c.cy) AS d2 "
             "FROM pts p CROSS JOIN cents c) "
             "SELECT doc_id, zone_key FROM d QUALIFY d2 = MIN(d2) OVER (PARTITION BY doc_id)"
+        ),
+        "sjoin_nearest_right": (
+            f"{W}, cents AS (SELECT zone_key, (zminx+zmaxx)/2.0 AS cx, (zminy+zmaxy)/2.0 AS cy FROM zones), "
+            "d AS (SELECT p.doc_id, c.zone_key, (p.px-c.cx)*(p.px-c.cx)+(p.py-c.cy)*(p.py-c.cy) AS d2 "
+            "FROM pts p CROSS JOIN cents c) "
+            "SELECT doc_id, zone_key FROM d QUALIFY d2 = MIN(d2) OVER (PARTITION BY zone_key)"
         ),
         "sjoin_nearest_shuffle": (
             f"{W}, cents AS (SELECT zone_key, (zminx+zmaxx)/2.0 AS cx, (zminy+zmaxy)/2.0 AS cy FROM zones), "
@@ -3743,6 +3865,8 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(inter AS DOUBLE)/uni >= 0.01"
         ),
         "feather_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        "shapefile_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        "geopackage_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geojson_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "offset_curve_bounds": (
             "SELECT doc_id, CAST((doc_id*13)%900 AS DOUBLE) AS minx, "
@@ -3780,6 +3904,27 @@ def oracle_sql() -> dict[str, str]:
             f"{W} SELECT category, MIN(weight) AS wmin, MAX(weight) AS wmax, "
             "COUNT(*) AS n, MIN(zminx) AS minx, MAX(zmaxx) AS maxx "
             "FROM zones GROUP BY category"
+        ),
+        # sindex.query positions are global row order == doc_id (ordered
+        # single-file read); 'contains' is interior-only for a point operand
+        "sindex_query": (
+            f"{W} SELECT z.zone_key AS probe_idx, p.doc_id AS position "
+            "FROM zones z JOIN pts p ON p.px > z.zminx AND p.px < z.zmaxx "
+            "AND p.py > z.zminy AND p.py < z.zmaxy "
+            "WHERE z.zone_key < 50"
+        ),
+        # ties selected on exact integer d2; output = one correctly-rounded
+        # sqrt on both sides (bit-identical doubles)
+        "sindex_nearest": (
+            f"{W}, probes AS (SELECT p_partkey AS probe_idx, "
+            "CAST((p_partkey*17)%1000 AS DOUBLE) AS qx, "
+            "CAST((p_partkey*41)%1000 AS DOUBLE) AS qy FROM part WHERE p_partkey < 20), "
+            "d AS (SELECT pr.probe_idx, p.doc_id AS position, "
+            "(p.px-pr.qx)*(p.px-pr.qx) + (p.py-pr.qy)*(p.py-pr.qy) AS d2 "
+            "FROM probes pr CROSS JOIN pts p), "
+            "m AS (SELECT probe_idx, MIN(d2) AS md2 FROM d GROUP BY probe_idx) "
+            "SELECT d.probe_idx, d.position, SQRT(d.d2) AS distance "
+            "FROM d JOIN m ON d.probe_idx = m.probe_idx AND d.d2 = m.md2"
         ),
         # FNV-style polynomial rolling hash mod 2^64 (documents are ASCII so
         # ascii() == byte). HUGEINT split keeps each product under 2^128:

@@ -66,6 +66,7 @@ class GeoDataset:
         self.ds = ds
         self.geometry = geometry
         self.crs = crs
+        self._sindex = None
 
     # --- construction / IO --------------------------------------------
     @classmethod
@@ -125,6 +126,43 @@ class GeoDataset:
         return cls(ray.data.from_arrow(from_features(list(features), geometry=geometry)),
                    geometry=geometry, crs=crs)
 
+    @classmethod
+    def from_dict(cls, data: dict, geometry: str = "geometry", crs=None) -> "GeoDataset":
+        """GeoDataFrame.from_dict: dict of columns; the geometry column
+        accepts WKB bytes / GeoJSON dicts / WKT strings per row."""
+        from .sources.geojson import from_dict
+
+        return cls(ray.data.from_arrow(from_dict(data, geometry=geometry)),
+                   geometry=geometry, crs=crs)
+
+    @classmethod
+    def from_wkb(
+        cls, ds: ray.data.Dataset, column: str = "wkb", geometry: str = "geometry", crs=None
+    ) -> "GeoDataset":
+        """GeoSeries.from_wkb over a binary column: parse + re-encode through
+        the decoder (normalizes endianness / type codes) into the canonical
+        geometry encoding."""
+        from .geom.wkb import from_wkb as _dec
+        from .geom.wkb import to_wkb as _enc
+
+        def f(b: pa.Table) -> pa.Table:
+            arr = _enc(_dec(b.column(column)))
+            if column == geometry:
+                return b.set_column(b.column_names.index(column), geometry, arr)
+            return b.append_column(geometry, arr)
+
+        return cls(ds.map_batches(f, batch_format="pyarrow"), geometry=geometry, crs=crs)
+
+    @classmethod
+    def from_arrow(
+        cls, ds: ray.data.Dataset, encoding: str, geometry: str = "geometry", crs=None
+    ) -> "GeoDataset":
+        """GeoSeries.from_arrow: decode a GeoArrow-native nested-list column
+        (any of the 6 encodings) into WKB geometry."""
+        from .sources.geoarrow import from_geoarrow
+
+        return cls(from_geoarrow(ds, encoding, geometry=geometry), geometry=geometry, crs=crs)
+
     def to_wkt(self, rounding_precision: int = 6, out: str = "wkt") -> "GeoDataset":
         """Append a WKT string column (GeoSeries.to_wkt)."""
         from .geom.wkb import from_wkb
@@ -143,6 +181,42 @@ class GeoDataset:
         from .sources.geojson import to_json_column
 
         return self._wrap(to_json_column(self.ds, geometry=self.geometry, out=out))
+
+    def to_wkb(self, out: str = "wkb") -> "GeoDataset":
+        """GeoSeries.to_wkb: geometry is already canonical WKB — append a
+        zero-copy alias column named ``out``."""
+        geometry = self.geometry
+
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(out, b.column(geometry))
+
+        return self._wrap(self.ds.map_batches(f, batch_format="pyarrow"))
+
+    def to_arrow(self, encoding: str | None = None, interleaved: bool = True) -> ray.data.Dataset:
+        """GeoSeries.to_arrow: encode the geometry column as GeoArrow native
+        nested lists (returns a plain Dataset — the column is no longer WKB)."""
+        from .sources.geoarrow import to_geoarrow
+
+        return to_geoarrow(self.ds, encoding=encoding, geometry=self.geometry,
+                           interleaved=interleaved)
+
+    def to_geo_dict(self, na: str = "null", show_bbox: bool = False) -> dict:
+        """FeatureCollection dict (geodataframe.py:638). Driver-sized by
+        definition — use iterfeatures()/to_file() for large data."""
+        from .sources.geojson import to_geo_dict
+
+        return to_geo_dict(self.ds, geometry=self.geometry, na=na, show_bbox=show_bbox)
+
+    def iterfeatures(self, na: str = "null", show_bbox: bool = False):
+        """Streaming generator of GeoJSON Feature dicts (geodataframe.py:667);
+        iterates block by block, never materializing the dataset."""
+        from .sources.geojson import iterfeatures
+
+        return iterfeatures(self.ds, geometry=self.geometry, na=na, show_bbox=show_bbox)
+
+    @property
+    def __geo_interface__(self) -> dict:
+        return self.to_geo_dict(show_bbox=True)
 
     def to_parquet(self, path, **kw):
         from .sources.geoparquet import write_geoparquet
@@ -239,6 +313,17 @@ class GeoDataset:
 
     def notna(self):
         return self._append(_ops3.geom_notna)
+
+    isnull = isna  # geoseries.py isnull/notnull deprecated aliases
+    notnull = notna
+
+    def minimum_bounding_radius(self):
+        """Appends mbc_x / mbc_y / minimum_bounding_radius columns
+        (base.py:1542; the circle is fully described by center + radius —
+        documented deviation: no approximation polygon is emitted)."""
+        return self._append(_ops2.with_min_bounding_circle)
+
+    minimum_bounding_circle = minimum_bounding_radius
 
     def hilbert_distance(self, total_bounds, level: int = 15):
         return self._append(_ops.with_hilbert, total_bounds=total_bounds, level=level)
@@ -411,6 +496,12 @@ class GeoDataset:
     def geom_equals(self, other):
         return self.predicate("geom_equals", other)
 
+    def contains_properly(self, other):
+        return self.predicate("contains_properly", other)
+
+    def dwithin(self, other, distance: float):
+        return self.predicate("dwithin", other, distance=distance)
+
     def distance(self, other, **kw):
         from .stages.binary import binary_distance
 
@@ -420,6 +511,22 @@ class GeoDataset:
         from .stages.binary import binary_relate
 
         return self._binary(binary_relate, other, **kw)
+
+    def relate_pattern(self, other, pattern: str, **kw):
+        from .stages.binary import binary_relate_pattern
+
+        return self._wrap(
+            binary_relate_pattern(
+                self.ds, pattern, self._check_operand(other), geometry=self.geometry, **kw
+            )
+        )
+
+    def geom_almost_equals(self, other, decimal: int = 6):
+        """Deprecated reference alias (base.py geom_almost_equals ->
+        geom_equals_exact(tolerance=0.5 * 10**-decimal))."""
+        from .stages.binary import binary_geom_almost_equals
+
+        return self._binary(binary_geom_almost_equals, other, decimal=decimal)
 
     def intersection(self, other):
         from .stages.binary import binary_intersection
@@ -526,6 +633,10 @@ class GeoDataset:
 
         return union_all(self.ds, geometry=self.geometry, method=method)
 
+    def unary_union(self) -> bytes | None:
+        """Deprecated reference alias of union_all (base.py:922)."""
+        return self.union_all()
+
     def intersection_all(self) -> bytes | None:
         from .stages.dissolve import intersection_all
 
@@ -629,3 +740,27 @@ class GeoDataset:
     @property
     def cx(self) -> _CxIndexer:
         return _CxIndexer(self)
+
+    @property
+    def active_geometry_name(self) -> str:
+        return self.geometry
+
+    @property
+    def sindex(self):
+        """Distributed positional spatial index (reference sindex): built
+        lazily, materializes the dataset once; query/nearest/intersection
+        fan out per block and return positional indices."""
+        if self._sindex is None:
+            from .stages.sindex import DistributedSpatialIndex
+
+            self._sindex = DistributedSpatialIndex(self.ds, geometry=self.geometry)
+        return self._sindex
+
+    @property
+    def has_sindex(self) -> bool:
+        return self._sindex is not None
+
+    # deprecated reference aliases (kept at the end: `type` shadows the
+    # builtin inside the class body from here on)
+    from_file = read_file
+    type = geom_type

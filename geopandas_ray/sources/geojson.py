@@ -144,16 +144,148 @@ def from_features(features: list[dict], geometry: str = "geometry") -> pa.Table:
     return pa.table(cols)
 
 
-def read_file(path: str, columns: list[str] | None = None, rows: int | None = None) -> ray.data.Dataset:
+def iterfeatures(ds: ray.data.Dataset, geometry: str = "geometry", na: str = "null",
+                 show_bbox: bool = False):
+    """geodataframe.py:667 ``iterfeatures``: a GENERATOR of GeoJSON Feature
+    dicts. Streams block by block via ``iter_batches`` — never materializes
+    the dataset — so it is the scale-safe export path for arbitrarily large
+    inputs. ``id`` is the global row position (the engine carries no pandas
+    index). ``na``: 'null' / 'keep' emit missing properties as None, 'drop'
+    omits the key (reference na semantics)."""
+    if na not in ("null", "drop", "keep"):
+        raise ValueError(f"Unknown na option {na!r}; use 'null', 'drop' or 'keep'")
+    from ..geom import kernels as K
+
+    pos = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        g = from_wkb(b.column(geometry))
+        bb = K.bounds(g) if show_bbox else None
+        attrs = [c for c in b.column_names if c != geometry]
+        cols = {c: b.column(c).to_pylist() for c in attrs}
+        for i in range(b.num_rows):
+            props = {c: cols[c][i] for c in attrs}
+            if na == "drop":
+                props = {k: v for k, v in props.items() if v is not None}
+            ft = {
+                "id": str(pos),
+                "type": "Feature",
+                "properties": props,
+                "geometry": geometry_to_geo_dict(g, i),
+            }
+            if show_bbox:
+                row = bb[i]
+                ft["bbox"] = (
+                    None if np.isnan(row).any() else tuple(float(v) for v in row)
+                )
+            yield ft
+            pos += 1
+
+
+def to_geo_dict(ds: ray.data.Dataset, geometry: str = "geometry", na: str = "null",
+                show_bbox: bool = False) -> dict:
+    """geodataframe.py:638 ``__geo_interface__`` / to_geo_dict: a
+    FeatureCollection dict. DRIVER-SIZED by definition (one Python dict) —
+    use :func:`iterfeatures` or :func:`to_file` for large datasets."""
+    feats = list(iterfeatures(ds, geometry=geometry, na=na, show_bbox=show_bbox))
+    out: dict = {"type": "FeatureCollection", "features": feats}
+    if show_bbox:
+        from ..stages.dissolve import total_bounds
+
+        tb = total_bounds(ds, geometry=geometry)
+        out["bbox"] = tuple(float(v) for v in tb)
+    return out
+
+
+def from_dict(data: dict, geometry: str = "geometry") -> pa.Table:
+    """GeoDataFrame.from_dict analog: dict of equal-length columns. The
+    geometry column accepts WKB bytes, GeoJSON geometry dicts, or WKT
+    strings (mixed per row), plus None."""
+    cols: dict = {}
+    for k, v in data.items():
+        v = list(v)
+        if k == geometry:
+            vals: list[bytes | None] = []
+            for item in v:
+                if item is None or isinstance(item, (bytes, bytearray)):
+                    vals.append(bytes(item) if item is not None else None)
+                elif isinstance(item, dict):
+                    vals.append(geo_dict_to_wkb(item))
+                elif isinstance(item, str):
+                    from ..geom.wkb import to_wkb
+                    from ..geom.wkt import from_wkt
+
+                    vals.append(to_wkb(from_wkt([item]))[0].as_py())
+                else:
+                    raise TypeError(f"geometry value of type {type(item)!r}")
+            cols[k] = pa.array(vals, type=pa.large_binary())
+        else:
+            cols[k] = pa.array(v)
+    return pa.table(cols)
+
+
+def _filter_bbox_mask(t: pa.Table, bbox, mask, geometry: str = "geometry") -> pa.Table:
+    """Row filter for read_file(bbox=/mask=): bbox keeps bounds-overlap rows
+    (pyogrio bbox semantics); mask keeps exact-intersects rows."""
+    from ..geom import kernels as K
+
+    g = from_wkb(t.column(geometry))
+    gb = K.bounds(g)
+    if bbox is not None:
+        minx, miny, maxx, maxy = (float(v) for v in bbox)
+        keep = (gb[:, 0] <= maxx) & (gb[:, 2] >= minx) & (gb[:, 1] <= maxy) & (gb[:, 3] >= miny)
+    else:
+        from ..stages.core import eval_pairs
+
+        mwkb = geo_dict_to_wkb(mask) if isinstance(mask, dict) else bytes(mask)
+        mg = from_wkb(pa.array([mwkb], type=pa.large_binary()))
+        n = len(g)
+        keep = eval_pairs(
+            "intersects", g, np.arange(n, dtype=np.int64), mg, np.zeros(n, dtype=np.int64)
+        )
+    return t.filter(pa.array(np.asarray(keep, dtype=bool)))
+
+
+def read_file(
+    path: str,
+    columns: list[str] | None = None,
+    rows: int | None = None,
+    bbox=None,
+    mask=None,
+) -> ray.data.Dataset:
     """io/file.py:50 ``read_file`` for the GDAL-free formats this engine can
     parse itself: .geojson / .json FeatureCollections (single file or a
     directory of them). OGR formats (shapefile, GPKG, ...) still need GDAL
-    on a real cluster. Supports the reference's ``columns`` and ``rows``
-    narrowing; bbox/mask filtering composes downstream (stages.clip / cx).
+    on a real cluster. Supports the reference's ``columns`` / ``rows``
+    narrowing and ``bbox`` / ``mask`` row filters (mutually exclusive,
+    io/file.py bbox-mask guard); filtering happens per file before the
+    ``rows`` slice, like a filtered OGR read.
     """
     import glob
     import os
 
+    if bbox is not None and mask is not None:
+        raise ValueError("bbox and mask cannot be used together")
+    if path.lower().endswith((".shp", ".gpkg")):
+        if path.lower().endswith(".shp"):
+            from .shapefile import read_shapefile as _rd
+        else:
+            from .geopackage import read_geopackage as _rd
+        ds = _rd(path)
+        # narrowing stays ON the dataset (streaming), unlike the
+        # driver-parsed GeoJSON branch below
+        if bbox is not None or mask is not None:
+            ds = ds.map_batches(
+                lambda b: _filter_bbox_mask(b, bbox, mask), batch_format="pyarrow"
+            )
+        if rows is not None:
+            ds = ds.limit(rows)
+        if columns is not None:
+            schema_names = ds.schema().names
+            keep = [c for c in columns if c in schema_names]
+            if "geometry" not in keep and "geometry" in schema_names:
+                keep.append("geometry")
+            ds = ds.select_columns(keep)
+        return ds
     if os.path.isdir(path):
         paths = sorted(
             glob.glob(os.path.join(path, "*.geojson")) + glob.glob(os.path.join(path, "*.json"))
@@ -164,7 +296,8 @@ def read_file(path: str, columns: list[str] | None = None, rows: int | None = No
         raise FileNotFoundError(f"no .geojson/.json files under {path!r}")
     if not all(p.endswith((".geojson", ".json")) for p in paths):
         raise NotImplementedError(
-            "read_file parses GeoJSON in-sandbox; OGR formats need GDAL (cluster path)"
+            "read_file parses GeoJSON / ESRI Shapefile / GeoPackage in-sandbox; "
+            "other OGR formats need GDAL (cluster path)"
         )
     tables = []
     taken = 0
@@ -172,10 +305,12 @@ def read_file(path: str, columns: list[str] | None = None, rows: int | None = No
         with open(p) as f:
             doc = json.load(f)
         feats = doc["features"] if doc.get("type") == "FeatureCollection" else [doc]
-        if rows is not None:
-            feats = feats[: max(0, rows - taken)]
-            taken += len(feats)
         t = from_features(feats)
+        if (bbox is not None or mask is not None) and "geometry" in t.column_names:
+            t = _filter_bbox_mask(t, bbox, mask)
+        if rows is not None:
+            t = t.slice(0, max(0, rows - taken))
+            taken += t.num_rows
         if columns is not None:
             keep = [c for c in columns if c in t.column_names]
             if "geometry" not in keep and "geometry" in t.column_names:
@@ -188,10 +323,19 @@ def read_file(path: str, columns: list[str] | None = None, rows: int | None = No
 
 
 def to_file(ds: ray.data.Dataset, path: str, geometry: str = "geometry") -> list[str]:
-    """io/file.py:159 ``to_file`` for GeoJSON: one FeatureCollection file
-    per block (resumable fragments, like the parquet sink), returns the
-    written paths. Attribute columns become properties."""
+    """io/file.py:159 ``to_file``: GeoJSON (one FeatureCollection file per
+    block, resumable fragments), or ESRI Shapefile / GeoPackage when the
+    path extension says so. Attribute columns become properties."""
     import os
+
+    if path.lower().endswith(".shp"):
+        from .shapefile import write_shapefile
+
+        return [write_shapefile(ds, path, geometry=geometry)]
+    if path.lower().endswith(".gpkg"):
+        from .geopackage import write_geopackage
+
+        return [write_geopackage(ds, path, geometry=geometry)]
 
     os.makedirs(path, exist_ok=True)
     paths: list[str] = []

@@ -1,0 +1,226 @@
+"""Native GeoPackage read/write (no GDAL) — io/file.py read_file/to_file for
+`.gpkg`, the OGC GeoPackage format (a SQLite database; public spec
+OGC 12-128r19). Python's stdlib ``sqlite3`` reads it directly; geometry
+cells are a "GP" header (magic, version, flags, srs_id, optional envelope)
+followed by standard WKB — exactly the engine's native encoding.
+
+Ray-first layout: the driver opens the file once for metadata (layer name,
+geometry column, rowid span), then rowid-range shards decode in parallel
+``map_batches`` actors, each holding its own read-only sqlite connection
+(connection per actor in ``__init__``, spec's stateful-stage pattern).
+Writes are driver-side: sqlite is single-writer by design — use the
+parquet/feather sinks for scale; this exists for interchange.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_GPKG_APP_ID = 0x47504B47  # "GPKG"
+
+
+def _parse_gpkg_blob(b: bytes | None) -> bytes | None:
+    """GeoPackageBinaryHeader -> the embedded standard WKB."""
+    if b is None:
+        return None
+    if b[:2] != b"GP":
+        raise ValueError("not a GeoPackage geometry blob")
+    flags = b[3]
+    env = (flags >> 1) & 0b111
+    envlen = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[env]
+    if flags & 0b00100000:
+        raise NotImplementedError("GeoPackage extension geometry encodings")
+    wkb = b[8 + envlen :]
+    return wkb if wkb else None
+
+
+class _GpkgShard:
+    """Decode one rowid range; sqlite connection opened once per actor."""
+
+    def __init__(self, path: str, layer: str, gcol: str, attrs: list[str], geometry: str):
+        import sqlite3
+
+        # Ray's actor map worker calls __call__ from a different thread than
+        # __init__; the connection is only ever used serially per actor
+        self.con = sqlite3.connect(f"file:{path}?mode=ro", uri=True, check_same_thread=False)
+        self.layer = layer
+        self.gcol = gcol
+        self.attrs = attrs
+        self.geometry = geometry
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        tables = []
+        sel = ", ".join([f'"{c}"' for c in self.attrs] + [f'"{self.gcol}"'])
+        for i in range(b.num_rows):
+            lo = int(b.column("lo")[i].as_py())
+            hi = int(b.column("hi")[i].as_py())
+            rows = self.con.execute(
+                f'SELECT {sel} FROM "{self.layer}" WHERE rowid BETWEEN ? AND ? ORDER BY rowid',
+                (lo, hi),
+            ).fetchall()
+            cols: dict = {}
+            for j, c in enumerate(self.attrs):
+                cols[c] = pa.array([r[j] for r in rows])
+            cols[self.geometry] = pa.array(
+                [_parse_gpkg_blob(r[-1]) for r in rows], type=pa.large_binary()
+            )
+            tables.append(pa.table(cols))
+        if not tables:
+            return pa.table({self.geometry: pa.array([], type=pa.large_binary())})
+        return pa.concat_tables(tables)
+
+
+def read_geopackage(
+    path: str,
+    layer: str | None = None,
+    geometry: str = "geometry",
+    shard_rows: int = 65536,
+) -> ray.data.Dataset:
+    import sqlite3
+
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        if layer is None:
+            row = con.execute(
+                "SELECT table_name FROM gpkg_contents WHERE data_type='features' LIMIT 1"
+            ).fetchone()
+            if row is None:
+                raise ValueError(f"no feature layers in {path!r}")
+            layer = row[0]
+        grow = con.execute(
+            "SELECT column_name FROM gpkg_geometry_columns WHERE table_name=?", (layer,)
+        ).fetchone()
+        if grow is None:
+            raise ValueError(f"layer {layer!r} has no registered geometry column")
+        gcol = grow[0]
+        attrs = [
+            r[1]
+            for r in con.execute(f'PRAGMA table_info("{layer}")').fetchall()
+            if r[1] != gcol
+        ]
+        span = con.execute(f'SELECT MIN(rowid), MAX(rowid) FROM "{layer}"').fetchone()
+    finally:
+        con.close()
+    if span[0] is None:
+        return ray.data.from_arrow(pa.table({geometry: pa.array([], type=pa.large_binary())}))
+    lo, hi = int(span[0]), int(span[1])
+    shards = [
+        {"lo": s, "hi": min(hi, s + shard_rows - 1)} for s in range(lo, hi + 1, shard_rows)
+    ]
+    return ray.data.from_items(shards).map_batches(
+        _GpkgShard,
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=(1, 8),
+        fn_constructor_kwargs=dict(
+            path=path, layer=layer, gcol=gcol, attrs=attrs, geometry=geometry
+        ),
+    )
+
+
+def _sqlite_type(t: pa.DataType) -> str:
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        return "INTEGER"
+    if pa.types.is_floating(t):
+        return "REAL"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "BLOB"
+    return "TEXT"
+
+
+def write_geopackage(
+    ds: ray.data.Dataset, path: str, layer: str | None = None, geometry: str = "geometry"
+) -> str:
+    """Spec-conformant single-layer sink: required gpkg_spatial_ref_sys rows,
+    gpkg_contents + gpkg_geometry_columns registration, "GP" blob headers
+    (little-endian, no envelope), application_id 'GPKG'."""
+    import sqlite3
+
+    from ..geom import kernels as K
+    from ..geom.wkb import from_wkb
+    from ..util import pull_table
+
+    t = pull_table(ds)
+    layer = layer or os.path.splitext(os.path.basename(path))[0]
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.execute(f"PRAGMA application_id = {_GPKG_APP_ID}")
+        con.execute("PRAGMA user_version = 10300")  # GeoPackage 1.3
+        con.execute(
+            "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER "
+            "PRIMARY KEY, organization TEXT NOT NULL, organization_coordsys_id INTEGER "
+            "NOT NULL, definition TEXT NOT NULL, description TEXT)"
+        )
+        con.executemany(
+            "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+            [
+                ("Undefined cartesian SRS", -1, "NONE", -1, "undefined", None),
+                ("Undefined geographic SRS", 0, "NONE", 0, "undefined", None),
+                (
+                    "WGS 84 geodetic",
+                    4326,
+                    "EPSG",
+                    4326,
+                    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]]]',
+                    None,
+                ),
+            ],
+        )
+        con.execute(
+            "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY KEY, data_type "
+            "TEXT NOT NULL, identifier TEXT UNIQUE, description TEXT DEFAULT '', "
+            "last_change DATETIME NOT NULL DEFAULT (strftime('%Y-%m-%dT%H:%M:%fZ','now')), "
+            "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"
+        )
+        con.execute(
+            "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name "
+            "TEXT NOT NULL, geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, "
+            "z TINYINT NOT NULL, m TINYINT NOT NULL, PRIMARY KEY (table_name, column_name))"
+        )
+        attrs = [c for c in t.column_names if c != geometry]
+        defs = "".join(
+            f'"{c}" {_sqlite_type(t.schema.field(c).type)}, ' for c in attrs
+        )
+        con.execute(
+            f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT, '
+            f'{defs}"{geometry}" BLOB)'
+        )
+        g = from_wkb(t.column(geometry))
+        gb = K.bounds(g)
+        ok = ~np.isnan(gb).any(axis=1)
+        box = (
+            (float(gb[ok, 0].min()), float(gb[ok, 1].min()),
+             float(gb[ok, 2].max()), float(gb[ok, 3].max()))
+            if ok.any()
+            else (None, None, None, None)
+        )
+        con.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, identifier, min_x, min_y, "
+            "max_x, max_y, srs_id) VALUES (?,?,?,?,?,?,?,0)",
+            (layer, "features", layer, *box),
+        )
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?,?,?,0,0,0)",
+            (layer, geometry, "GEOMETRY"),
+        )
+        head = b"GP\x00\x01" + struct.pack("<i", 0)  # v0, LE, no envelope, srs 0
+        wcol = t.column(geometry).to_pylist()
+        blobs = [None if w is None else head + w for w in wcol]
+        acols = {c: t.column(c).to_pylist() for c in attrs}
+        ph = ", ".join(["?"] * (len(attrs) + 1))
+        names = ", ".join([f'"{c}"' for c in attrs] + [f'"{geometry}"'])
+        con.executemany(
+            f'INSERT INTO "{layer}" ({names}) VALUES ({ph})',
+            [tuple(acols[c][i] for c in attrs) + (blobs[i],) for i in range(t.num_rows)],
+        )
+        con.commit()
+    finally:
+        con.close()
+    return path

@@ -328,9 +328,32 @@ def sjoin_nearest(
     batch_size: int = 8192,
 ) -> ray.data.Dataset:
     """Broadcast nearest join. Without max_distance every left row matches
-    (left-join-like, tools/sjoin.py docstring), ties all returned."""
+    (left-join-like, tools/sjoin.py docstring), ties all returned.
+
+    ``how='right'`` (tools/sjoin.py:365: keys + geometry from right_df,
+    nearest computed per RIGHT row) is the same physical plan with the
+    sides and suffixes swapped — right must be a Dataset there (it becomes
+    the streamed side)."""
+    if how == "right":
+        if not isinstance(right, ray.data.Dataset):
+            raise TypeError("how='right' needs the right side as a Dataset (it streams)")
+        return sjoin_nearest(
+            right,
+            left,
+            how="left",
+            max_distance=max_distance,
+            lsuffix=rsuffix,
+            rsuffix=lsuffix,
+            distance_col=distance_col,
+            exclusive=exclusive,
+            geometry=right_geometry or geometry,
+            right_geometry=geometry,
+            right_index=right_index,
+            concurrency=concurrency,
+            batch_size=batch_size,
+        )
     if how not in ("inner", "left"):
-        raise ValueError("sjoin_nearest supports how in {'inner','left'}")
+        raise ValueError("sjoin_nearest supports how in {'inner','left','right'}")
     right_geometry = right_geometry or geometry
     rt = _materialize(right)
     lmap, rmap = suffixed_columns(left.schema().names, rt.column_names, lsuffix, rsuffix, geometry)

@@ -677,3 +677,32 @@ def test_shuffle_nearest_general_salted_parity(rect_left_fixture):
     salted = sjoin_nearest_shuffle(left, right, salt=3, **kw).to_pandas()
     assert set(zip(base.zid, base.rid)) == set(zip(salted.zid, salted.rid))
     assert len(base) == len(salted)
+
+
+def test_how_right_swaps_sides(rng):
+    """tools/sjoin.py:365 how='right': nearest LEFT per RIGHT row, right
+    keys/geometry retained, suffixes swapped; parity with the manual swap."""
+    n, m = 120, 30
+    px, py = rng.uniform(0, 1000, n), rng.uniform(0, 1000, n)
+    qx, qy = rng.uniform(0, 1000, m), rng.uniform(0, 1000, m)
+    left = ray.data.from_arrow(
+        pa.table({"pid": pa.array(np.arange(n)), "v": pa.array(np.arange(n) % 7),
+                  "geometry": W.points_to_wkb(px, py)})
+    )
+    right_t = pa.table({"rid": pa.array(np.arange(m)), "v": pa.array(np.arange(m) % 3),
+                        "geometry": W.points_to_wkb(qx, qy)})
+    right = ray.data.from_arrow(right_t)
+    got = sjoin_nearest(left, right, how="right", distance_col="d").to_pandas()
+    left_t = pa.table({"pid": pa.array(np.arange(n)), "v": pa.array(np.arange(n) % 7),
+                       "geometry": W.points_to_wkb(px, py)})
+    want = sjoin_nearest(right, left_t, how="left", lsuffix="right", rsuffix="left",
+                         distance_col="d").to_pandas()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+    # every right row appears (right-join semantics), keys from right
+    assert set(got["rid"]) == set(range(m))
+    with pytest.raises(TypeError):
+        sjoin_nearest(left, right_t, how="right")

@@ -564,8 +564,10 @@ def test_read_file_to_file_geojson(tmp_path):
     assert set(sub.columns) == {"name", "geometry"} and len(sub) == 2
     import pytest
 
+    # .shp/.gpkg are natively supported since late r4; OGR-only formats
+    # (FileGDB etc.) still refuse
     with pytest.raises(NotImplementedError):
-        read_file(str(tmp_path / "out") + "/../whatever.shp")
+        read_file(str(tmp_path / "out") + "/../whatever.gdb")
 
 
 def test_is_simple_exact_noding():
