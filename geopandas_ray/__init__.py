@@ -17,4 +17,12 @@ def __getattr__(name):
         from .frame import GeoDataset
 
         return GeoDataset
+    if name == "concat":
+        from .frame import concat
+
+        return concat
+    if name in ("points_from_xy",):
+        from .frame import GeoDataset
+
+        return GeoDataset.from_xy
     raise AttributeError(f"module 'geopandas_ray' has no attribute {name!r}")

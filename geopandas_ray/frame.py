@@ -40,6 +40,27 @@ def _swap_geometry(ds: ray.data.Dataset, tmp: str, geometry: str) -> ray.data.Da
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def concat(objs, axis: int = 0) -> "GeoDataset":
+    """pandas.concat analog over GeoDatasets/Datasets (reference CRS rules
+    on axis=0; duplicate-geometry ValueError on axis=1)."""
+    from .stages.merge import concat_columns, concat_rows
+
+    dss, crss, gcols = [], [], []
+    for o in objs:
+        if isinstance(o, GeoDataset):
+            dss.append(o.ds)
+            crss.append(o.crs)
+            gcols.append(o.geometry)
+        else:
+            dss.append(o)
+            crss.append(None)
+            gcols.append("geometry" if "geometry" in o.schema().names else None)
+    if axis == 1:
+        return GeoDataset(concat_columns(dss, geometry_cols=gcols))
+    out_crs = next((c for c in crss if c is not None), None)
+    return GeoDataset(concat_rows(dss, crs_list=crss), crs=out_crs)
+
+
 class _CxIndexer:
     """``gd.cx[xmin:xmax, ymin:ymax]`` bbox-intersects row filter
     (base.py:5514)."""
@@ -622,6 +643,34 @@ class GeoDataset:
         from .stages.nearest import sjoin_nearest_shuffle
 
         return self._wrap(sjoin_nearest_shuffle(self.ds, self._right_side(right), **kw))
+
+    def merge(self, right, on: str, how: str = "inner", broadcast: bool | None = None, **kw):
+        """pandas-style attribute equi-join (GeoDataFrame inherits
+        DataFrame.merge). A pa.Table / pandas right side broadcasts
+        (dimension lookup); a Dataset right side takes the partitioned
+        hash join (one shuffle, any size). ``broadcast=True`` forces the
+        broadcast plan for a small Dataset."""
+        from .stages.merge import broadcast_join, hash_join
+        from .util import pull_table
+
+        rds = self._right_side(right)
+        if not isinstance(rds, ray.data.Dataset):
+            if not isinstance(rds, pa.Table):
+                rds = pa.Table.from_pandas(rds, preserve_index=False)
+            return self._wrap(broadcast_join(self.ds, rds, on=on, how=how, **kw))
+        if broadcast:
+            return self._wrap(broadcast_join(self.ds, pull_table(rds), on=on, how=how, **kw))
+        return self._wrap(hash_join(self.ds, rds, on=on, how=how, **kw))
+
+    def merge_asof(self, right, key: str, left_ts: str, right_ts: str | None = None,
+                   direction: str = "backward"):
+        """As-of join per key (stages/merge.py asof_join)."""
+        from .stages.merge import asof_join
+
+        return self._wrap(
+            asof_join(self.ds, self._right_side(right), key=key, left_ts=left_ts,
+                      right_ts=right_ts or left_ts, direction=direction)
+        )
 
     def dissolve(self, by=None, aggfunc="first", **kw):
         from .stages.dissolve import dissolve

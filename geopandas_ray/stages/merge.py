@@ -170,8 +170,12 @@ def asof_join(
         return df
 
     def join_part(df: pd.DataFrame) -> pd.DataFrame:
-        ldf = df[df[_SIDE] == 0][lcols].sort_values(left_ts, kind="stable")
-        rdf = df[df[_SIDE] == 1][rcols].sort_values(right_ts, kind="stable")
+        # infer_objects: when the two sides use DIFFERENT ts column names,
+        # the union pad leaves each ts column object-dtyped (None on the
+        # other side's rows) and merge_asof refuses non-numeric keys — the
+        # same upcast hazard hash_join guards against
+        ldf = df[df[_SIDE] == 0][lcols].sort_values(left_ts, kind="stable").infer_objects()
+        rdf = df[df[_SIDE] == 1][rcols].sort_values(right_ts, kind="stable").infer_objects()
         if len(ldf) == 0:
             return ldf
         if len(rdf) == 0:

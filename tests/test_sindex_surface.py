@@ -247,3 +247,28 @@ def test_facade_mbc_unary_union_aliases():
     assert set(tdf["geom_type"]) == {"Polygon"}
     ndf = gd.isnull().to_pandas()
     assert ndf["isna"].tolist() == [False, False]
+
+
+def test_facade_merge_and_concat():
+    import geopandas_ray as gr
+
+    gd = _boxes_gd(n=4)
+    dim = pa.table({"zid": pa.array([0, 1, 2, 3], type=pa.int64()),
+                    "label": pa.array(list("abcd"))})
+    m = gd.merge(dim, on="zid").to_pandas().sort_values("zid")
+    assert m["label"].tolist() == ["a", "b", "c", "d"]
+    # hash-join plan for a Dataset right side
+    m2 = gd.merge(ray.data.from_arrow(dim), on="zid", how="inner").to_pandas()
+    assert sorted(m2["label"]) == ["a", "b", "c", "d"]
+    # module-level concat axis=0 with CRS rules
+    a = GeoDataset(_boxes_gd(2).ds, crs="EPSG:4326")
+    b = GeoDataset(_boxes_gd(3).ds, crs="EPSG:4326")
+    cat = gr.concat([a, b])
+    assert cat.count() == 5 and cat.crs == "EPSG:4326"
+    with pytest.raises(ValueError):
+        gr.concat([a, GeoDataset(_boxes_gd(2).ds, crs="EPSG:3857")])
+    # merge_asof facade delegates
+    ev = ray.data.from_arrow(pa.table({"k": pa.array([1, 1]), "t": pa.array([5, 9])}))
+    st = ray.data.from_arrow(pa.table({"k": pa.array([1]), "t2": pa.array([4])}))
+    got = GeoDataset(ev).merge_asof(st, key="k", left_ts="t", right_ts="t2").to_pandas()
+    assert len(got) == 2
