@@ -236,3 +236,49 @@ def test_facade_roundtrip_shp_gpkg(tmp_path):
     a = GeoDataset.read_file(str(tmp_path / "a.shp")).area().to_pandas()
     b = GeoDataset.read_file(str(tmp_path / "a.gpkg")).area().to_pandas()
     assert len(a) == len(b) == 5
+
+
+def test_shp_sharded_read_matches_single_shard(tmp_path):
+    p = str(tmp_path / "many.shp")
+    write_shapefile(_points_ds(23), p)
+    one = read_shapefile(p).to_pandas().sort_values("pid").reset_index(drop=True)
+    many = (
+        read_shapefile(p, shard_records=4).to_pandas().sort_values("pid").reset_index(drop=True)
+    )
+    assert one.equals(many) and len(many) == 23
+
+
+def test_shp_pointz_and_handcrafted_polygon_hole(tmp_path):
+    # PointZ (type 11): x,y,z,m — Z/M dropped on read
+    content = struct.pack("<i4d", 11, 1.5, 2.5, 9.0, 0.0)
+    rec = struct.pack(">2i", 1, len(content) // 2) + content
+    # spec polygon: CW shell + CCW hole, one record
+    shell = np.array([[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]], dtype=np.float64)  # CW (y-up)
+    hole = np.array([[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]], dtype=np.float64)  # CCW
+    pts = np.concatenate([shell, hole])
+    pcontent = struct.pack("<i4d2i", 5, 0.0, 0.0, 10.0, 10.0, 2, len(pts))
+    pcontent += np.array([0, 5], dtype="<i4").tobytes()
+    pcontent += np.ascontiguousarray(pts, dtype="<f8").tobytes()
+    prec = struct.pack(">2i", 2, len(pcontent) // 2) + pcontent
+
+    def hdr(nbytes, stype):
+        return (
+            struct.pack(">7i", 9994, 0, 0, 0, 0, 0, nbytes // 2)
+            + struct.pack("<2i", 1000, stype)
+            + struct.pack("<8d", 0, 0, 10, 10, 0, 0, 0, 0)
+        )
+
+    # file 1: the PointZ
+    (tmp_path / "z.shp").write_bytes(hdr(100 + len(rec), 11) + rec)
+    (tmp_path / "z.shx").write_bytes(
+        hdr(108, 11) + struct.pack(">2i", 50, len(content) // 2)
+    )
+    got = GeoDataset(read_shapefile(str(tmp_path / "z.shp"))).get_coordinates().to_pandas()
+    assert got[["x", "y"]].values.tolist() == [[1.5, 2.5]]
+    # file 2: the spec-wound polygon with hole
+    (tmp_path / "h.shp").write_bytes(hdr(100 + len(prec), 5) + prec)
+    (tmp_path / "h.shx").write_bytes(
+        hdr(108, 5) + struct.pack(">2i", 50, len(pcontent) // 2)
+    )
+    area = GeoDataset(read_shapefile(str(tmp_path / "h.shp"))).area().to_pandas()
+    assert area["area"].tolist() == [96.0]  # 100 shell - 4 hole
