@@ -106,6 +106,24 @@ def q_sjoin_shuffle_pip(sf_dir):
     return _select(j, ["doc_id", "zone_key"])
 
 
+def q_sjoin_shuffle_dwithin(sf_dir):
+    # dwithin on the CELL-PARTITIONED path: left bboxes dilate by the
+    # distance for cell assignment, exact refine per cell (two-large-sides
+    # scale plan for the broadcast sjoin_dwithin)
+    from geopandas_ray.pipelines.datasets import DOMAIN, doc_points, zone_dataset
+    from geopandas_ray.stages.sjoin import sjoin_shuffle
+
+    j = sjoin_shuffle(
+        doc_points(sf_dir),
+        zone_dataset(sf_dir),
+        predicate="dwithin",
+        distance=DWITHIN_D,
+        res=5,
+        domain=DOMAIN,
+    )
+    return _select(j, ["doc_id", "zone_key"])
+
+
 def q_sjoin_shuffle_salted(sf_dir):
     from geopandas_ray.pipelines.datasets import DOMAIN, doc_points, zone_dataset
     from geopandas_ray.stages.sjoin import sjoin_shuffle
@@ -2957,6 +2975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sjoin_within": q_sjoin_within,
         "sjoin_dwithin": q_sjoin_dwithin,
         "sjoin_shuffle_pip": q_sjoin_shuffle_pip,
+        "sjoin_shuffle_dwithin": q_sjoin_shuffle_dwithin,
         "sjoin_shuffle_salted": q_sjoin_shuffle_salted,
         "sjoin_shuffle_left": q_sjoin_shuffle_left,
         "sjoin_on_attr": q_sjoin_on_attr,
@@ -3162,6 +3181,11 @@ def oracle_sql() -> dict[str, str]:
             "POWER(GREATEST(z.zminy - p.py, p.py - z.zmaxy, 0), 2) <= 625.0"
         ),
         "sjoin_shuffle_pip": f"{W} SELECT p.doc_id, z.zone_key FROM pts p {pip_join}",
+        "sjoin_shuffle_dwithin": (
+            f"{W} SELECT p.doc_id, z.zone_key FROM pts p JOIN zones z ON "
+            "POWER(GREATEST(z.zminx - p.px, p.px - z.zmaxx, 0), 2) + "
+            "POWER(GREATEST(z.zminy - p.py, p.py - z.zmaxy, 0), 2) <= 625.0"
+        ),
         "sjoin_shuffle_salted": f"{W} SELECT p.doc_id, z.zone_key FROM pts p {pip_join}",
         "sjoin_shuffle_left": (
             f"{W} SELECT p.doc_id, z.zone_key FROM pts p LEFT " + pip_join
