@@ -135,3 +135,69 @@ def test_predicate_duality(avals, bvals):
     eq = eval_pairs("geom_equals", ga, li, gb, ri)
     eq_t = eval_pairs("geom_equals", gb, ri, ga, li)
     assert np.array_equal(eq, eq_t)
+
+
+def test_geometry_out_stages_permutation_parity():
+    """Batched geometry-out stages (convex_hull one-lexsort, simplify
+    global keep-mask, boundary fast path, ...) must not let a row's output
+    depend on its batch position/neighbors: run each stage on the same rows
+    in two different orders (nulls and multis interleaved, trailing null
+    included) and compare per-id output bytes."""
+    import ray.data
+
+    from geopandas_ray.stages import ops as _ops
+    from geopandas_ray.stages import ops2 as _ops2
+
+    rng = np.random.RandomState(7)
+    vals = []
+    for i in range(40):
+        kind = i % 5
+        x, y = rng.randint(-50, 50), rng.randint(-50, 50)
+        if kind == 0:
+            vals.append(None)
+        elif kind == 1:
+            vals.append(W.points_to_wkb([float(x)], [float(y)])[0].as_py())
+        elif kind == 2:
+            vals.append(W.boxes_to_wkb([float(x)], [float(y)], [float(x + 5)], [float(y + 3)])[0].as_py())
+        elif kind == 3:
+            pts = rng.randint(-50, 50, size=(6, 2)).astype(np.float64)
+            vals.append(_parts_to_wkb([(2, [pts[:3]]), (2, [pts[3:]])]))
+        else:
+            shell = np.array(
+                [[x, y], [x + 8, y], [x + 8, y + 8], [x, y + 8], [x, y]], dtype=np.float64
+            )
+            vals.append(_parts_to_wkb([(3, [shell]), (3, [shell + 60.0])]))
+    vals[-1] = None  # force a trailing null after a multi
+
+    ids = np.arange(len(vals), dtype=np.int64)
+    perm = rng.permutation(len(vals))
+
+    def mk(order):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(ids[order]),
+                    "geometry": pa.array([vals[i] for i in order], type=pa.large_binary()),
+                }
+            )
+        ).repartition(3)
+
+    stages = [
+        ("convex_hull", lambda d: _ops2.with_convex_hull(d, out="g")),
+        ("boundary", lambda d: _ops2.with_boundary(d, out="g")),
+        ("simplify", lambda d: _ops2.simplify(d, 1.0)),
+        ("centroid", lambda d: _ops.with_centroid(d, out="g")),
+        ("envelope", lambda d: _ops.with_envelope(d, out="g")),
+        ("normalize", lambda d: _ops2.normalize(d)),
+    ]
+    a_ds = mk(np.arange(len(vals)))
+    b_ds = mk(perm)
+    for name, fn in stages:
+        col = "g"
+        ta = fn(a_ds).to_pandas()
+        tb = fn(b_ds).to_pandas()
+        if col not in ta.columns:
+            col = "geometry"  # in-place stages
+        da = ta.sort_values("id")[col].tolist()
+        db = tb.sort_values("id")[col].tolist()
+        assert da == db, f"stage {name} output depends on batch order"
