@@ -99,7 +99,20 @@ def read_geoparquet(
     by pyarrow — so no post-read pass is needed. Without bbox columns it
     falls back to an exact post-read cx filter (base.py:5514 semantics)
     over decoded WKB bounds.
+
+    A DIRECTORY path expands to its ``**/*.parquet`` fragments: the
+    engine's own sink writes ``manifest.jsonl`` next to the fragments, and
+    handing the bare directory to ``ray.data.read_parquet`` would try to
+    parse the manifest as parquet (partition-key columns are stored in the
+    data too, so nothing is lost by reading explicit fragment paths).
     """
+    import glob as _glob
+    import os as _os
+
+    if isinstance(paths, str) and kwargs.get("filesystem") is None and _os.path.isdir(paths):
+        found = sorted(_glob.glob(_os.path.join(paths, "**", "*.parquet"), recursive=True))
+        if found:
+            paths = found
     if bbox is not None:
         minx, miny, maxx, maxy = bbox
         if _bbox_cols_everywhere(paths, filesystem=kwargs.get("filesystem")):
