@@ -146,6 +146,11 @@ def write_geopackage(
     from ..util import pull_table
 
     t = pull_table(ds)
+    if geometry not in t.column_names:
+        if t.num_rows:
+            raise KeyError(f"no column {geometry!r} in input")
+        # an empty Dataset pulls as a 0-column table (Ray drops the schema)
+        t = pa.table({geometry: pa.array([], type=pa.large_binary())})
     layer = layer or os.path.splitext(os.path.basename(path))[0]
     if os.path.exists(path):
         os.remove(path)

@@ -346,6 +346,11 @@ def write_shapefile(ds: ray.data.Dataset, path: str, geometry: str = "geometry")
     from ..util import pull_table
 
     t = pull_table(ds)
+    if geometry not in t.column_names:
+        if t.num_rows:
+            raise KeyError(f"no column {geometry!r} in input")
+        # an empty Dataset pulls as a 0-column table (Ray drops the schema)
+        t = pa.table({geometry: pa.array([], type=pa.large_binary())})
     g = from_wkb(t.column(geometry))
     recs = [_encode_record(g, i) for i in range(len(g))]
     stypes = {s for s, _ in recs if s != 0}

@@ -180,6 +180,11 @@ class DistributedSpatialIndex:
         mat = tmp.materialize()
         self._refs = mat.to_arrow_refs()
         counts = ray.get([_block_nrows.remote(r) for r in self._refs])
+        # drop zero-row blocks: Ray emits them schemaless (no geometry
+        # column) and they contribute no positions anyway
+        keep = [i for i, c in enumerate(counts) if c > 0]
+        self._refs = [self._refs[i] for i in keep]
+        counts = [counts[i] for i in keep]
         self._offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         self.size = int(self._offsets[-1])
 

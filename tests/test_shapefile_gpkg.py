@@ -282,3 +282,30 @@ def test_shp_pointz_and_handcrafted_polygon_hole(tmp_path):
     )
     area = GeoDataset(read_shapefile(str(tmp_path / "h.shp"))).area().to_pandas()
     assert area["area"].tolist() == [96.0]  # 100 shell - 4 hole
+
+
+def test_shp_gpkg_empty_dataset(tmp_path):
+    empty = ray.data.from_arrow(
+        pa.table({"pid": pa.array([], type=pa.int64()),
+                  "geometry": pa.array([], type=pa.large_binary())})
+    )
+    p = str(tmp_path / "e.shp")
+    write_shapefile(empty, p)
+    assert read_shapefile(p).count() == 0
+    g = str(tmp_path / "e.gpkg")
+    write_geopackage(empty, g)
+    assert read_geopackage(g).count() == 0
+
+
+def test_sindex_empty_dataset():
+    from geopandas_ray.stages.sindex import DistributedSpatialIndex
+
+    empty = ray.data.from_arrow(
+        pa.table({"geometry": pa.array([], type=pa.large_binary())})
+    )
+    idx = DistributedSpatialIndex(empty)
+    assert idx.is_empty and len(idx) == 0
+    got = idx.query(W.points_to_wkb([1.0], [1.0])[0].as_py())
+    assert len(got) == 0
+    near = idx.nearest([W.points_to_wkb([1.0], [1.0])[0].as_py()])
+    assert near.shape == (2, 0)

@@ -519,3 +519,52 @@ def test_broadcast_sjoin_pandas_block_right(micro_left, micro_right):
         ray.data.from_arrow(micro_left), right, right_index="zid"
     ).to_pandas()
     assert sorted(j.zid.astype(int)) == [10, 10, 20, 20]
+
+
+def test_shuffle_matches_broadcast_remaining_predicates(rng):
+    """crosses / overlaps / geom_equals on the cell-partitioned path must
+    produce the same pair set as the broadcast path (cross-cell dedup and
+    candidate generation are predicate-independent; this pins it)."""
+    import pyarrow as pa
+
+    from geopandas_ray.geom import wkb as W
+    from geopandas_ray.stages.sjoin import sjoin, sjoin_shuffle
+
+    n, m = 120, 80
+    lx = rng.uniform(0, 200, n)
+    ly = rng.uniform(0, 200, n)
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "lid": pa.array(np.arange(n)),
+                "geometry": W.boxes_to_wkb(lx, ly, lx + rng.uniform(5, 30, n), ly + rng.uniform(5, 30, n)),
+            }
+        )
+    )
+    rx = rng.uniform(0, 200, m)
+    ry = rng.uniform(0, 200, m)
+    rt = pa.table(
+        {
+            "rid": pa.array(np.arange(m)),
+            "geometry": W.boxes_to_wkb(rx, ry, rx + rng.uniform(5, 30, m), ry + rng.uniform(5, 30, m)),
+        }
+    )
+    # force a few exact duplicates for geom_equals coverage
+    rt = pa.concat_tables([rt, pa.table({"rid": pa.array(np.arange(m, m + 5)),
+                                         "geometry": W.boxes_to_wkb(lx[:5], ly[:5], lx[:5] + 7, ly[:5] + 7)})])
+    left2 = ray.data.from_arrow(
+        pa.table({"lid": pa.array(np.arange(n, n + 5)),
+                  "geometry": W.boxes_to_wkb(lx[:5], ly[:5], lx[:5] + 7, ly[:5] + 7)})
+    ).union(left)
+    for pred in ("overlaps", "geom_equals", "crosses"):
+        b = sjoin(left2, rt, predicate=pred).to_pandas()
+        s = sjoin_shuffle(left2, ray.data.from_arrow(rt), predicate=pred, res=4,
+                          domain=(0.0, 0.0, 256.0, 256.0)).to_pandas()
+        if len(b) == 0 or len(s) == 0:
+            # empty results come back schemaless (Ray pitfall); axis-aligned
+            # rects can never cross, so both sides must be empty together
+            assert len(b) == len(s) == 0, pred
+            continue
+        bp = sorted(map(tuple, b[["lid", "rid"]].values.tolist()))
+        sp = sorted(map(tuple, s[["lid", "rid"]].values.tolist()))
+        assert bp == sp, pred
