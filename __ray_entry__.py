@@ -124,6 +124,20 @@ def q_sjoin_shuffle_dwithin(sf_dir):
     return _select(j, ["doc_id", "zone_key"])
 
 
+def q_sjoin_shuffle_on_attr(sf_dir):
+    # on_attribute on the cell-partitioned path: equality post-filter,
+    # columns emitted once unsuffixed (broadcast parity)
+    from geopandas_ray.pipelines.datasets import DOMAIN, doc_points, zone_dataset
+    from geopandas_ray.stages.sjoin import sjoin_shuffle
+
+    pts = _grp_mod3(doc_points(sf_dir), "doc_id")
+    zd = _grp_mod3(zone_dataset(sf_dir), "zone_key")
+    j = sjoin_shuffle(
+        pts, zd, predicate="intersects", res=5, domain=DOMAIN, on_attribute="grp"
+    )
+    return _select(j, ["doc_id", "zone_key", "grp"])
+
+
 def q_sjoin_shuffle_salted(sf_dir):
     from geopandas_ray.pipelines.datasets import DOMAIN, doc_points, zone_dataset
     from geopandas_ray.stages.sjoin import sjoin_shuffle
@@ -2976,6 +2990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sjoin_dwithin": q_sjoin_dwithin,
         "sjoin_shuffle_pip": q_sjoin_shuffle_pip,
         "sjoin_shuffle_dwithin": q_sjoin_shuffle_dwithin,
+        "sjoin_shuffle_on_attr": q_sjoin_shuffle_on_attr,
         "sjoin_shuffle_salted": q_sjoin_shuffle_salted,
         "sjoin_shuffle_left": q_sjoin_shuffle_left,
         "sjoin_on_attr": q_sjoin_on_attr,
@@ -3185,6 +3200,10 @@ def oracle_sql() -> dict[str, str]:
             f"{W} SELECT p.doc_id, z.zone_key FROM pts p JOIN zones z ON "
             "POWER(GREATEST(z.zminx - p.px, p.px - z.zmaxx, 0), 2) + "
             "POWER(GREATEST(z.zminy - p.py, p.py - z.zmaxy, 0), 2) <= 625.0"
+        ),
+        "sjoin_shuffle_on_attr": (
+            f"{W} SELECT p.doc_id, z.zone_key, (p.doc_id % 3) AS grp "
+            f"FROM pts p {pip_join} AND (p.doc_id % 3) = (z.zone_key % 3)"
         ),
         "sjoin_shuffle_salted": f"{W} SELECT p.doc_id, z.zone_key FROM pts p {pip_join}",
         "sjoin_shuffle_left": (

@@ -636,6 +636,7 @@ def sjoin_shuffle(
     left_columns: list[str] | None = None,
     right_columns: list[str] | None = None,
     unmatched_broadcast_cap: int = 10_000_000,
+    on_attribute=None,
 ) -> ray.data.Dataset:
     """Cell-partitioned sjoin for two large sides (one groupby shuffle).
 
@@ -690,9 +691,18 @@ def sjoin_shuffle(
             left_columns=right_columns,
             right_columns=left_columns,
             unmatched_broadcast_cap=unmatched_broadcast_cap,
+            on_attribute=on_attribute,
         )
     if how == "left" and left_id is None:
         raise ValueError("how='left' on the shuffle path requires `left_id`")
+    if isinstance(on_attribute, str):
+        on_attribute = [on_attribute]
+    if on_attribute:
+        lnames0 = left.schema().names
+        rnames0 = right.schema().names
+        for col in on_attribute:
+            if col not in lnames0 or col not in rnames0:
+                raise ValueError(f"Expected column {col} is missing from a frame being joined")
     salt_map = None
     if salt == "auto":
         # measure-then-salt: sampled per-cell counts pick PER-CELL factors,
@@ -768,6 +778,23 @@ def sjoin_shuffle(
         lambda b: _group_join(b, predicate, distance, res, domain, lgeom_col, rgeom_col),
         batch_format="pyarrow",
     )
+    if on_attribute:
+        # equality post-filter per joined batch; columns emitted once,
+        # unsuffixed (broadcast-path parity, tools/sjoin.py:168-171). A
+        # pre-shuffle key refinement would prune earlier, but the filter is
+        # exact and keeps the shuffle plan untouched.
+        pairs = [(f"{c}_{lsuffix}", f"{c}_{rsuffix}", c) for c in on_attribute]
+
+        def attr_filter(b: pa.Table) -> pa.Table:
+            keep = np.ones(b.num_rows, dtype=bool)
+            for lc, rc, _ in pairs:
+                keep &= np.asarray(b.column(lc)) == np.asarray(b.column(rc))
+            b = b.filter(pa.array(keep))
+            b = b.drop_columns([rc for _, rc, _ in pairs])
+            ren = {lc: c for lc, _, c in pairs}
+            return b.rename_columns([ren.get(c, c) for c in b.column_names])
+
+        joined = joined.map_batches(attr_filter, batch_format="pyarrow")
     if how == "inner":
         return joined
     # --- how='left': pad unmatched left rows with null right attributes ---
