@@ -133,6 +133,11 @@ class _BroadcastJoiner:
                 if keep_geom == "right":
                     cols["geometry"] = right.column(name)
                 continue
+            if name in self.on_attribute:
+                # compared then emitted ONCE from the LEFT side — including
+                # the right copy under the unsuffixed name overwrote the
+                # left value with NULL on unmatched left-join rows (r4 fix)
+                continue
             cols[rmap.get(name, name)] = right.column(name)
         if keep_geom == "right":
             # how='right': the partner column is index_LEFT (tools/sjoin.py:
@@ -795,6 +800,10 @@ def sjoin_shuffle(
             return b.rename_columns([ren.get(c, c) for c in b.column_names])
 
         joined = joined.map_batches(attr_filter, batch_format="pyarrow")
+        # the how='left' pad path maps left columns through lmap into the
+        # POST-FILTER schema: attribute columns are unsuffixed there, and an
+        # unmatched left row keeps ITS value (broadcast parity), not null
+        lmap = {**lmap, **{c: c for c in on_attribute}}
     if how == "inner":
         return joined
     # --- how='left': pad unmatched left rows with null right attributes ---

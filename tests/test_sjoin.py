@@ -568,3 +568,34 @@ def test_shuffle_matches_broadcast_remaining_predicates(rng):
         bp = sorted(map(tuple, b[["lid", "rid"]].values.tolist()))
         sp = sorted(map(tuple, s[["lid", "rid"]].values.tolist()))
         assert bp == sp, pred
+
+
+def test_shuffle_on_attribute_matches_broadcast_left(rng):
+    """on_attribute on the shuffle plan: inner parity AND how='left' pad
+    parity (unmatched rows keep THEIR attribute value, unsuffixed)."""
+    import pyarrow as pa
+
+    from geopandas_ray.geom import wkb as W
+    from geopandas_ray.stages.sjoin import sjoin, sjoin_shuffle
+
+    n, m = 80, 15
+    px, py = rng.uniform(0, 100, n), rng.uniform(0, 100, n)
+    left = ray.data.from_arrow(
+        pa.table({"pid": pa.array(np.arange(n)), "grp": pa.array(np.arange(n) % 3),
+                  "geometry": W.points_to_wkb(px, py)})
+    )
+    zx, zy = rng.uniform(0, 100, m), rng.uniform(0, 100, m)
+    rt = pa.table({"zid": pa.array(np.arange(m)), "grp": pa.array(np.arange(m) % 3),
+                   "geometry": W.boxes_to_wkb(zx, zy, zx + 25, zy + 25)})
+    for how in ("inner", "left"):
+        b = sjoin(left, rt, how=how, predicate="within", on_attribute="grp").to_pandas()
+        s = sjoin_shuffle(left, ray.data.from_arrow(rt), how=how, predicate="within",
+                          on_attribute="grp", res=4, domain=(0.0, 0.0, 128.0, 128.0),
+                          left_id="pid").to_pandas()
+        cols = ["pid", "grp"] + (["zid"] if how == "inner" else [])
+        bp = b[cols].fillna(-1).sort_values(cols).reset_index(drop=True)
+        sp = s[cols].fillna(-1).sort_values(cols).reset_index(drop=True)
+        assert bp.equals(sp), how
+        if how == "left":
+            # unmatched rows keep their grp value
+            assert s["grp"].notna().all()
