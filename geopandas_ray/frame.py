@@ -55,9 +55,13 @@ def concat(objs, axis: int = 0) -> "GeoDataset":
             dss.append(o)
             crss.append(None)
             gcols.append("geometry" if "geometry" in o.schema().names else None)
-    if axis == 1:
-        return GeoDataset(concat_columns(dss, geometry_cols=gcols))
     out_crs = next((c for c in crss if c is not None), None)
+    if axis == 1:
+        # the ACTIVE geometry of the zipped frame is the first input's
+        # (duplicate geometry names already raise inside concat_columns)
+        out_geom = next((g for g in gcols if g is not None), "geometry")
+        return GeoDataset(concat_columns(dss, geometry_cols=gcols), geometry=out_geom,
+                          crs=out_crs)
     return GeoDataset(concat_rows(dss, crs_list=crss), crs=out_crs)
 
 
@@ -657,9 +661,16 @@ class GeoDataset:
         if not isinstance(rds, ray.data.Dataset):
             if not isinstance(rds, pa.Table):
                 rds = pa.Table.from_pandas(rds, preserve_index=False)
-            return self._wrap(broadcast_join(self.ds, rds, on=on, how=how, **kw))
+            if how in ("inner", "left"):
+                return self._wrap(broadcast_join(self.ds, rds, on=on, how=how, **kw))
+            # right/outer need unmatched-right padding the broadcast joiner
+            # cannot do — route through the partitioned hash join instead of
+            # silently degrading to inner
+            return self._wrap(hash_join(self.ds, ray.data.from_arrow(rds), on=on, how=how, **kw))
         if broadcast:
-            return self._wrap(broadcast_join(self.ds, pull_table(rds), on=on, how=how, **kw))
+            if how in ("inner", "left"):
+                return self._wrap(broadcast_join(self.ds, pull_table(rds), on=on, how=how, **kw))
+            return self._wrap(hash_join(self.ds, rds, on=on, how=how, **kw))
         return self._wrap(hash_join(self.ds, rds, on=on, how=how, **kw))
 
     def merge_asof(self, right, key: str, left_ts: str, right_ts: str | None = None,

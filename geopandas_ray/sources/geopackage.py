@@ -39,10 +39,28 @@ def _parse_gpkg_blob(b: bytes | None) -> bytes | None:
     return wkb if wkb else None
 
 
+def _decl_to_arrow(decl: str | None) -> pa.DataType:
+    """SQLite declared type -> Arrow type via the documented affinity rules.
+
+    Per-shard inference would give an all-NULL shard a null-typed column
+    that conflicts with other shards' schemas (blocks must agree)."""
+    d = (decl or "").upper()
+    if "INT" in d:
+        return pa.int64()
+    if any(k in d for k in ("CHAR", "CLOB", "TEXT")):
+        return pa.string()
+    if "BLOB" in d or d == "":
+        return pa.large_binary()
+    if any(k in d for k in ("REAL", "FLOA", "DOUB")):
+        return pa.float64()
+    return pa.float64()  # NUMERIC affinity
+
+
 class _GpkgShard:
     """Decode one rowid range; sqlite connection opened once per actor."""
 
-    def __init__(self, path: str, layer: str, gcol: str, attrs: list[str], geometry: str):
+    def __init__(self, path: str, layer: str, gcol: str, attrs: list[str],
+                 attr_types: list[str | None], geometry: str):
         import sqlite3
 
         # Ray's actor map worker calls __call__ from a different thread than
@@ -51,6 +69,7 @@ class _GpkgShard:
         self.layer = layer
         self.gcol = gcol
         self.attrs = attrs
+        self.types = [_decl_to_arrow(t) for t in attr_types]
         self.geometry = geometry
 
     def __call__(self, b: pa.Table) -> pa.Table:
@@ -64,8 +83,14 @@ class _GpkgShard:
                 (lo, hi),
             ).fetchall()
             cols: dict = {}
-            for j, c in enumerate(self.attrs):
-                cols[c] = pa.array([r[j] for r in rows])
+            for j, (c, t) in enumerate(zip(self.attrs, self.types)):
+                vals = [r[j] for r in rows]
+                try:
+                    cols[c] = pa.array(vals, type=t)
+                except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError, OverflowError):
+                    # SQLite columns are dynamically typed; fall back to the
+                    # content when a value defies the declared affinity
+                    cols[c] = pa.array(vals)
             cols[self.geometry] = pa.array(
                 [_parse_gpkg_blob(r[-1]) for r in rows], type=pa.large_binary()
             )
@@ -98,19 +123,28 @@ def read_geopackage(
         if grow is None:
             raise ValueError(f"layer {layer!r} has no registered geometry column")
         gcol = grow[0]
-        attrs = [
-            r[1]
-            for r in con.execute(f'PRAGMA table_info("{layer}")').fetchall()
-            if r[1] != gcol
-        ]
+        info = con.execute(f'PRAGMA table_info("{layer}")').fetchall()
+        attrs = [r[1] for r in info if r[1] != gcol]
+        attr_types = [r[2] for r in info if r[1] != gcol]
         span = con.execute(f'SELECT MIN(rowid), MAX(rowid) FROM "{layer}"').fetchone()
+        # exact shard boundaries from every shard_rows-th rowid: a sparse
+        # rowid space (deletes) would otherwise spawn shards of nothing
+        bounds = [
+            r[0]
+            for r in con.execute(
+                "SELECT rowid FROM (SELECT rowid, ROW_NUMBER() OVER (ORDER BY rowid) rn "
+                f'FROM "{layer}") WHERE (rn - 1) % ? = 0 ORDER BY rowid',
+                (shard_rows,),
+            ).fetchall()
+        ]
     finally:
         con.close()
     if span[0] is None:
         return ray.data.from_arrow(pa.table({geometry: pa.array([], type=pa.large_binary())}))
-    lo, hi = int(span[0]), int(span[1])
+    hi = int(span[1])
     shards = [
-        {"lo": s, "hi": min(hi, s + shard_rows - 1)} for s in range(lo, hi + 1, shard_rows)
+        {"lo": int(b), "hi": int(bounds[i + 1]) - 1 if i + 1 < len(bounds) else hi}
+        for i, b in enumerate(bounds)
     ]
     return ray.data.from_items(shards).map_batches(
         _GpkgShard,
@@ -118,7 +152,8 @@ def read_geopackage(
         batch_size=1,
         concurrency=(1, 8),
         fn_constructor_kwargs=dict(
-            path=path, layer=layer, gcol=gcol, attrs=attrs, geometry=geometry
+            path=path, layer=layer, gcol=gcol, attrs=attrs, attr_types=attr_types,
+            geometry=geometry
         ),
     )
 

@@ -174,6 +174,9 @@ def _decode_dbf_rows(path: str, hsize: int, rsize: int, fields, start: int, coun
         blob = f.read(count * rsize)
     mat = np.frombuffer(blob, dtype=np.uint8, count=count * rsize).reshape(count, rsize)
     cols: dict[str, object] = {}
+    # dBASE soft-delete: first record byte 0x2A '*'; GDAL skips such
+    # features entirely, so the caller filters geometry rows by this mask
+    deleted = mat[:, 0] == 0x2A
     off = 1  # deletion flag
     for name, ftype, flen, fdec in fields:
         raw = np.ascontiguousarray(mat[:, off : off + flen]).view(f"S{flen}").ravel()
@@ -204,7 +207,7 @@ def _decode_dbf_rows(path: str, hsize: int, rsize: int, fields, start: int, coun
             ]
         else:  # C, D and anything else: text
             cols[name] = [t.decode("ascii", "replace") if t else None for t in txt]
-    return cols
+    return cols, deleted
 
 
 class _ShardReader:
@@ -257,13 +260,19 @@ class _ShardReader:
                 blob = f.read(hi - lo)
             wkbs = self._decode_shard(blob, offs, lo)
             cols: dict = {}
+            deleted = None
             if self.dbf_meta is not None:
                 nrec, hsize, rsize, fields = self.dbf_meta
-                cols = _decode_dbf_rows(self.dbf_path, hsize, rsize, fields, start, count)
+                cols, deleted = _decode_dbf_rows(
+                    self.dbf_path, hsize, rsize, fields, start, count
+                )
             cols[self.geometry] = (
                 wkbs if isinstance(wkbs, pa.Array) else pa.array(wkbs, type=pa.large_binary())
             )
-            tables.append(pa.table(cols))
+            tbl = pa.table(cols)
+            if deleted is not None and deleted.any():
+                tbl = tbl.filter(pa.array(~deleted))
+            tables.append(tbl)
         return pa.concat_tables(tables) if tables else pa.table({self.geometry: pa.array([], type=pa.large_binary())})
 
 
@@ -374,7 +383,13 @@ def _format_dbf(value, ftype: str, flen: int, fdec: int) -> bytes:
         return b" " * flen
     if ftype == "N":
         txt = f"{value:.{fdec}f}" if fdec else str(int(value))
-        return txt.rjust(flen)[:flen].encode("ascii")
+        if len(txt) > flen:
+            # silent head-truncation would corrupt the number (keeps the
+            # HIGH digits' prefix => value/10^k) — refuse instead
+            raise ValueError(
+                f"numeric value {value!r} does not fit DBF field width {flen}"
+            )
+        return txt.rjust(flen).encode("ascii")
     if ftype == "L":
         return b"T" if value else b"F"
     return str(value)[:flen].ljust(flen).encode("ascii", "replace")
@@ -415,13 +430,16 @@ def write_shapefile(ds: ray.data.Dataset, path: str, geometry: str = "geometry")
         else (0.0, 0.0, 0.0, 0.0)
     )
 
-    body = b""
-    index = b""
+    body_parts: list[bytes] = []
+    index_parts: list[bytes] = []
     pos = 100
     for i, (stype, content) in enumerate(recs):
-        index += struct.pack(">2i", pos // 2, len(content) // 2)
-        body += struct.pack(">2i", i + 1, len(content) // 2) + content
+        index_parts.append(struct.pack(">2i", pos // 2, len(content) // 2))
+        body_parts.append(struct.pack(">2i", i + 1, len(content) // 2))
+        body_parts.append(content)
         pos += 8 + len(content)
+    body = b"".join(body_parts)
+    index = b"".join(index_parts)
 
     def header(total_bytes: int) -> bytes:
         return (
@@ -441,9 +459,19 @@ def write_shapefile(ds: ray.data.Dataset, path: str, geometry: str = "geometry")
         t = t.append_column("FID", pa.array(np.arange(t.num_rows, dtype=np.int64)))
         attrs = ["FID"]
     specs = []
+    seen_names: set[str] = set()
     for c in attrs:
         ftype, flen, fdec = _dbf_field_spec(c, t.column(c))
-        specs.append((c[:10], ftype, flen, fdec))
+        short = c[:10]
+        if short in seen_names:
+            # dBASE caps names at 10 chars; colliding truncations would
+            # silently overwrite each other on read-back
+            raise ValueError(
+                f"DBF field name collision after 10-char truncation: {short!r} "
+                f"(rename column {c!r})"
+            )
+        seen_names.add(short)
+        specs.append((short, ftype, flen, fdec))
     rsize = 1 + sum(s[2] for s in specs)
     hsize = 32 + 32 * len(specs) + 1
     out = bytearray()

@@ -324,6 +324,7 @@ def sjoin_nearest(
     geometry: str = "geometry",
     right_geometry: str | None = None,
     right_index: str | None = None,
+    left_index: str | None = None,
     concurrency=None,
     batch_size: int = 8192,
 ) -> ray.data.Dataset:
@@ -333,11 +334,19 @@ def sjoin_nearest(
     ``how='right'`` (tools/sjoin.py:365: keys + geometry from right_df,
     nearest computed per RIGHT row) is the same physical plan with the
     sides and suffixes swapped — right must be a Dataset there (it becomes
-    the streamed side)."""
+    the streamed side). The partner column is ``index_left`` carrying LEFT
+    ids (``left_index`` column values if given, else broadcast-table
+    positional); ``right_index`` names a RIGHT column and has no meaning
+    on that path."""
     if how == "right":
         if not isinstance(right, ray.data.Dataset):
             raise TypeError("how='right' needs the right side as a Dataset (it streams)")
-        return sjoin_nearest(
+        if right_index is not None:
+            raise ValueError(
+                "how='right' emits index_left (left partner ids); pass left_index "
+                "to select the left id column, not right_index"
+            )
+        swapped = sjoin_nearest(
             right,
             left,
             how="left",
@@ -348,10 +357,18 @@ def sjoin_nearest(
             exclusive=exclusive,
             geometry=right_geometry or geometry,
             right_geometry=geometry,
-            right_index=right_index,
+            right_index=left_index,
             concurrency=concurrency,
             batch_size=batch_size,
         )
+        # reference right-join semantics: the partner column carries LEFT
+        # ids and is named index_left (sjoin how='right' parity)
+        def _relabel(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                ["index_left" if c == "index_right" else c for c in b.column_names]
+            )
+
+        return swapped.map_batches(_relabel, batch_format="pyarrow")
     if how not in ("inner", "left"):
         raise ValueError("sjoin_nearest supports how in {'inner','left','right'}")
     right_geometry = right_geometry or geometry

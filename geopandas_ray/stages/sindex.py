@@ -142,7 +142,17 @@ def _nearest_block(
             j = int(valid[k])
             d2 = K.geom_to_geom_sqdist(pg, p, g, j)
             if exclusive and d2 == 0.0:
-                continue
+                # reference exclusive (sindex.py:258-260) skips geometries
+                # EQUAL to the probe — a probe touching/on a different
+                # geometry at distance 0 is still its nearest
+                if eval_pairs(
+                    "geom_equals",
+                    pg,
+                    np.asarray([p], dtype=np.int64),
+                    g,
+                    np.asarray([j], dtype=np.int64),
+                )[0]:
+                    continue
             if max_d2 is not None and d2 > max_d2:
                 continue
             if d2 < best:

@@ -117,13 +117,18 @@ def assert_geodataset_equal(
     if ta.num_rows != tb.num_rows:
         raise AssertionError(f"row count mismatch: {ta.num_rows} != {tb.num_rows}")
     attrs = [c for c in cols_a if c != geometry]
-    if check_like and attrs:
+    if check_like:
         import pandas as pd  # noqa: F401
 
-        da = ta.to_pandas().sort_values(attrs, kind="stable").reset_index(drop=True)
-        db = tb.to_pandas()[cols_a].sort_values(attrs, kind="stable").reset_index(drop=True)
-        ta = pa.Table.from_pandas(da, preserve_index=False)
-        tb = pa.Table.from_pandas(db, preserve_index=False)
+        # geometry-only frames still honor check_like: sort on WKB bytes
+        sort_cols = attrs or ([geometry] if geometry in cols_a else [])
+        if sort_cols:
+            da = ta.to_pandas().sort_values(sort_cols, kind="stable").reset_index(drop=True)
+            db = (
+                tb.to_pandas()[cols_a].sort_values(sort_cols, kind="stable").reset_index(drop=True)
+            )
+            ta = pa.Table.from_pandas(da, preserve_index=False)
+            tb = pa.Table.from_pandas(db, preserve_index=False)
     for c in attrs:
         va, vb = ta.column(c).to_pylist(), tb.column(c).to_pylist()
         if not all(

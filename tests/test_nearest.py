@@ -697,6 +697,9 @@ def test_how_right_swaps_sides(rng):
                        "geometry": W.points_to_wkb(px, py)})
     want = sjoin_nearest(right, left_t, how="left", lsuffix="right", rsuffix="left",
                          distance_col="d").to_pandas()
+    # how='right' relabels the partner column index_right -> index_left
+    # (it carries LEFT ids; sjoin how='right' parity)
+    want = want.rename(columns={"index_right": "index_left"})
     cols = sorted(got.columns)
     assert cols == sorted(want.columns)
     a = got[cols].sort_values(cols).reset_index(drop=True)
