@@ -124,6 +124,69 @@ def q_sjoin_shuffle_dwithin(sf_dir):
     return _select(j, ["doc_id", "zone_key"])
 
 
+def _doc_points_with_radius(sf_dir):
+    # integer per-row radius 5..27 riding the point table as a column — the
+    # distributed analog of the reference's array-valued dwithin distance
+    from geopandas_ray.pipelines.datasets import doc_points
+
+    def add_r(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        return b.append_column("r", pa.array((5 + did % 23).astype(np.float64)))
+
+    return doc_points(sf_dir).map_batches(add_r, batch_format="pyarrow")
+
+
+def q_sjoin_dwithin_array(sf_dir):
+    # per-row radii (base.py:2294-2297, tools/sjoin.py:38 "number or
+    # array_like"): each point joins zones within its OWN integer radius
+    from geopandas_ray.pipelines.datasets import zone_table
+    from geopandas_ray.stages.sjoin import sjoin
+
+    j = sjoin(_doc_points_with_radius(sf_dir), zone_table(sf_dir),
+              how="inner", predicate="dwithin", distance="r")
+    return _select(j, ["doc_id", "zone_key"])
+
+
+def q_sjoin_dwithin_array_shuffle(sf_dir):
+    # per-row radii on the CELL-PARTITIONED plan: each left row replicates
+    # only into cells within its OWN radius (per-row dilated covering)
+    from geopandas_ray.pipelines.datasets import DOMAIN, zone_dataset
+    from geopandas_ray.stages.sjoin import sjoin_shuffle
+
+    j = sjoin_shuffle(_doc_points_with_radius(sf_dir), zone_dataset(sf_dir),
+                      predicate="dwithin", distance="r", res=5, domain=DOMAIN)
+    return _select(j, ["doc_id", "zone_key"])
+
+
+def q_dwithin_array_rows(sf_dir):
+    # element-wise dwithin with PER-ROW radii between two derived point
+    # columns (base.py:2294-2297 array distance); emits matched rows only
+    import pyarrow.compute as pc
+    import ray.data
+
+    from geopandas_ray.geom.wkb import points_to_wkb
+    from geopandas_ray.stages.binary import binary_predicate
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        px = ((did * 37) % 1000).astype(np.float64)
+        py = ((did * 91) % 1000).astype(np.float64)
+        qx = ((did * 13) % 1000).astype(np.float64)
+        qy = ((did * 7) % 1000).astype(np.float64)
+        b = b.append_column("geometry", points_to_wkb(px, py))
+        b = b.append_column("g2", points_to_wkb(qx, qy))
+        return b.append_column("r", pa.array((100 + did % 400).astype(np.float64)))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = binary_predicate(ds, "dwithin", "g2", distance="r")
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("dwithin"), True)), batch_format="pyarrow"
+    )
+    return _select(ds, ["doc_id"])
+
+
 def q_sjoin_shuffle_on_attr(sf_dir):
     # on_attribute on the cell-partitioned path: equality post-filter,
     # columns emitted once unsuffixed (broadcast parity)
@@ -577,14 +640,25 @@ def q_min_circle(sf_dir):
 
 
 def q_sample_points(sf_dir):
-    # seeded rng not SQL-reproducible: rows-only check
+    # the seeded-random VALUES aren't SQL-reproducible, but the verifiable
+    # part is (VERDICT r4 #4): exact per-parent count AND containment of
+    # every sampled point in its parent, computed by the engine's own
+    # covered_by kernel; the oracle asserts count=5 / covered=1 per zone
+    import pyarrow.compute as pc
+
     from geopandas_ray.pipelines.datasets import zone_dataset
+    from geopandas_ray.stages.binary import binary_predicate
     from geopandas_ray.stages.ops import with_counts
     from geopandas_ray.stages.ops2 import sample_points
 
     s = sample_points(zone_dataset(sf_dir), 5, seed=42, key_col="zone_key", out="geometry2")
     s = with_counts(s, geometry="geometry2")
-    return _select(s, ["zone_key", "count_geometries"])
+    s = binary_predicate(s, "covered_by", "geometry", geometry="geometry2", out="covered")
+    s = s.map_batches(
+        lambda b: b.append_column("covered_ok", pc.cast(b.column("covered"), pa.int64())),
+        batch_format="pyarrow",
+    )
+    return _select(s, ["zone_key", "count_geometries", "covered_ok"])
 
 
 def q_overlay_points_intersection(sf_dir):
@@ -1390,6 +1464,101 @@ def q_buffer_array_area(sf_dir):
     ds = zone_dataset(sf_dir).map_batches(add_d, batch_format="pyarrow")
     b = buffer(ds, "bufd", join_style="mitre")
     return _select(with_area(b), ["zone_key", "area"])
+
+
+def q_buffer_flat_cap_area(sf_dir):
+    # flat-cap buffer (reference base.py:4806 cap_style=2) of axis-aligned
+    # integer segments is the exact 2*d*len rectangle; point rows buffer to
+    # EMPTY (GEOS flat-cap point semantics), area 0
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_area
+    from geopandas_ray.stages.ops2 import buffer
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        x = ((did * 13) % 900).astype(np.float64)
+        y = ((did * 7) % 900).astype(np.float64)
+        ln = (5 + (did % 17)).astype(np.float64)
+        vals = []
+        for i in range(len(did)):
+            if did[i] % 5 == 0:
+                vals.append(_parts_to_wkb([(1, [np.array([[x[i], y[i]]])])]))
+            elif did[i] % 2 == 0:
+                vals.append(_parts_to_wkb([(2, [np.array([[x[i], y[i]], [x[i] + ln[i], y[i]]])])]))
+            else:
+                vals.append(_parts_to_wkb([(2, [np.array([[x[i], y[i]], [x[i], y[i] + ln[i]]])])]))
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    b = buffer(ds, 3.0, cap_style="flat")
+    return _select(with_area(b), ["doc_id", "area"])
+
+
+def q_buffer_square_cap_area(sf_dir):
+    # square-cap buffer (cap_style=3): segments grow by d past each end
+    # (2*d*(len+2d) exactly); a point becomes the axis-aligned (2d)^2 square
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_area
+    from geopandas_ray.stages.ops2 import buffer
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        x = ((did * 13) % 900).astype(np.float64)
+        y = ((did * 7) % 900).astype(np.float64)
+        ln = (5 + (did % 17)).astype(np.float64)
+        vals = []
+        for i in range(len(did)):
+            if did[i] % 5 == 0:
+                vals.append(_parts_to_wkb([(1, [np.array([[x[i], y[i]]])])]))
+            elif did[i] % 2 == 0:
+                vals.append(_parts_to_wkb([(2, [np.array([[x[i], y[i]], [x[i] + ln[i], y[i]]])])]))
+            else:
+                vals.append(_parts_to_wkb([(2, [np.array([[x[i], y[i]], [x[i], y[i] + ln[i]]])])]))
+        return b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    b = buffer(ds, 3.0, cap_style="square")
+    return _select(with_area(b), ["doc_id", "area"])
+
+
+def q_buffer_single_sided_area(sf_dir):
+    # single-sided buffer (base.py:4807) of an axis-aligned L polyline with
+    # mitre joins, per-row SIGNED distance column (sign = side): the inside
+    # of the turn loses the d^2 corner square, the outside gains it
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_area
+    from geopandas_ray.stages.ops2 import buffer
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        x = ((did * 13) % 900).astype(np.float64)
+        y = ((did * 7) % 900).astype(np.float64)
+        m = (10 + (did % 11)).astype(np.float64)
+        vals = [
+            _parts_to_wkb(
+                [(2, [np.array([[x[i], y[i]], [x[i] + m[i], y[i]], [x[i] + m[i], y[i] + m[i]]])])]
+            )
+            for i in range(len(did))
+        ]
+        b = b.append_column("geometry", pa.array(vals, type=pa.large_binary()))
+        side = np.where(did % 2 == 0, 3.0, -3.0)
+        return b.append_column("bufd", pa.array(side))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    b = buffer(ds, "bufd", single_sided=True, join_style="mitre")
+    return _select(with_area(b), ["doc_id", "area"])
 
 
 def q_buffer_erode_area(sf_dir):
@@ -2678,6 +2847,42 @@ def q_offset_curve_bounds(sf_dir):
     return _select(ds, ["doc_id", "minx", "miny", "maxx", "maxy"])
 
 
+def q_offset_curve_mitre_len(sf_dir):
+    # mitre-join offset of an axis-aligned L polyline (base.py:1265
+    # join_style=2): the offset edges extend to their EXACT intersection, so
+    # the left offset path measures 2m-2d and the right 2m+2d (integer)
+    import ray.data
+
+    from geopandas_ray.stages.clip import _parts_to_wkb
+    from geopandas_ray.stages.ops import with_length
+    from geopandas_ray.stages.ops3 import offset_curve
+
+    def derive(b):
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        x = ((did * 13) % 900).astype(np.float64)
+        y = ((did * 7) % 500).astype(np.float64)
+        m = (10 + (did % 11)).astype(np.float64)
+        vals = [
+            _parts_to_wkb(
+                [(2, [np.array([[x[i], y[i]], [x[i] + m[i], y[i]], [x[i] + m[i], y[i] + m[i]]])])]
+            )
+            for i in range(len(did))
+        ]
+        arr = pa.array(vals, type=pa.large_binary())
+        # two copies: offset_curve rewrites its geometry column in place,
+        # and the left/right offsets must both start from the ORIGINAL line
+        return b.append_column("geometry", arr).append_column("geom2", arr)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+    ds = offset_curve(ds, 3.0, join_style="mitre")
+    ds = offset_curve(ds, -3.0, join_style="mitre", geometry="geom2")
+    ds = with_length(ds, out="len_left")
+    ds = with_length(ds, geometry="geom2", out="len_right")
+    return _select(ds, ["doc_id", "len_left", "len_right"])
+
+
 def q_line_merge_stats(sf_dir):
     # two touching collinear segments merge into one 3-vertex chain
     import ray.data
@@ -2990,6 +3195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sjoin_dwithin": q_sjoin_dwithin,
         "sjoin_shuffle_pip": q_sjoin_shuffle_pip,
         "sjoin_shuffle_dwithin": q_sjoin_shuffle_dwithin,
+        "sjoin_dwithin_array": q_sjoin_dwithin_array,
+        "sjoin_dwithin_array_shuffle": q_sjoin_dwithin_array_shuffle,
+        "dwithin_array_rows": q_dwithin_array_rows,
         "sjoin_shuffle_on_attr": q_sjoin_shuffle_on_attr,
         "sjoin_shuffle_salted": q_sjoin_shuffle_salted,
         "sjoin_shuffle_left": q_sjoin_shuffle_left,
@@ -3073,6 +3281,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "buffer_mitre_area": q_buffer_mitre_area,
         "buffer_array_area": q_buffer_array_area,
         "buffer_erode_area": q_buffer_erode_area,
+        "buffer_flat_cap_area": q_buffer_flat_cap_area,
+        "buffer_square_cap_area": q_buffer_square_cap_area,
+        "buffer_single_sided_area": q_buffer_single_sided_area,
         "sjoin_nearest_rect": q_sjoin_nearest_rect,
         "sjoin_nearest_rect_shuffle": q_sjoin_nearest_rect_shuffle,
         "covered_by_join": q_covered_by_join,
@@ -3114,6 +3325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feather_roundtrip": q_feather_roundtrip,
         "geojson_roundtrip": q_geojson_roundtrip,
         "offset_curve_bounds": q_offset_curve_bounds,
+        "offset_curve_mitre_len": q_offset_curve_mitre_len,
         "line_merge_stats": q_line_merge_stats,
         "force_3d_z": q_force_3d_z,
         "ring_flags": q_ring_flags,
@@ -3200,6 +3412,24 @@ def oracle_sql() -> dict[str, str]:
             f"{W} SELECT p.doc_id, z.zone_key FROM pts p JOIN zones z ON "
             "POWER(GREATEST(z.zminx - p.px, p.px - z.zmaxx, 0), 2) + "
             "POWER(GREATEST(z.zminy - p.py, p.py - z.zmaxy, 0), 2) <= 625.0"
+        ),
+        "sjoin_dwithin_array": (
+            f"{W} SELECT p.doc_id, z.zone_key FROM pts p JOIN zones z ON "
+            "POWER(GREATEST(z.zminx - p.px, p.px - z.zmaxx, 0), 2) + "
+            "POWER(GREATEST(z.zminy - p.py, p.py - z.zmaxy, 0), 2) "
+            "<= POWER(5 + (p.doc_id % 23), 2)"
+        ),
+        "sjoin_dwithin_array_shuffle": (
+            f"{W} SELECT p.doc_id, z.zone_key FROM pts p JOIN zones z ON "
+            "POWER(GREATEST(z.zminx - p.px, p.px - z.zmaxx, 0), 2) + "
+            "POWER(GREATEST(z.zminy - p.py, p.py - z.zmaxy, 0), 2) "
+            "<= POWER(5 + (p.doc_id % 23), 2)"
+        ),
+        "dwithin_array_rows": (
+            "SELECT doc_id FROM documents WHERE "
+            "POWER((doc_id*37)%1000 - (doc_id*13)%1000, 2) + "
+            "POWER((doc_id*91)%1000 - (doc_id*7)%1000, 2) "
+            "<= POWER(100 + doc_id % 400, 2)"
         ),
         "sjoin_shuffle_on_attr": (
             f"{W} SELECT p.doc_id, z.zone_key, (p.doc_id % 3) AS grp "
@@ -3407,6 +3637,12 @@ def oracle_sql() -> dict[str, str]:
             "AS count_coordinates FROM zones"
         ),
         "wkt_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        # values are seeded-random; the VERIFIABLE contract is exact
+        # per-parent count and containment of every sample in its parent
+        "sample_points": (
+            "SELECT p_partkey AS zone_key, CAST(5 AS BIGINT) AS count_geometries, "
+            "CAST(1 AS BIGINT) AS covered_ok FROM part"
+        ),
         "representative_point": (
             f"{W} SELECT zone_key, (zminx+zmaxx)/2.0 AS rx, (zminy+zmaxy)/2.0 AS ry FROM zones"
         ),
@@ -3663,6 +3899,18 @@ def oracle_sql() -> dict[str, str]:
             f"{W} SELECT zone_key, CAST((zmaxx-zminx+2*((zone_key%5)+1))"
             "*(zmaxy-zminy+2*((zone_key%5)+1)) AS DOUBLE) AS area FROM zones"
         ),
+        "buffer_flat_cap_area": (
+            "SELECT doc_id, CAST(CASE WHEN doc_id % 5 = 0 THEN 0 "
+            "ELSE 6 * (5 + (doc_id % 17)) END AS DOUBLE) AS area FROM documents"
+        ),
+        "buffer_square_cap_area": (
+            "SELECT doc_id, CAST(CASE WHEN doc_id % 5 = 0 THEN 36 "
+            "ELSE 6 * (5 + (doc_id % 17) + 6) END AS DOUBLE) AS area FROM documents"
+        ),
+        "buffer_single_sided_area": (
+            "SELECT doc_id, CAST(6 * (10 + (doc_id % 11)) "
+            "+ CASE WHEN doc_id % 2 = 0 THEN -9 ELSE 9 END AS DOUBLE) AS area FROM documents"
+        ),
         "sjoin_nearest_rect": (
             f"{W}, d AS (SELECT z.zone_key, p.doc_id, "
             "POWER(GREATEST(z.zminx - p.px, p.px - z.zmaxx, 0), 2) + "
@@ -3916,6 +4164,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST((doc_id*7)%500 + 3 AS DOUBLE) AS miny, "
             "CAST((doc_id*13)%900 + 30 + (doc_id%6)*10 AS DOUBLE) AS maxx, "
             "CAST((doc_id*7)%500 + 3 AS DOUBLE) AS maxy FROM documents"
+        ),
+        "offset_curve_mitre_len": (
+            "SELECT doc_id, CAST(2*(10 + (doc_id % 11)) - 6 AS DOUBLE) AS len_left, "
+            "CAST(2*(10 + (doc_id % 11)) + 6 AS DOUBLE) AS len_right FROM documents"
         ),
         "line_merge_stats": (
             "SELECT doc_id, CAST(3 AS BIGINT) AS n_coords, CAST(1 AS BIGINT) AS n_parts, "

@@ -98,19 +98,98 @@ def run_bench() -> dict:
 
     host_calibration = _calibrate()
 
+    # --- per-entry phase detection (VERDICT r4 #1) -------------------------
+    # The suite-start probe goes stale mid-suite (BASELINE.md documents
+    # healthy-probe-then-degraded-draw twice; BENCH_r04.json was drawn at
+    # ratio ~18). Re-probe cheaply around EACH entry, stamp the kept draw's
+    # calibration into the JSON, and auto-re-draw entries whose local ratio
+    # crosses the documented >=5 memory-wall threshold (bounded retries).
+    CAL_DEGRADED_RATIO = 5.0
+    # healthy single-thread for THIS probe shape (preallocated out-buffer,
+    # warm rep, 16 MB stream) measures 2.5-3.7 ms/rep; external contention
+    # inflates the single leg too (measured ~10x in one r3 draw) — catch
+    # that mode with an absolute bar at ~4x healthy
+    CAL_DEGRADED_SINGLE = 0.012
+    EXTRA_REDRAWS = int(os.environ.get("BENCH_EXTRA_REDRAWS", "2"))
+    PROBE_REPS = 10
+    PROBE_TASKS = min(NUM_CPUS, 16)
+
+    @ray.remote
+    def _burn_probe():
+        import numpy as _np
+
+        y = _np.random.default_rng(1).random(2_000_000)
+        b = _np.empty_like(y)
+        _np.multiply(y, y, out=b)
+        b.sum()  # warm rep (pages faulted, allocator settled), untimed
+        t1 = time.perf_counter()
+        for _ in range(PROBE_REPS):
+            _np.multiply(y, y, out=b)
+            float(b.sum())
+        return (time.perf_counter() - t1) / PROBE_REPS
+
+    import numpy as _np_probe
+
+    _probe_x = _np_probe.random.default_rng(0).random(2_000_000)
+    _probe_buf = _np_probe.empty_like(_probe_x)
+
+    def _entry_probe() -> dict:
+        # both legs preallocate + warm one rep: without that, per-rep temp
+        # allocation noise dominated and read ratio 39 on a healthy host
+        _np_probe.multiply(_probe_x, _probe_x, out=_probe_buf)
+        _probe_buf.sum()
+        t0 = time.perf_counter()
+        for _ in range(PROBE_REPS):
+            _np_probe.multiply(_probe_x, _probe_x, out=_probe_buf)
+            float(_probe_buf.sum())
+        single = (time.perf_counter() - t0) / PROBE_REPS
+        pm = max(ray.get([_burn_probe.remote() for _ in range(PROBE_TASKS)]))
+        ratio = pm / single if single > 0 else float("inf")
+        return {
+            "single_s": round(single, 5),
+            "parallel_max_task_s": round(pm, 5),
+            "ratio": round(ratio, 2),
+            "degraded": ratio >= CAL_DEGRADED_RATIO or single >= CAL_DEGRADED_SINGLE,
+        }
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    entry_cal: dict[str, dict] = {}
 
     def timed(name, fn, reps: int | None = None):
-        best = None
-        n = 0
-        for _ in range(max(reps or 0, REPS)):
+        nreps = max(reps or 0, REPS)
+        # seed from a previous timed() of the same name (the late headline
+        # re-draw): new draws only win if faster
+        best = timings.get(name)
+        best_cal = entry_cal.get(name)
+        n = rows.get(name, 0)
+        draws = 0
+        while True:
+            pre = _entry_probe()
             t0 = time.perf_counter()
             n = fn()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            post = _entry_probe()
+            draws += 1
+            cal = {
+                "single_s": max(pre["single_s"], post["single_s"]),
+                "parallel_max_task_s": max(
+                    pre["parallel_max_task_s"], post["parallel_max_task_s"]
+                ),
+                "ratio": max(pre["ratio"], post["ratio"]),
+                "degraded": pre["degraded"] or post["degraded"],
+            }
+            if best is None or dt < best:
+                best, best_cal = dt, cal
+            if draws < nreps:
+                continue
+            if best_cal["degraded"] and draws < nreps + EXTRA_REDRAWS:
+                time.sleep(3.0)  # phases swing on minute scales; brief backoff
+                continue
+            break
         timings[name] = round(best, 3)
         rows[name] = int(n)
+        entry_cal[name] = {**best_cal, "draws": draws}
         return best
 
     # headline: flagship shuffle sjoin + tiling over replicated docs,
@@ -139,6 +218,7 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / headline, 1),
             "rows": rows,
             "host_calibration": host_calibration,
+            "entry_calibration": entry_cal,
         }
         ray.shutdown()
         return result
@@ -569,14 +649,10 @@ def run_bench() -> dict:
 
     # the host's degraded-bandwidth phases come and go on minute scales
     # (BASELINE.md): sample the headline once more at the END of the run and
-    # keep the global min, so a transient phase at start doesn't own the
-    # headline number
-    t0 = time.perf_counter()
-    run_flagship()
-    late = time.perf_counter() - t0
-    if late < headline:
-        headline = late
-        timings["flagship_shuffle_tiling"] = round(late, 3)
+    # keep the global min (timed() seeds from the earlier draw), so a
+    # transient phase at start doesn't own the headline number
+    timed("flagship_shuffle_tiling", run_flagship, reps=1)
+    headline = timings["flagship_shuffle_tiling"]
 
     result = {
         "metric": "flagship sjoin+tiling wall seconds (docs/sec in docs_per_sec)",
@@ -589,6 +665,7 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / headline, 1),
         "rows": rows,
         "host_calibration": host_calibration,
+        "entry_calibration": entry_cal,
     }
     ray.shutdown()
     return result

@@ -384,8 +384,12 @@ class GeoDataset:
     def minimum_rotated_rectangle(self):
         return self._replace(_ops2.with_min_rotated_rect)
 
-    def buffer(self, distance: float, quad_segs: int = 16, join_style: str = "round"):
-        return self._inplace(_ops2.buffer, distance, quad_segs=quad_segs, join_style=join_style)
+    def buffer(self, distance: float, quad_segs: int = 16, cap_style: str = "round",
+               join_style: str = "round", mitre_limit: float = 5.0,
+               single_sided: bool = False):
+        return self._inplace(_ops2.buffer, distance, quad_segs=quad_segs,
+                             cap_style=cap_style, join_style=join_style,
+                             mitre_limit=mitre_limit, single_sided=single_sided)
 
     def simplify(self, tolerance: float):
         return self._inplace(_ops2.simplify, tolerance)
@@ -417,8 +421,10 @@ class GeoDataset:
     def line_merge(self):
         return self._inplace(_ops2.line_merge)
 
-    def offset_curve(self, distance: float, quad_segs: int = 8):
-        return self._inplace(_ops3.offset_curve, distance, quad_segs=quad_segs)
+    def offset_curve(self, distance: float, quad_segs: int = 8,
+                     join_style: str = "round", mitre_limit: float = 5.0):
+        return self._inplace(_ops3.offset_curve, distance, quad_segs=quad_segs,
+                             join_style=join_style, mitre_limit=mitre_limit)
 
     def transform(self, fn):
         return self._inplace(_ops3.transform_coords, fn)
@@ -524,7 +530,9 @@ class GeoDataset:
     def contains_properly(self, other):
         return self.predicate("contains_properly", other)
 
-    def dwithin(self, other, distance: float):
+    def dwithin(self, other, distance: float | str):
+        """base.py:2294-2297 — ``distance`` is a scalar or a column name
+        (per-row radii, the distributed analog of an aligned array)."""
         return self.predicate("dwithin", other, distance=distance)
 
     def distance(self, other, **kw):

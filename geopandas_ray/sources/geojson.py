@@ -156,6 +156,13 @@ def iterfeatures(ds: ray.data.Dataset, geometry: str = "geometry", na: str = "nu
         raise ValueError(f"Unknown na option {na!r}; use 'null', 'drop' or 'keep'")
     from ..geom import kernels as K
 
+    # Ray orders output bundles by task completion unless preserve_order is
+    # set on the dataset's CAPTURED context (mutating the global DataContext
+    # after creation is a no-op) — without this the positional 'id' would be
+    # nondeterministic on multi-block inputs (same pattern as sindex.py).
+    ds = ds.map_batches(lambda b: b, batch_format="pyarrow")
+    ds.context.execution_options.preserve_order = True
+
     pos = 0
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
         g = from_wkb(b.column(geometry))

@@ -56,6 +56,35 @@ def _decl_to_arrow(decl: str | None) -> pa.DataType:
     return pa.float64()  # NUMERIC affinity
 
 
+def _coerce_vals(vals: list, t: pa.DataType, col: str) -> list:
+    """Per-value coercion to the declared Arrow type (SQLite stores type per
+    VALUE, not per column). Keeps the cross-shard schema stable when a value
+    defies the declared affinity; unrepresentable values raise."""
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            if pa.types.is_integer(t):
+                out.append(int(v))
+            elif pa.types.is_floating(t):
+                out.append(float(v))
+            elif pa.types.is_string(t):
+                out.append(v.decode("utf-8", "replace") if isinstance(v, bytes) else str(v))
+            elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+                out.append(v if isinstance(v, (bytes, bytearray)) else str(v).encode())
+            else:
+                out.append(v)
+        except (ValueError, TypeError) as e:
+            raise ValueError(
+                f"GeoPackage column {col!r}: value {v!r} cannot be coerced to the "
+                f"declared type {t} (SQLite stores types per value; this file "
+                f"violates its declared column affinity)"
+            ) from e
+    return out
+
+
 class _GpkgShard:
     """Decode one rowid range; sqlite connection opened once per actor."""
 
@@ -88,9 +117,14 @@ class _GpkgShard:
                 try:
                     cols[c] = pa.array(vals, type=t)
                 except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError, OverflowError):
-                    # SQLite columns are dynamically typed; fall back to the
-                    # content when a value defies the declared affinity
-                    cols[c] = pa.array(vals)
+                    # SQLite columns are dynamically typed per VALUE; letting
+                    # pyarrow infer a per-shard type here would produce
+                    # cross-shard schema divergence (the exact thing
+                    # _decl_to_arrow exists to prevent) and fail downstream
+                    # union/concat. Coerce each value to the DECLARED type so
+                    # every shard emits the same schema; values that defy
+                    # coercion raise with a clear message.
+                    cols[c] = pa.array(_coerce_vals(vals, t, c), type=t)
             cols[self.geometry] = pa.array(
                 [_parse_gpkg_blob(r[-1]) for r in rows], type=pa.large_binary()
             )
@@ -169,17 +203,27 @@ def _sqlite_type(t: pa.DataType) -> str:
 
 
 def write_geopackage(
-    ds: ray.data.Dataset, path: str, layer: str | None = None, geometry: str = "geometry"
+    ds: ray.data.Dataset, path: str, layer: str | None = None, geometry: str = "geometry",
+    max_rows: int = 10_000_000, max_bytes: int = 8 * 2**30
 ) -> str:
     """Spec-conformant single-layer sink: required gpkg_spatial_ref_sys rows,
     gpkg_contents + gpkg_geometry_columns registration, "GP" blob headers
-    (little-endian, no envelope), application_id 'GPKG'."""
+    (little-endian, no envelope), application_id 'GPKG'.
+
+    Single-sqlite-writer sink (the format is one sqlite file) — refuses
+    metadata-provably oversized inputs; use to_parquet() for scale."""
     import sqlite3
 
     from ..geom import kernels as K
     from ..geom.wkb import from_wkb
-    from ..util import pull_table
+    from ..util import guard_driver_sized, pull_table
 
+    guard_driver_sized(
+        ds, "write_geopackage",
+        "GeoPackage is a single-sqlite-file interchange sink written by one "
+        "process; use to_parquet() (partitioned, parallel) for scale sinks.",
+        max_rows, max_bytes,
+    )
     t = pull_table(ds)
     if geometry not in t.column_names:
         if t.num_rows:

@@ -370,7 +370,15 @@ def _dbf_field_spec(name: str, arr: pa.ChunkedArray) -> tuple[str, int, int]:
     if pa.types.is_integer(t):
         return "N", 19, 0
     if pa.types.is_floating(t):
-        return "N", 30, 10
+        # size the width from the actual column (GDAL widens the same way) —
+        # a fixed N(30,10) rejects legitimate |value| >= ~1e19 doubles whose
+        # %.10f rendering exceeds 30 chars. dBASE caps field width at 254.
+        width = 30
+        vals = arr.to_pylist()
+        for v in vals:
+            if v is not None:
+                width = max(width, len(f"{v:.10f}"))
+        return "N", min(width, 254), 10
     if pa.types.is_boolean(t):
         return "L", 1, 0
     # strings: width = longest value (dBASE caps at 254)
@@ -395,12 +403,23 @@ def _format_dbf(value, ftype: str, flen: int, fdec: int) -> bytes:
     return str(value)[:flen].ljust(flen).encode("ascii", "replace")
 
 
-def write_shapefile(ds: ray.data.Dataset, path: str, geometry: str = "geometry") -> str:
+def write_shapefile(ds: ray.data.Dataset, path: str, geometry: str = "geometry",
+                    max_rows: int = 10_000_000, max_bytes: int = 2 * 2**30) -> str:
     """Driver-assembled .shp/.shx/.dbf sink (the format's single-file
     monolithic headers make it inherently non-parallel — use the parquet /
-    feather sinks for scale; this exists for interchange)."""
-    from ..util import pull_table
+    feather sinks for scale; this exists for interchange).
 
+    Refuses metadata-provably oversized inputs up front: the format itself
+    caps files at 2 GiB (32-bit record offsets), so the byte cap is a hard
+    format limit, not just a driver-memory guard."""
+    from ..util import guard_driver_sized, pull_table
+
+    guard_driver_sized(
+        ds, "write_shapefile",
+        "Shapefile is a 2 GiB-capped interchange format assembled on the "
+        "driver; use to_parquet() (partitioned, parallel) for scale sinks.",
+        max_rows, max_bytes,
+    )
     t = pull_table(ds)
     if geometry not in t.column_names:
         if t.num_rows:

@@ -35,13 +35,16 @@ def binary_predicate(
     predicate: str,
     other,
     geometry: str = "geometry",
-    distance: float | None = None,
+    distance: float | str | None = None,
     out: str | None = None,
 ):
     """contains/within/intersects/... as a bool column (base.py:2043-3407).
 
     ``other``: a second geometry column name, or WKB bytes for broadcast.
-    Missing rows on either side evaluate False (GEOS semantics)."""
+    ``distance`` (dwithin, base.py:2294-2297): a scalar, or a COLUMN NAME
+    for per-row radii (the distributed analog of the reference's
+    elementwise-aligned array). Missing rows on either side evaluate False
+    (GEOS semantics)."""
     out = out or predicate
 
     def f(b: pa.Table) -> pa.Table:
@@ -50,7 +53,11 @@ def binary_predicate(
         ok = ~(lg.is_missing | lg.is_empty) & ~(rg.is_missing[ri] | rg.is_empty[ri])
         res = np.zeros(len(lg), dtype=bool)
         if ok.any():
-            res[ok] = eval_pairs(predicate, lg, li[ok], rg, ri[ok], distance)
+            d = distance
+            if isinstance(d, str):
+                # null radii -> NaN -> dwithin False for that row
+                d = b.column(d).to_numpy(zero_copy_only=False).astype(np.float64)[li[ok]]
+            res[ok] = eval_pairs(predicate, lg, li[ok], rg, ri[ok], d)
         return b.append_column(out, pa.array(res))
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -99,18 +99,29 @@ def bbox_equiv_mask(g: Geoms) -> np.ndarray:
     return out
 
 
+def _dist_take(distance, idx):
+    """Per-pair distance selection: dwithin ``distance`` may be a scalar or
+    a PER-PAIR float array (reference base.py:2294-2297 accepts an array
+    aligned elementwise; here per-row data rides the batch as a column and
+    callers gather it per pair). Scalars pass through, arrays index."""
+    if isinstance(distance, np.ndarray):
+        return distance[idx]
+    return distance
+
+
 def eval_pairs_bbox(
     pred: str | None,
     lb: np.ndarray,
     l_is_point: np.ndarray,
     rb: np.ndarray,
-    distance: float | None,
+    distance,
 ) -> np.ndarray:
     """Vectorized predicates for bbox-equivalent pair arrays.
 
     lb/rb: (k,4) bounds of the left/right element of each pair.
     l_is_point: (k,) whether the left element is a point (degenerate box) -
     needed because `within` excludes boundary contact for points.
+    ``distance`` (dwithin only): scalar or per-pair (k,) array.
     """
     ox = np.minimum(lb[:, 2], rb[:, 2]) - np.maximum(lb[:, 0], rb[:, 0])
     oy = np.minimum(lb[:, 3], rb[:, 3]) - np.maximum(lb[:, 1], rb[:, 1])
@@ -122,7 +133,8 @@ def eval_pairs_bbox(
     if pred == "dwithin":
         dx = np.maximum(np.maximum(rb[:, 0] - lb[:, 2], lb[:, 0] - rb[:, 2]), 0.0)
         dy = np.maximum(np.maximum(rb[:, 1] - lb[:, 3], lb[:, 1] - rb[:, 3]), 0.0)
-        return dx * dx + dy * dy <= float(distance) ** 2
+        d = np.asarray(distance, dtype=np.float64)  # scalar or per-pair
+        return dx * dx + dy * dy <= d * d
     inside_closed = (
         (lb[:, 0] >= rb[:, 0]) & (lb[:, 2] <= rb[:, 2]) & (lb[:, 1] >= rb[:, 1]) & (lb[:, 3] <= rb[:, 3])
     )
@@ -196,10 +208,13 @@ def _point_vs_geom_mask(
     distance: float | None,
     swapped: bool,
 ) -> np.ndarray:
-    """Predicate for many points (left unless swapped) vs one geometry row."""
+    """Predicate for many points (left unless swapped) vs one geometry row.
+
+    ``distance`` (dwithin): scalar or a per-point array aligned with px/py."""
     if pred == "dwithin":
         d2 = K.points_to_geom_sqdist(g, row, px, py)
-        return d2 <= float(distance) ** 2
+        d = np.asarray(distance, dtype=np.float64)
+        return d2 <= d * d
     interior, boundary = K.points_in_geom(g, row, px, py)
     if pred in (None, "intersects"):
         return interior | boundary
@@ -381,6 +396,10 @@ def eval_pairs(
     3. per-pair general kernels.
     Callers that hold precomputed bounds / bbox-equiv masks (broadcast
     actors) pass them in to skip recomputation per batch.
+
+    ``distance`` (dwithin): a scalar, or a PER-PAIR (n,) float array
+    (base.py:2294-2297 array-valued distance) — every tier selects its
+    sub-pairs from it via _dist_take.
     """
     if pred not in VALID_PREDICATES:
         raise ValueError(
@@ -410,7 +429,7 @@ def eval_pairs(
             l_bounds[lf],
             (lg.row_types[lf] == POINT),
             r_bounds[rf],
-            distance,
+            _dist_take(distance, fast),
         )
         if fast.all():
             return out
@@ -421,7 +440,7 @@ def eval_pairs(
             li[rest],
             rg,
             ri[rest],
-            distance,
+            _dist_take(distance, rest),
             l_bounds=l_bounds,
             r_bounds=r_bounds,
             l_bbox_equiv=l_bbox_equiv,  # tier 1 finds nothing on the rest;
@@ -459,7 +478,7 @@ def eval_pairs(
                 li[rest],
                 rg,
                 ri[rest],
-                distance,
+                _dist_take(distance, rest),
                 l_bounds=l_bounds,
                 r_bounds=r_bounds,
                 l_bbox_equiv=np.zeros(len(lg), dtype=bool),  # force slow tiers
@@ -469,6 +488,7 @@ def eval_pairs(
     if lg.all_points:
         order = np.argsort(ri, kind="stable")
         li_s, ri_s = li[order], ri[order]
+        d_s = _dist_take(distance, order)
         # row -> coord index (rows with missing/empty geometry contribute no
         # coords, so a direct coords[row] gather would be misaligned)
         ci = lg.ring_offsets[lg.part_offsets[lg.row_offsets[li_s]]]
@@ -480,12 +500,15 @@ def eval_pairs(
         res = np.empty(n, dtype=bool)
         for s, e in zip(starts, ends):
             j = int(ri_s[s])
-            res[s:e] = _point_vs_geom_mask(pred, px[s:e], py[s:e], rg, j, distance, swapped=False)
+            res[s:e] = _point_vs_geom_mask(
+                pred, px[s:e], py[s:e], rg, j, _dist_take(d_s, slice(s, e)), swapped=False
+            )
         out[order] = res
         return out
     if rg.all_points:
         order = np.argsort(li, kind="stable")
         li_s, ri_s = li[order], ri[order]
+        d_s = _dist_take(distance, order)
         ci = rg.ring_offsets[rg.part_offsets[rg.row_offsets[ri_s]]]
         px = rg.coords[:, 0][ci]
         py = rg.coords[:, 1][ci]
@@ -495,11 +518,13 @@ def eval_pairs(
         res = np.empty(n, dtype=bool)
         for s, e in zip(starts, ends):
             i = int(li_s[s])
-            res[s:e] = _point_vs_geom_mask(pred, px[s:e], py[s:e], lg, i, distance, swapped=True)
+            res[s:e] = _point_vs_geom_mask(
+                pred, px[s:e], py[s:e], lg, i, _dist_take(d_s, slice(s, e)), swapped=True
+            )
         out[order] = res
         return out
     for k in range(n):
-        out[k] = _pair_predicate(pred, lg, int(li[k]), rg, int(ri[k]), distance)
+        out[k] = _pair_predicate(pred, lg, int(li[k]), rg, int(ri[k]), _dist_take(distance, k))
     return out
 
 

@@ -450,11 +450,13 @@ def _circle_ring(cx, cy, d: float, quad_segs: int) -> np.ndarray:
     return np.vstack([ring, ring[:1]])
 
 
-def _mitre_offset_ring(ring: np.ndarray, d: float) -> np.ndarray:
+def _mitre_offset_ring(ring: np.ndarray, d: float, mitre_limit: float = 5.0) -> np.ndarray:
     """Offset a closed ring outward by d with mitre joins: each vertex moves
     to the intersection of its two offset edges. Exact for convex CCW rings
     (base.py:4806 join_style=2); concave results are regularized by the
-    even-odd union downstream."""
+    even-odd union downstream. A miter point farther than mitre_limit*|d|
+    from its vertex is replaced by a bevel (two raw offset points — GEOS
+    mitre_limit semantics, base.py:4807)."""
     c = ring[:-1]
     n = len(c)
     prev = np.roll(c, 1, axis=0)
@@ -465,27 +467,144 @@ def _mitre_offset_ring(ring: np.ndarray, d: float) -> np.ndarray:
     l2 = np.hypot(e2[:, 0], e2[:, 1])
     n1 = np.column_stack([e1[:, 1] / l1, -e1[:, 0] / l1])  # outward for CCW
     n2 = np.column_stack([e2[:, 1] / l2, -e2[:, 0] / l2])
+    lim = mitre_limit * abs(d)
     # solve for miter point: v + d*n1 + t*e1_dir == v + d*n2 - s*e2_dir
-    out = np.empty_like(c)
+    out: list = []
     for i in range(n):
         # axis-aligned corner fast paths: float-EXACT miter points so rect
         # zones grow to exact integer rects (oracle-critical, same reasoning
         # as kernels.point_to_segments_sqdist's clamped paths)
         if e1[i, 1] == 0.0 and e2[i, 0] == 0.0:
-            out[i] = (c[i, 0] + d * n2[i, 0], c[i, 1] + d * n1[i, 1])
-            continue
-        if e1[i, 0] == 0.0 and e2[i, 1] == 0.0:
-            out[i] = (c[i, 0] + d * n1[i, 0], c[i, 1] + d * n2[i, 1])
-            continue
-        a = np.array([[e1[i, 0], -e2[i, 0]], [e1[i, 1], -e2[i, 1]]])
-        rhs = d * (n2[i] - n1[i])
-        det = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
-        if abs(det) < 1e-12:  # collinear edges: straight offset
-            out[i] = c[i] + d * n1[i]
+            m = np.array([c[i, 0] + d * n2[i, 0], c[i, 1] + d * n1[i, 1]])
+        elif e1[i, 0] == 0.0 and e2[i, 1] == 0.0:
+            m = np.array([c[i, 0] + d * n1[i, 0], c[i, 1] + d * n2[i, 1]])
         else:
+            a = np.array([[e1[i, 0], -e2[i, 0]], [e1[i, 1], -e2[i, 1]]])
+            rhs = d * (n2[i] - n1[i])
+            det = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+            if abs(det) < 1e-12:  # collinear edges: straight offset
+                out.append(c[i] + d * n1[i])
+                continue
             t = (rhs[0] * a[1, 1] - rhs[1] * a[0, 1]) / det
-            out[i] = c[i] + d * n1[i] + t * e1[i]
-    return np.vstack([out, out[:1]])
+            m = c[i] + d * n1[i] + t * e1[i]
+        if np.hypot(m[0] - c[i, 0], m[1] - c[i, 1]) > lim:
+            out.append(c[i] + d * n1[i])
+            out.append(c[i] + d * n2[i])
+        else:
+            out.append(m)
+    arr = np.asarray(out)
+    return np.vstack([arr, arr[:1]])
+
+
+def _seg_rect(p, q, d: float, ext_p: float = 0.0, ext_q: float = 0.0) -> np.ndarray:
+    """CCW offset rectangle (width 2d) of segment pq, optionally extended
+    ext_p / ext_q beyond the endpoints along the segment direction (the
+    square-cap extension)."""
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    L = float(np.hypot(dx, dy))
+    ux, uy = dx / L, dy / L
+    nx, ny = -uy, ux  # left normal
+    p0 = (p[0] - ext_p * ux, p[1] - ext_p * uy)
+    q0 = (q[0] + ext_q * ux, q[1] + ext_q * uy)
+    return np.array(
+        [
+            [p0[0] - d * nx, p0[1] - d * ny],
+            [q0[0] - d * nx, q0[1] - d * ny],
+            [q0[0] + d * nx, q0[1] + d * ny],
+            [p0[0] + d * nx, p0[1] + d * ny],
+            [p0[0] - d * nx, p0[1] - d * ny],
+        ]
+    )
+
+
+def _square_ring(cx: float, cy: float, d: float) -> np.ndarray:
+    """Axis-aligned square of half-side d (GEOS square cap on a point)."""
+    return np.array(
+        [[cx - d, cy - d], [cx + d, cy - d], [cx + d, cy + d], [cx - d, cy + d], [cx - d, cy - d]]
+    )
+
+
+def _dedupe_polyline(c: np.ndarray) -> np.ndarray:
+    keep = np.ones(len(c), dtype=bool)
+    if len(c) > 1:
+        keep[1:] = (np.diff(c, axis=0) != 0).any(axis=1)
+    return c[keep]
+
+
+def _offset_path(
+    c: np.ndarray,
+    distance: float,
+    quad_segs: int = 8,
+    join_style: str = "round",
+    mitre_limit: float = 5.0,
+) -> np.ndarray | None:
+    """Offset path of polyline ``c`` at signed distance (positive = left of
+    the travel direction, GEOS convention). Round joins insert vertex arcs;
+    mitre joins extend the offset edges to their exact intersection (beveled
+    past mitre_limit*|distance| from the vertex); bevel joins connect the raw
+    offset endpoints. Shared by offset_curve (base.py:1265) and the
+    single-sided buffer (base.py:4806-4807)."""
+    c = _dedupe_polyline(np.asarray(c, dtype=np.float64))
+    if len(c) < 2:
+        return None
+    d = float(distance)
+    side = 1.0 if d >= 0 else -1.0
+    ad = abs(d)
+    mitre = join_style in ("mitre", "miter", 2)
+    bevel = join_style in ("bevel", 3)
+    segs = []  # (start_off, end_off, angle_of_normal, original_end_vertex)
+    for k in range(len(c) - 1):
+        dx, dy = c[k + 1] - c[k]
+        L = np.hypot(dx, dy)
+        nx, ny = -dy / L * side, dx / L * side
+        segs.append(
+            (c[k] + (ad * nx, ad * ny), c[k + 1] + (ad * nx, ad * ny), np.arctan2(ny, nx), c[k + 1])
+        )
+    pts = [segs[0][0]]
+    for k in range(len(segs) - 1):
+        a_start, a_end, ang_a, v = segs[k]
+        b_start, b_end, ang_b, _ = segs[k + 1]
+        if mitre:
+            e1 = a_end - a_start
+            e2 = b_end - b_start
+            det = e1[0] * e2[1] - e1[1] * e2[0]
+            # axis-aligned corner fast paths: float-EXACT miter points
+            # (oracle-critical, mirrors _mitre_offset_ring)
+            if e1[1] == 0.0 and e2[0] == 0.0:
+                m = np.array([b_start[0], a_end[1]])
+            elif e1[0] == 0.0 and e2[1] == 0.0:
+                m = np.array([a_end[0], b_start[1]])
+            elif abs(det) < 1e-12:  # straight continuation / reversal: bevel
+                pts.append(a_end)
+                pts.append(b_start)
+                continue
+            else:
+                w = b_start - a_start
+                t = (w[0] * e2[1] - w[1] * e2[0]) / det
+                m = a_start + t * e1
+            if np.hypot(m[0] - v[0], m[1] - v[1]) > mitre_limit * ad:
+                pts.append(a_end)
+                pts.append(b_start)
+            else:
+                pts.append(m)
+        elif bevel:
+            pts.append(a_end)
+            pts.append(b_start)
+        else:  # round: arc around the original vertex
+            pts.append(a_end)
+            sweep = (ang_b - ang_a + np.pi) % (2 * np.pi) - np.pi
+            if abs(sweep) > 1e-12:
+                steps = max(1, int(np.ceil(abs(sweep) / (np.pi / 2) * quad_segs)))
+                for s in range(1, steps):
+                    th = ang_a + sweep * s / steps
+                    pts.append(v + ad * np.array([np.cos(th), np.sin(th)]))
+            pts.append(b_start)
+    pts.append(segs[-1][1])
+    out_pts = [pts[0]]
+    for p in pts[1:]:
+        if not np.array_equal(p, out_pts[-1]):
+            out_pts.append(p)
+    return np.asarray(out_pts)
 
 
 def _convex_round_offset(ring: np.ndarray, d: float, quad_segs: int) -> np.ndarray | None:
@@ -534,25 +653,49 @@ def _convex_round_offset(ring: np.ndarray, d: float, quad_segs: int) -> np.ndarr
     return np.vstack([ringo, ringo[:1]])
 
 
-def buffer(ds, distance, quad_segs: int = 16, join_style: str = "round", geometry="geometry"):
-    """base.py:4806 buffer for point / line / polygon rows.
+def buffer(ds, distance, quad_segs: int = 16, cap_style: str = "round",
+           join_style: str = "round", mitre_limit: float = 5.0,
+           single_sided: bool = False, geometry="geometry"):
+    """base.py:4806-4807 buffer for point / line / polygon rows.
 
     ``distance``: a scalar, or a COLUMN NAME for per-row distances
     (reference accepts an array aligned to the rows -
     tests/test_geom_methods.py:1349; here per-row data rides the batch as
     a column, the distributed analog of an aligned array).
 
-    round (default): Minkowski union of per-segment capsules (+ the polygon
-    itself), merged by the slab-sweep boolean kernel (geom/booleans.py) -
-    the same discretization count as shapely (4*quad_segs per full circle).
-    mitre: offset-edge intersection joins (exact for convex rings, e.g.
-    rect zones grow to exact rects). Negative distance erodes polygons
+    ``cap_style`` ('round'|'flat'|'square', or 1|2|3) shapes line ENDS and
+    point buffers: flat caps a point to EMPTY and a line to the bare offset
+    rectangles (round joins at interior vertices); square extends the end
+    rectangles by ``distance`` past the endpoints (a point becomes the
+    axis-aligned 2d x 2d square). ``single_sided`` buffers a line on one
+    side only — positive distance = left of travel, negative = right, flat
+    ends (GEOS semantics); points buffer to empty, polygon rows fall back
+    to the two-sided path (their boundary is closed).
+
+    round joins (default): Minkowski union of per-segment capsules (+ the
+    polygon itself), merged by the slab-sweep boolean kernel
+    (geom/booleans.py) - the same discretization count as shapely
+    (4*quad_segs per full circle). mitre: offset-edge intersection joins
+    (exact for convex rings, e.g. rect zones grow to exact rects), beveled
+    past ``mitre_limit``*distance. Negative distance erodes polygons
     (polygon minus boundary capsules); points/lines buffer to empty."""
     import struct
 
     from ..geom.booleans import geom_polygons, make_valid_rings, rings_boolean
 
     empty = struct.pack("<BII", 1, 3, 0)
+    cap_map = {"round": "round", 1: "round", "flat": "flat", 2: "flat",
+               "square": "square", 3: "square"}
+    if cap_style not in cap_map:
+        raise ValueError(f"unknown cap_style {cap_style!r}; use 'round'|'flat'|'square'")
+    cap = cap_map[cap_style]
+
+    def line_parts(g, i) -> list[np.ndarray]:
+        return [
+            _dedupe_polyline(rings[0])
+            for t, rings in _row_to_rings(g, i)
+            if t == LINESTRING
+        ]
 
     def row_buffer(g, i, distance) -> bytes | None:
         if g.row_types[i] == 0:
@@ -561,18 +704,54 @@ def buffer(ds, distance, quad_segs: int = 16, join_style: str = "round", geometr
             return empty
         t = int(g.row_types[i])
         polys = []
-        if t in (1, 4):  # points -> circles
-            if distance <= 0:
+        if t in (1, 4):  # points
+            if distance <= 0 or cap == "flat" or single_sided:
                 return empty
             px, py = K._row_points(g, i)
             for k in range(len(px)):
-                polys.append([_circle_ring(px[k], py[k], distance, quad_segs)])
+                if cap == "square":
+                    polys.append([_square_ring(px[k], py[k], distance)])
+                else:
+                    polys.append([_circle_ring(px[k], py[k], distance, quad_segs)])
             merged = make_valid_rings(polys) if len(polys) > 1 else polys
             return _parts_to_wkb([(POLYGON, rings) for rings in merged])
         segs = K._segments_of_row(g, i)
-        if t in (2, 5):  # lines -> capsule union
+        if t in (2, 5):  # lines
+            if single_sided:
+                if distance == 0:
+                    return empty
+                for c in line_parts(g, i):
+                    path = _offset_path(c, distance, quad_segs, join_style, mitre_limit)
+                    if path is None:
+                        continue
+                    ring = np.vstack([c, path[::-1], c[:1]])
+                    polys.append([ring])
+                if not polys:
+                    return empty
+                merged = make_valid_rings(polys)
+                return _parts_to_wkb([(POLYGON, rings) for rings in merged]) if merged else empty
             if distance <= 0:
                 return empty
+            if cap in ("flat", "square"):
+                for c in line_parts(g, i):
+                    if len(c) < 2:
+                        continue
+                    closed = bool(np.array_equal(c[0], c[-1]))
+                    nseg = len(c) - 1
+                    for k in range(nseg):
+                        ext_p = distance if (cap == "square" and k == 0 and not closed) else 0.0
+                        ext_q = distance if (cap == "square" and k == nseg - 1 and not closed) else 0.0
+                        polys.append([_seg_rect(c[k], c[k + 1], distance, ext_p, ext_q)])
+                    # round joins at interior vertices (GEOS default
+                    # join_style; caps only shape the two ENDS)
+                    for k in range(1, nseg):
+                        polys.append([_circle_ring(c[k][0], c[k][1], distance, quad_segs)])
+                    if closed:
+                        polys.append([_circle_ring(c[0][0], c[0][1], distance, quad_segs)])
+                if not polys:
+                    return empty
+                merged = make_valid_rings(polys)
+                return _parts_to_wkb([(POLYGON, rings) for rings in merged])
             for x0, y0, x1, y1 in segs:
                 if x0 == x1 and y0 == y1:
                     continue
@@ -581,7 +760,8 @@ def buffer(ds, distance, quad_segs: int = 16, join_style: str = "round", geometr
                 return empty
             merged = make_valid_rings(polys)
             return _parts_to_wkb([(POLYGON, rings) for rings in merged])
-        # polygonal rows
+        # polygonal rows (cap_style / single_sided don't apply: the boundary
+        # is closed, so there are no ends to cap)
         own = geom_polygons(g, i)
         if distance == 0:
             return _parts_to_wkb([(POLYGON, rings) for rings in own])
@@ -597,7 +777,7 @@ def buffer(ds, distance, quad_segs: int = 16, join_style: str = "round", geometr
         if join_style in ("mitre", "miter", 2):
             d = float(distance)
             mitred = [
-                [_mitre_offset_ring(rings[0], d)] + [r for r in rings[1:]]
+                [_mitre_offset_ring(rings[0], d, mitre_limit)] + [r for r in rings[1:]]
                 for rings in own
             ]
             merged = make_valid_rings(mitred)

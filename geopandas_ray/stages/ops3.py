@@ -524,52 +524,27 @@ def build_area(ds, geometry="geometry", out="built_area"):
     return _map_rows_geometry(ds, fn, geometry, out)
 
 
-def offset_curve(ds, distance: float, quad_segs: int = 8, geometry="geometry"):
+def offset_curve(ds, distance: float, quad_segs: int = 8,
+                 join_style: str = "round", mitre_limit: float = 5.0,
+                 geometry="geometry"):
     """base.py:1265 - parallel line offset to the left (positive) / right
-    (negative) of each LineString, round joins at convex turns (arc
-    inserted), natural intersection at concave turns. GEOS also trims
-    self-intersections of the offset; that trimming is out of scope."""
-
-    def offset_one(c: np.ndarray) -> np.ndarray:
-        d = float(distance)
-        side = 1.0 if d >= 0 else -1.0
-        ad = abs(d)
-        segs = []
-        for k in range(len(c) - 1):
-            dx, dy = c[k + 1] - c[k]
-            L = np.hypot(dx, dy)
-            if L == 0:
-                continue
-            nx, ny = -dy / L * side, dx / L * side
-            segs.append((c[k] + (ad * nx, ad * ny), c[k + 1] + (ad * nx, ad * ny), np.arctan2(ny, nx)))
-        if not segs:
-            return c
-        pts = [segs[0][0]]
-        for k in range(len(segs) - 1):
-            a_end, ang_a = segs[k][1], segs[k][2]
-            b_start, ang_b = segs[k + 1][0], segs[k + 1][2]
-            pts.append(a_end)
-            # arc from ang_a to ang_b around the original vertex
-            sweep = (ang_b - ang_a + np.pi) % (2 * np.pi) - np.pi
-            if abs(sweep) > 1e-12:
-                steps = max(1, int(np.ceil(abs(sweep) / (np.pi / 2) * quad_segs)))
-                v = c[k + 1]
-                for s in range(1, steps):
-                    th = ang_a + sweep * s / steps
-                    pts.append(v + ad * np.array([np.cos(th), np.sin(th)]))
-            pts.append(b_start)
-        pts.append(segs[-1][1])
-        out_pts = [pts[0]]
-        for p in pts[1:]:
-            if not np.array_equal(p, out_pts[-1]):
-                out_pts.append(p)
-        return np.asarray(out_pts)
+    (negative) of each LineString. join_style 'round' (default) inserts
+    vertex arcs at convex turns and natural intersections at concave turns;
+    'mitre' extends the offset edges to their exact intersection (beveled
+    past mitre_limit*|distance| from the vertex — exact arithmetic on
+    integer polylines); 'bevel' connects the raw offset endpoints. GEOS also
+    trims self-intersections of the offset; that trimming is out of scope.
+    The path kernel is shared with the single-sided buffer
+    (ops2._offset_path)."""
+    from .ops2 import _offset_path
 
     def fn(g, i):
         parts = []
         for t, rings in _row_to_rings(g, i):
             if t == LINESTRING:
-                parts.append((LINESTRING, [offset_one(rings[0])]))
+                path = _offset_path(rings[0], float(distance), quad_segs,
+                                    join_style, mitre_limit)
+                parts.append((LINESTRING, [rings[0] if path is None else path]))
         if not parts:
             return None
         return _parts_to_wkb(parts)

@@ -176,7 +176,24 @@ class DistributedSpatialIndex:
     safe on any upstream block type, CLAUDE.md pitfall) and the blocks stay
     in the object store — queries re-read them zero-copy."""
 
-    def __init__(self, ds: ray.data.Dataset, geometry: str = "geometry"):
+    #: default admission caps — ``.sindex`` is a driver-probe surface
+    #: (matched pairs return to the driver); dataset-scale joins belong to
+    #: sjoin / sjoin_nearest. Metadata-cheap check only: post-transform
+    #: plans with unknown size pass through.
+    MAX_ROWS = 50_000_000
+    MAX_BYTES = 8 * 2**30
+
+    def __init__(self, ds: ray.data.Dataset, geometry: str = "geometry",
+                 max_rows: int | None = None, max_bytes: int | None = None):
+        from ..util import guard_driver_sized
+
+        guard_driver_sized(
+            ds, "sindex",
+            "Use sjoin()/sjoin_nearest() (distributed, streaming) for "
+            "dataset-scale spatial joins.",
+            self.MAX_ROWS if max_rows is None else max_rows,
+            self.MAX_BYTES if max_bytes is None else max_bytes,
+        )
         self.geometry = geometry
         # positions must equal the dataset's LOGICAL row order (file order
         # for reads) — Ray's streaming executor reorders output bundles by

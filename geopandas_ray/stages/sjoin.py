@@ -151,14 +151,29 @@ class _BroadcastJoiner:
         self._right_on = {
             c: np.asarray(right.column(c)) for c in self.on_attribute
         }
+        self._right_on_valid = {
+            c: pc.is_valid(right.column(c)).to_numpy(zero_copy_only=False)
+            for c in self.on_attribute
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lg = from_wkb(batch.column(self.geometry))
         lb = K.bounds(lg)
         qb = lb
+        dist = self.distance
         if self.predicate == "dwithin":
-            d = float(self.distance)
-            qb = lb + np.array([-d, -d, d, d])
+            if isinstance(dist, str):
+                # per-LEFT-row radii ride the batch as a column
+                # (tools/sjoin.py:38 "number or array_like"): each row's
+                # query window dilates by its OWN radius; null radii become
+                # NaN boxes and match nothing
+                d = batch.column(dist).to_numpy(zero_copy_only=False).astype(np.float64)
+                qb = lb + np.column_stack([-d, -d, d, d])
+                dist = d
+            else:
+                d = float(dist)
+                qb = lb + np.array([-d, -d, d, d])
+                dist = d
         qi, ti = self.tree.query_boxes(qb)
         if len(qi):
             from .core import bbox_equiv_mask
@@ -170,7 +185,8 @@ class _BroadcastJoiner:
                 li, ri = qi, ti
             else:
                 mask = eval_pairs(
-                    self.predicate, lg, qi, self.rg, ti, self.distance,
+                    self.predicate, lg, qi, self.rg, ti,
+                    dist[qi] if isinstance(dist, np.ndarray) else dist,
                     l_bounds=lb, r_bounds=self.rbounds,
                     l_bbox_equiv=l_bbeq, r_bbox_equiv=self.r_bbeq,
                 )
@@ -182,6 +198,10 @@ class _BroadcastJoiner:
             for c in self.on_attribute:
                 lv = np.asarray(batch.column(c))[li]
                 keep &= lv == self._right_on[c][ri]
+                # merge semantics: null keys never match (object-column nulls
+                # surface as None and None == None is True)
+                lvalid = pc.is_valid(batch.column(c)).to_numpy(zero_copy_only=False)
+                keep &= lvalid[li] & self._right_on_valid[c][ri]
             li, ri = li[keep], ri[keep]
         # left-row-major, right ascending (reference tree-query order)
         order = np.lexsort((ri, li))
@@ -237,7 +257,7 @@ def sjoin(
     predicate: str = "intersects",
     lsuffix: str = "left",
     rsuffix: str = "right",
-    distance: float | None = None,
+    distance: float | str | None = None,
     on_attribute=None,
     geometry: str = "geometry",
     right_geometry: str | None = None,
@@ -247,6 +267,10 @@ def sjoin(
     batch_size: int = 8192,
 ) -> ray.data.Dataset:
     """Broadcast-path spatial join (right side must fit in the object store).
+
+    ``distance`` (predicate='dwithin'): a scalar, or a LEFT column name for
+    per-row radii (tools/sjoin.py:38 "number or array_like" - the
+    distributed analog of an array aligned to the left rows).
 
     For how='right' the result keeps RIGHT geometry and every right row and
     emits ``index_left`` (the left partner's index - ``left_index`` column
@@ -361,14 +385,24 @@ class _CellIndexer:
         # distance-dilated bbox (matching the dilated query box the per-cell
         # join uses), else cross-cell pairs within distance would be dropped.
         # The join recomputes RAW bounds from the WKB it decodes, so the
-        # dilation is never applied twice.
-        self.expand = float(expand)
+        # dilation is never applied twice. A str expand names a PER-ROW
+        # radius column (post-rename name): each left row replicates only
+        # into cells within its OWN radius (tools/sjoin.py:38 array-valued
+        # distance).
+        self.expand = expand if isinstance(expand, str) else float(expand)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         g = from_wkb(batch.column(self.geometry))
         b = K.bounds(g)
         valid = ~np.isnan(b).any(axis=1)
         e = self.expand
+        if isinstance(e, str):
+            # null radius -> no dilation here, and the pair never matches at
+            # eval time (NaN <= d*d is False), mirroring null-key semantics
+            e = np.nan_to_num(
+                batch.column(e).to_numpy(zero_copy_only=False).astype(np.float64),
+                nan=0.0,
+            )
         row_idx, cells = cells_for_bbox(
             np.where(valid, b[:, 0] - e, 0.0),
             np.where(valid, b[:, 1] - e, 0.0),
@@ -441,8 +475,16 @@ def _group_join(
     rb = K.bounds(rg)
     qb = lb
     if predicate == "dwithin":
-        d = float(distance)
-        qb = lb + np.array([-d, -d, d, d])
+        if isinstance(distance, str):
+            # per-LEFT-row radii: `distance` arrives as the PREFIXED
+            # post-rename column name (set by sjoin_shuffle); null radii
+            # surface as NaN and never match (NaN <= d*d is False)
+            d = lt.column(distance).to_numpy(zero_copy_only=False).astype(np.float64)
+            qb = lb + np.column_stack([-d, -d, d, d])
+            distance = d
+        else:
+            d = float(distance)
+            qb = lb + np.array([-d, -d, d, d])
     this_cell = int(batch.column("cell")[0].as_py())
     # tree over the smaller side
     if len(rt) <= len(lt):
@@ -488,9 +530,12 @@ def _group_join(
                         rg, cand, np.broadcast_to(rect, (len(cand), 4))
                     )
                     pair_kind = kind[ri]
+            dist_pairs = (
+                distance[li] if isinstance(distance, np.ndarray) else distance
+            )
             if pair_kind is None:
                 mask = eval_pairs(
-                    predicate, lg, li, rg, ri, distance,
+                    predicate, lg, li, rg, ri, dist_pairs,
                     l_bounds=lb, r_bounds=rb, l_bbox_equiv=l_bbeq, r_bbox_equiv=r_bbeq,
                 )
             else:
@@ -502,7 +547,8 @@ def _group_join(
                 sub = np.nonzero(pair_kind == 1)[0]
                 if len(sub):
                     m = eval_pairs(
-                        predicate, lg, li[sub], rg, ri[sub], distance,
+                        predicate, lg, li[sub], rg, ri[sub],
+                        dist_pairs[sub] if isinstance(dist_pairs, np.ndarray) else dist_pairs,
                         l_bounds=lb, r_bounds=rb, l_bbox_equiv=l_bbeq, r_bbox_equiv=r_bbeq,
                     )
                     mask[sub[m]] = True
@@ -676,6 +722,14 @@ def sjoin_shuffle(
         swapped = _SWAPPED_PREDICATE.get(predicate, None)
         if swapped is None and predicate is not None:
             raise ValueError(f"predicate {predicate!r} has no swapped form for how='right'")
+        if isinstance(distance, str):
+            # the swapped plan dilates the (new) left = original RIGHT side,
+            # but per-row radii align to the original LEFT rows
+            raise NotImplementedError(
+                "sjoin_shuffle(how='right') with a per-row distance column is "
+                "not supported on the shuffle plan; use the broadcast sjoin "
+                "(it streams left batches under every `how`)"
+            )
         return sjoin_shuffle(
             right,
             left,
@@ -716,9 +770,17 @@ def sjoin_shuffle(
         salt_map = _estimate_salt_map(left, geometry, res, domain)
         salt = 1
     if left_columns is not None:
-        left = left.select_columns(sorted(set(left_columns) | {geometry}))
+        keep_left = set(left_columns) | {geometry}
+        if isinstance(distance, str):
+            keep_left.add(distance)  # per-row radii ride the left payload
+        left = left.select_columns(sorted(keep_left))
     if right_columns is not None:
         right = right.select_columns(sorted(set(right_columns) | {right_geometry}))
+    if isinstance(distance, str) and distance not in left.schema().names:
+        raise ValueError(
+            f"distance column {distance!r} is missing from the left frame "
+            "(per-row radii must ride the LEFT side, tools/sjoin.py:38)"
+        )
     lschema = left.schema()
     rschema = right.schema()
     lmap, rmap = suffixed_columns(lschema.names, rschema.names, lsuffix, rsuffix, geometry)
@@ -747,7 +809,11 @@ def sjoin_shuffle(
         idx = _CellIndexer(
             geometry=geom, res=res, domain=domain, side=side, salt=salt,
             prefix=_L if side == 0 else _R, out_schema_names=out_names,
-            expand=(float(distance) if (predicate == "dwithin" and side == 0) else 0.0),
+            expand=(
+                (lmap[distance] if isinstance(distance, str) else float(distance))
+                if (predicate == "dwithin" and side == 0)
+                else 0.0
+            ),
             salt_map=salt_map,
         )
 
@@ -779,8 +845,10 @@ def sjoin_shuffle(
         both = both.repartition(shuffle_partitions)
     lgeom_col = _L + lmap[geometry]
     rgeom_col = _R + rmap[right_geometry]
+    # per-row radii: hand the join the PREFIXED post-rename column name
+    dist_arg = (_L + lmap[distance]) if isinstance(distance, str) else distance
     joined = both.groupby(["cell", "__salt"]).map_groups(
-        lambda b: _group_join(b, predicate, distance, res, domain, lgeom_col, rgeom_col),
+        lambda b: _group_join(b, predicate, dist_arg, res, domain, lgeom_col, rgeom_col),
         batch_format="pyarrow",
     )
     if on_attribute:
@@ -794,6 +862,11 @@ def sjoin_shuffle(
             keep = np.ones(b.num_rows, dtype=bool)
             for lc, rc, _ in pairs:
                 keep &= np.asarray(b.column(lc)) == np.asarray(b.column(rc))
+                # merge semantics: null keys NEVER match (for object columns
+                # Arrow nulls surface as Python None and None == None is
+                # True, which would wrongly join null-keyed pairs)
+                keep &= pc.is_valid(b.column(lc)).to_numpy(zero_copy_only=False)
+                keep &= pc.is_valid(b.column(rc)).to_numpy(zero_copy_only=False)
             b = b.filter(pa.array(keep))
             b = b.drop_columns([rc for _, rc, _ in pairs])
             ren = {lc: c for lc, _, c in pairs}

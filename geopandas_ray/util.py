@@ -59,3 +59,39 @@ def default_shuffle_partitions(n: int | None = None) -> int:
     except Exception:
         cpus = 8
     return min(max(4 * cpus, 64), 512)
+
+
+def estimate_rows_bytes(ds) -> tuple:
+    """Metadata-only (row_count, byte_size) estimate for a Dataset — no
+    execution. Works for read-rooted plans (parquet/feather metadata);
+    returns (None, None) when the plan's size cannot be inferred (e.g.
+    after a map_batches). Used by driver-sized surfaces (``sindex``, the
+    .shp/.gpkg writers) to refuse obviously oversized inputs up front."""
+    try:
+        m = ds._logical_plan.dag.infer_metadata()
+        return m.num_rows, m.size_bytes
+    except Exception:
+        return None, None
+
+
+def guard_driver_sized(ds, surface: str, alternative: str,
+                       max_rows: int | None, max_bytes: int | None) -> None:
+    """Raise if metadata proves the dataset exceeds a driver-size cap.
+
+    Unknown sizes (post-transform plans) pass through — the caps are a
+    guardrail against the obvious foot-gun (``.sindex`` / ``to_file('.shp')``
+    on a freshly-read 100-TB table), not a hard admission control."""
+    rows, nbytes = estimate_rows_bytes(ds)
+    if max_rows is not None and rows is not None and rows > max_rows:
+        raise ValueError(
+            f"{surface}: input has {rows:,} rows (> cap {max_rows:,}); this "
+            f"surface materializes on/through the driver. {alternative} "
+            f"Pass a larger cap explicitly to override."
+        )
+    if max_bytes is not None and nbytes is not None and nbytes > max_bytes:
+        raise ValueError(
+            f"{surface}: input is ~{nbytes / 2**30:.1f} GiB (> cap "
+            f"{max_bytes / 2**30:.1f} GiB); this surface materializes "
+            f"on/through the driver. {alternative} Pass a larger cap "
+            f"explicitly to override."
+        )
