@@ -3105,6 +3105,29 @@ def q_shapefile_roundtrip(sf_dir):
     return t
 
 
+def q_flatgeobuf_roundtrip(sf_dir):
+    # native FlatGeobuf sink (packed Hilbert R-tree) + leaf-sharded
+    # read-back with index bbox pushdown: the bbox= read re-derives the
+    # exact half-plane subset through the R-tree
+    import shutil
+    import tempfile
+
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.sources.flatgeobuf import read_flatgeobuf, write_flatgeobuf
+    from geopandas_ray.stages.ops import with_xy
+
+    out = tempfile.mkdtemp(prefix="graft_fgb_", dir="/tmp")
+    try:
+        write_flatgeobuf(doc_points(sf_dir), f"{out}/docs.fgb", crs_code=3857)
+        back = read_flatgeobuf(
+            f"{out}/docs.fgb", bbox=(0.0, 0.0, 499.0, 1000.0), shard_features=4096
+        )
+        t = _select(with_xy(back), ["doc_id", "x", "y"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return t
+
+
 def q_geopackage_roundtrip(sf_dir):
     # native GeoPackage (sqlite) sink + rowid-sharded read-back
     import shutil
@@ -3341,6 +3364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sindex_query": q_sindex_query,
         "sindex_nearest": q_sindex_nearest,
         "shapefile_roundtrip": q_shapefile_roundtrip,
+        "flatgeobuf_roundtrip": q_flatgeobuf_roundtrip,
         "geopackage_roundtrip": q_geopackage_roundtrip,
         "sjoin_nearest_right": q_sjoin_nearest_right,
     }
@@ -4157,6 +4181,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "feather_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "shapefile_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        "flatgeobuf_roundtrip": (
+            f"{W} SELECT doc_id, px AS x, py AS y FROM pts WHERE px <= 499.0"
+        ),
         "geopackage_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geojson_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "offset_curve_bounds": (

@@ -272,12 +272,28 @@ def read_file(
 
     if bbox is not None and mask is not None:
         raise ValueError("bbox and mask cannot be used together")
-    if path.lower().endswith((".shp", ".gpkg")):
+    if path.lower().endswith((".shp", ".gpkg", ".fgb")):
         if path.lower().endswith(".shp"):
             from .shapefile import read_shapefile as _rd
-        else:
+
+            ds = _rd(path)
+        elif path.lower().endswith(".gpkg"):
             from .geopackage import read_geopackage as _rd
-        ds = _rd(path)
+
+            ds = _rd(path)
+        else:
+            # FlatGeobuf: bbox and columns push DOWN into the reader (the
+            # packed R-tree prunes features before any bytes are parsed);
+            # the exact post-filter below still applies for mask=
+            from .flatgeobuf import read_flatgeobuf
+
+            ds = read_flatgeobuf(
+                path,
+                columns=columns,
+                bbox=tuple(bbox) if bbox is not None else None,
+            )
+            bbox = None  # already exact (reader applies the precise filter)
+            columns = None
         # narrowing stays ON the dataset (streaming), unlike the
         # driver-parsed GeoJSON branch below
         if bbox is not None or mask is not None:
@@ -343,6 +359,10 @@ def to_file(ds: ray.data.Dataset, path: str, geometry: str = "geometry") -> list
         from .geopackage import write_geopackage
 
         return [write_geopackage(ds, path, geometry=geometry)]
+    if path.lower().endswith(".fgb"):
+        from .flatgeobuf import write_flatgeobuf
+
+        return [write_flatgeobuf(ds, path, geometry=geometry)]
 
     os.makedirs(path, exist_ok=True)
     paths: list[str] = []
