@@ -3128,6 +3128,36 @@ def q_flatgeobuf_roundtrip(sf_dir):
     return t
 
 
+def q_gpx_roundtrip(sf_dir):
+    # native GPX sink (waypoints) + file-parallel XML read-back; doc_id
+    # rides the <name> element (GPX carries fixed metadata, not arbitrary
+    # columns), coordinates emit shortest-roundtrip repr so x/y are
+    # bit-exact
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.sources.gpx import read_gpx, write_gpx
+    from geopandas_ray.stages.ops import with_xy
+
+    out = tempfile.mkdtemp(prefix="graft_gpx_", dir="/tmp")
+    try:
+        named = doc_points(sf_dir).map_batches(
+            lambda b: b.append_column(
+                "name", pc.cast(b.column("doc_id"), pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+        write_gpx(named, f"{out}/docs.gpx")
+        back = read_gpx(f"{out}/docs.gpx")
+        t = _select(with_xy(back), ["name", "x", "y"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return t
+
+
 def q_geopackage_roundtrip(sf_dir):
     # native GeoPackage (sqlite) sink + rowid-sharded read-back
     import shutil
@@ -3365,6 +3395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sindex_nearest": q_sindex_nearest,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "flatgeobuf_roundtrip": q_flatgeobuf_roundtrip,
+        "gpx_roundtrip": q_gpx_roundtrip,
         "geopackage_roundtrip": q_geopackage_roundtrip,
         "sjoin_nearest_right": q_sjoin_nearest_right,
     }
@@ -4183,6 +4214,10 @@ def oracle_sql() -> dict[str, str]:
         "shapefile_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "flatgeobuf_roundtrip": (
             f"{W} SELECT doc_id, px AS x, py AS y FROM pts WHERE px <= 499.0"
+        ),
+        "gpx_roundtrip": (
+            f"{W} SELECT CAST(doc_id AS VARCHAR) AS name, px AS x, py AS y "
+            "FROM pts"
         ),
         "geopackage_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geojson_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",

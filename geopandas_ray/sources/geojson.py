@@ -272,7 +272,7 @@ def read_file(
 
     if bbox is not None and mask is not None:
         raise ValueError("bbox and mask cannot be used together")
-    if path.lower().endswith((".shp", ".gpkg", ".fgb")):
+    if path.lower().endswith((".shp", ".gpkg", ".fgb", ".gpx")):
         if path.lower().endswith(".shp"):
             from .shapefile import read_shapefile as _rd
 
@@ -281,6 +281,10 @@ def read_file(
             from .geopackage import read_geopackage as _rd
 
             ds = _rd(path)
+        elif path.lower().endswith(".gpx"):
+            from .gpx import read_gpx
+
+            ds = read_gpx(path)
         else:
             # FlatGeobuf: bbox and columns push DOWN into the reader (the
             # packed R-tree prunes features before any bytes are parsed);
@@ -319,8 +323,9 @@ def read_file(
         raise FileNotFoundError(f"no .geojson/.json files under {path!r}")
     if not all(p.endswith((".geojson", ".json")) for p in paths):
         raise NotImplementedError(
-            "read_file parses GeoJSON / ESRI Shapefile / GeoPackage in-sandbox; "
-            "other OGR formats need GDAL (cluster path)"
+            "read_file parses GeoJSON / ESRI Shapefile / GeoPackage / "
+            "FlatGeobuf / GPX in-sandbox; other OGR formats need GDAL "
+            "(cluster path)"
         )
     tables = []
     taken = 0
@@ -363,6 +368,10 @@ def to_file(ds: ray.data.Dataset, path: str, geometry: str = "geometry") -> list
         from .flatgeobuf import write_flatgeobuf
 
         return [write_flatgeobuf(ds, path, geometry=geometry)]
+    if path.lower().endswith(".gpx"):
+        from .gpx import write_gpx
+
+        return [write_gpx(ds, path, geometry=geometry)]
 
     os.makedirs(path, exist_ok=True)
     paths: list[str] = []
