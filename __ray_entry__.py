@@ -3158,6 +3158,26 @@ def q_gpx_roundtrip(sf_dir):
     return t
 
 
+def q_gml_roundtrip(sf_dir):
+    # native GML 3.2 sink + file-parallel XML read-back; attribute typing
+    # re-inferred per file (doc_id -> int64), repr() coordinates bit-exact
+    import shutil
+    import tempfile
+
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.sources.gml import read_gml, write_gml
+    from geopandas_ray.stages.ops import with_xy
+
+    out = tempfile.mkdtemp(prefix="graft_gml_", dir="/tmp")
+    try:
+        write_gml(doc_points(sf_dir), f"{out}/docs.gml")
+        back = read_gml(f"{out}/docs.gml")
+        t = _select(with_xy(back), ["doc_id", "x", "y"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return t
+
+
 def q_geopackage_roundtrip(sf_dir):
     # native GeoPackage (sqlite) sink + rowid-sharded read-back
     import shutil
@@ -3396,6 +3416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "flatgeobuf_roundtrip": q_flatgeobuf_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
+        "gml_roundtrip": q_gml_roundtrip,
         "geopackage_roundtrip": q_geopackage_roundtrip,
         "sjoin_nearest_right": q_sjoin_nearest_right,
     }
@@ -4219,6 +4240,7 @@ def oracle_sql() -> dict[str, str]:
             f"{W} SELECT CAST(doc_id AS VARCHAR) AS name, px AS x, py AS y "
             "FROM pts"
         ),
+        "gml_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geopackage_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geojson_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "offset_curve_bounds": (

@@ -21,7 +21,11 @@ def flagship(
     sf_dir: str,
     mode: str = "shuffle",
     res: int = 5,
-    salt: int = 1,
+    # 'auto' (sampled hot-cell salting) measured >= parity with salt=1 at 32
+    # CPUs on sf0.1 (interleaved min 21.65 vs 23.66 s, wins 4/6 paired
+    # draws, identical outputs) - the sampling pre-pass pays for itself;
+    # see BASELINE.md round-5 A/B
+    salt: int | str = "auto",
     z: int = 5,
     replicate: int = 1,
     batch_size: int = 8192,

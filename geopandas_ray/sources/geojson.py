@@ -272,7 +272,7 @@ def read_file(
 
     if bbox is not None and mask is not None:
         raise ValueError("bbox and mask cannot be used together")
-    if path.lower().endswith((".shp", ".gpkg", ".fgb", ".gpx")):
+    if path.lower().endswith((".shp", ".gpkg", ".fgb", ".gpx", ".gml")):
         if path.lower().endswith(".shp"):
             from .shapefile import read_shapefile as _rd
 
@@ -285,6 +285,10 @@ def read_file(
             from .gpx import read_gpx
 
             ds = read_gpx(path)
+        elif path.lower().endswith(".gml"):
+            from .gml import read_gml
+
+            ds = read_gml(path)
         else:
             # FlatGeobuf: bbox and columns push DOWN into the reader (the
             # packed R-tree prunes features before any bytes are parsed);
@@ -324,8 +328,8 @@ def read_file(
     if not all(p.endswith((".geojson", ".json")) for p in paths):
         raise NotImplementedError(
             "read_file parses GeoJSON / ESRI Shapefile / GeoPackage / "
-            "FlatGeobuf / GPX in-sandbox; other OGR formats need GDAL "
-            "(cluster path)"
+            "FlatGeobuf / GPX / GML in-sandbox; other OGR formats need "
+            "GDAL (cluster path)"
         )
     tables = []
     taken = 0
@@ -372,6 +376,10 @@ def to_file(ds: ray.data.Dataset, path: str, geometry: str = "geometry") -> list
         from .gpx import write_gpx
 
         return [write_gpx(ds, path, geometry=geometry)]
+    if path.lower().endswith(".gml"):
+        from .gml import write_gml
+
+        return [write_gml(ds, path, geometry=geometry)]
 
     os.makedirs(path, exist_ok=True)
     paths: list[str] = []

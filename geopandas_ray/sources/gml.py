@@ -1,0 +1,292 @@
+"""Native GML (OGC Geography Markup Language) source/sink — no GDAL.
+
+Format: the public OGC GML 3.2 / 2.1 encodings. Reference surface:
+io/file.py:30-34 (the OGR driver map routes ``.gml``/``.xml`` through
+GDAL's GML driver; this engine parses the XML natively like its
+shapefile / GeoPackage / FlatGeobuf / GPX sources).
+
+Covered encoding (the pragmatic subset real WFS/GML dumps use):
+- feature containers: ``gml:featureMember`` / ``gml:featureMembers`` /
+  ``wfs:member`` children of the collection root;
+- one attribute per simple child element (text content), typed by
+  per-file inference (int64 → float64 → string);
+- geometry properties holding ``Point`` / ``LineString`` / ``Polygon``
+  (exterior/interior or outer/innerBoundaryIs) / ``MultiPoint`` /
+  ``MultiCurve``/``MultiLineString`` / ``MultiSurface``/``MultiPolygon``
+  with ``pos`` / ``posList`` / ``coordinates`` coordinate encodings.
+
+Scale design: like the GPX source, the driver only lists paths; each
+.gml file parses INSIDE a Ray task (``read_binary_files`` →
+``map_batches``), so a directory of WFS page dumps parses file-parallel.
+Attribute typing is inferred per file — a heterogeneous directory should
+be normalized with ``map_batches``/casts downstream (single-file inputs,
+the common case, are always self-consistent). The writer emits a GML 3.2
+FeatureCollection on the driver (interchange sink, same
+``guard_driver_sized`` guardrail as .shp/.gpkg/.gpx).
+"""
+
+from __future__ import annotations
+
+import os
+from xml.etree import ElementTree as ET
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..geom.wkb import (
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    from_wkb,
+)
+from ..stages.clip import _parts_to_wkb
+
+_GEOM_TAGS = {
+    "Point", "LineString", "Polygon", "MultiPoint", "MultiLineString",
+    "MultiCurve", "MultiSurface", "MultiPolygon", "MultiGeometry", "Curve",
+    "Surface",
+}
+_MEMBER_TAGS = {"featureMember", "member", "featureMembers"}
+
+
+def _local(tag) -> str:
+    return tag.rsplit("}", 1)[-1] if isinstance(tag, str) else str(tag)
+
+
+def _coords_of(el) -> np.ndarray:
+    """Coordinate array off a geometry element supporting pos / posList /
+    coordinates (GML 2 ``x,y x,y`` or GML 3 space-separated pairs)."""
+    for c in el.iter():
+        n = _local(c.tag)
+        if n in ("posList", "pos"):
+            return np.asarray(c.text.split(), dtype=np.float64).reshape(-1, 2)
+        if n == "coordinates":
+            txt = c.text.strip()
+            # GML2: tuples separated by whitespace, members by comma
+            pts = [tuple(float(v) for v in tok.split(",")[:2]) for tok in txt.split()]
+            return np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    return np.empty((0, 2), dtype=np.float64)
+
+
+def _ring_coords(poly_el):
+    """(exterior, [interiors...]) coordinate arrays of a Polygon element."""
+    ext, ints = None, []
+    for c in poly_el:
+        n = _local(c.tag)
+        if n in ("exterior", "outerBoundaryIs"):
+            ext = _coords_of(c)
+        elif n in ("interior", "innerBoundaryIs"):
+            ints.append(_coords_of(c))
+    if ext is None:
+        ext = _coords_of(poly_el)
+        ints = []
+    return ext, ints
+
+
+def _geom_to_parts(el) -> list:
+    """[(part_type, [rings...])] for _parts_to_wkb off a GML geometry."""
+    t = _local(el.tag)
+    if t == "Point":
+        return [(POINT, [_coords_of(el)])]
+    if t in ("LineString", "Curve"):
+        return [(LINESTRING, [_coords_of(el)])]
+    if t in ("Polygon", "Surface"):
+        ext, ints = _ring_coords(el)
+        return [(POLYGON, [ext, *ints])]
+    if t in (
+        "MultiPoint", "MultiLineString", "MultiCurve", "MultiSurface",
+        "MultiPolygon", "MultiGeometry",
+    ):
+        parts = []
+        for mem in el:  # pointMember / curveMember / surfaceMember / ...Members
+            for sub in ([mem] if _local(mem.tag) in _GEOM_TAGS else list(mem)):
+                if _local(sub.tag) in _GEOM_TAGS:
+                    parts.extend(_geom_to_parts(sub))
+        return parts
+    raise ValueError(f"unsupported GML geometry element <{t}>")
+
+
+def _feature_elements(root):
+    for m in root.iter():
+        if _local(m.tag) in _MEMBER_TAGS:
+            for f in m:
+                yield f
+
+
+def _typed_column(vals: list):
+    """int64 -> float64 -> string inference over one file's column."""
+    nn = [v for v in vals if v is not None]
+    for typ, cast in ((pa.int64(), int), (pa.float64(), float)):
+        try:
+            return pa.array(
+                [cast(v) if v is not None else None for v in vals], type=typ
+            )
+        except (ValueError, TypeError):
+            continue
+    return pa.array(
+        [str(v) if v is not None else None for v in vals], type=pa.string()
+    ) if nn or vals else pa.array(vals, type=pa.string())
+
+
+def _parse_gml(data: bytes, geometry: str = "geometry") -> pa.Table:
+    root = ET.fromstring(data)
+    rows: list[dict] = []
+    attr_names: list[str] = []
+    for feat in _feature_elements(root):
+        row: dict = {}
+        geom = None
+        for prop in feat:
+            n = _local(prop.tag)
+            kids = [k for k in prop if _local(k.tag) in _GEOM_TAGS]
+            if kids:
+                geom = kids[0]
+            elif _local(prop.tag) in _GEOM_TAGS:
+                geom = prop
+            elif len(prop) == 0:
+                if n not in row:
+                    row[n] = prop.text
+                    if n not in attr_names:
+                        attr_names.append(n)
+        row[geometry] = (
+            _parts_to_wkb(_geom_to_parts(geom)) if geom is not None else None
+        )
+        rows.append(row)
+    cols = {
+        n: _typed_column([r.get(n) for r in rows]) for n in attr_names
+    }
+    cols[geometry] = pa.array(
+        [r.get(geometry) for r in rows], type=pa.large_binary()
+    )
+    return pa.table(cols)
+
+
+def read_gml(path: str, geometry: str = "geometry") -> ray.data.Dataset:
+    """File-parallel GML read: one parse task per .gml/.xml file."""
+    if os.path.isdir(path):
+        import glob
+
+        paths = sorted(
+            glob.glob(os.path.join(path, "*.gml"))
+            + glob.glob(os.path.join(path, "*.xml"))
+        )
+        if not paths:
+            raise FileNotFoundError(f"no .gml/.xml files under {path!r}")
+    else:
+        paths = [path]
+    raw = ray.data.read_binary_files(paths)
+
+    def parse(b: pa.Table) -> pa.Table:
+        tables = [_parse_gml(d.as_py(), geometry) for d in b.column("bytes")]
+        return pa.concat_tables(tables, promote_options="default")
+
+    return raw.map_batches(parse, batch_format="pyarrow")
+
+
+def _fmt(x: float) -> str:
+    return repr(float(x))
+
+
+def _pos_list(coords: np.ndarray) -> str:
+    return " ".join(_fmt(v) for v in coords.reshape(-1))
+
+
+def _geom_to_gml(g, i: int) -> str:
+    rt = int(g.row_types[i])
+    if rt == 0:
+        return ""
+    p0, p1 = g.row_part_range(i)
+
+    def part_xml(p: int) -> str:
+        pt = int(g.part_types[p])
+        r0, r1 = g.part_ring_range(p)
+        if pt == POINT:
+            c = g.ring_coords(r0)[0]
+            return f"<gml:Point><gml:pos>{_fmt(c[0])} {_fmt(c[1])}</gml:pos></gml:Point>"
+        if pt == LINESTRING:
+            return (
+                "<gml:LineString><gml:posList>"
+                + _pos_list(g.ring_coords(r0))
+                + "</gml:posList></gml:LineString>"
+            )
+        rings = []
+        for r in range(r0, r1):
+            tag = "exterior" if r == r0 else "interior"
+            rings.append(
+                f"<gml:{tag}><gml:LinearRing><gml:posList>"
+                + _pos_list(g.ring_coords(r))
+                + f"</gml:posList></gml:LinearRing></gml:{tag}>"
+            )
+        return "<gml:Polygon>" + "".join(rings) + "</gml:Polygon>"
+
+    parts = [part_xml(p) for p in range(p0, p1)]
+    if rt in (POINT, LINESTRING, POLYGON):
+        return parts[0]
+    wrap, mem = {
+        MULTIPOINT: ("MultiPoint", "pointMember"),
+        MULTILINESTRING: ("MultiCurve", "curveMember"),
+        MULTIPOLYGON: ("MultiSurface", "surfaceMember"),
+    }.get(rt, ("MultiGeometry", "geometryMember"))
+    inner = "".join(f"<gml:{mem}>{p}</gml:{mem}>" for p in parts)
+    return f"<gml:{wrap}>{inner}</gml:{wrap}>"
+
+
+def write_gml(
+    ds: ray.data.Dataset,
+    path: str,
+    geometry: str = "geometry",
+    feature_name: str = "feature",
+    max_rows: int = 5_000_000,
+    max_bytes: int = 2 * 2**30,
+) -> str:
+    """Driver-assembled GML 3.2 FeatureCollection sink (interchange;
+    use the parquet sink for scale). Attribute columns emit as simple
+    child elements; a read-back recovers values through per-file type
+    inference (int64/float64/string)."""
+    from xml.sax.saxutils import escape
+
+    from ..util import guard_driver_sized, pull_table
+
+    guard_driver_sized(
+        ds, "write_gml",
+        "GML is a driver-assembled XML interchange format; use to_parquet() "
+        "(partitioned, parallel) for scale sinks.",
+        max_rows, max_bytes,
+    )
+    t = pull_table(ds)
+    if geometry not in t.column_names:
+        if t.num_rows:
+            raise KeyError(f"no column {geometry!r} in input")
+        t = pa.table({geometry: pa.array([], type=pa.large_binary())})
+    g = from_wkb(t.column(geometry))
+    attrs = [c for c in t.column_names if c != geometry]
+    cols = {c: t.column(c).to_pylist() for c in attrs}
+    is_float = {c: pa.types.is_floating(t.schema.field(c).type) for c in attrs}
+
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml/3.2" '
+        'xmlns:gr="http://geopandas-ray/gml">',
+    ]
+    for i in range(len(g)):
+        out.append("  <gml:featureMember>")
+        out.append(f'    <gr:{feature_name} gml:id="f{i}">')
+        for c in attrs:
+            v = cols[c][i]
+            if v is None:
+                continue
+            # repr() on floats keeps read-backs bit-exact (like the GPX sink)
+            txt = _fmt(v) if is_float[c] else escape(str(v))
+            out.append(f"      <gr:{c}>{txt}</gr:{c}>")
+        gx = _geom_to_gml(g, i)
+        if gx:
+            out.append(f"      <gr:{geometry}>{gx}</gr:{geometry}>")
+        out.append(f"    </gr:{feature_name}>")
+        out.append("  </gml:featureMember>")
+    out.append("</gml:FeatureCollection>")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(out) + "\n")
+    return path
