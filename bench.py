@@ -152,6 +152,49 @@ def run_bench() -> dict:
             "degraded": ratio >= CAL_DEGRADED_RATIO or single >= CAL_DEGRADED_SINGLE,
         }
 
+    # --- macro phase detection ---------------------------------------------
+    # The 16 MB probes bound contention at PROBE time only; a bandwidth
+    # phase that spans a 40 s pipeline draw can leave both probes healthy
+    # (measured r5 draw 1: headline 43 s / sjoin_broadcast 83 s with every
+    # per-entry probe ratio < 5, while ALU-bound entries matched their r4
+    # mins exactly). Second signal: a draw slower than MACRO_REDRAW_FACTOR
+    # x its documented healthy min (BASELINE.md round-4 table; same shapes,
+    # sf0.1 / replicate=100 / 32 CPUs) is treated as phase-degraded too and
+    # re-drawn from the same bounded budget.
+    MACRO_REDRAW_FACTOR = 1.6
+    _std_shape = (
+        SF_DIR.rstrip("/").endswith("sf0.1") and REPLICATE == 100 and NUM_CPUS >= 32
+    )
+    EXPECTED_MIN_S: dict[str, float] = (
+        {
+            "flagship_shuffle_tiling": 16.22,
+            "flagship_full_rows": 17.69,
+            "sjoin_broadcast": 23.92,
+            "sjoin_nearest": 4.66,
+            "sjoin_nearest_shuffle": 5.31,
+            "sjoin_nearest_unbounded": 8.96,
+            "sjoin_nearest_rect_shuffle": 8.36,
+            "dissolve_zones": 1.60,
+            "dissolve_highcard": 4.64,
+            "knn_brute": 0.81,
+            "minhash_dedup": 9.30,
+            "curation": 7.72,
+            "decontaminate": 2.28,
+            "repetition_stats": 1.04,
+            "q1_lineitem": 1.94,
+            "overlay_concave": 22.96,
+            "overlay_shuffle_concave": 12.87,
+            "overlay_auto_concave": 13.75,
+            "polyfill_compact_zones": 2.02,
+            "buffer_round_zones": 4.57,
+            "knn_lsh_skewed": 10.06,
+            "dedup_cluster": 11.80,
+            "unary_vectorized_100k": 0.45,
+        }
+        if _std_shape
+        else {}
+    )
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     entry_cal: dict[str, dict] = {}
@@ -181,15 +224,26 @@ def run_bench() -> dict:
             }
             if best is None or dt < best:
                 best, best_cal = dt, cal
+            expected = EXPECTED_MIN_S.get(name)
+            macro_degraded = (
+                expected is not None and best > MACRO_REDRAW_FACTOR * expected
+            )
             if draws < nreps:
                 continue
-            if best_cal["degraded"] and draws < nreps + EXTRA_REDRAWS:
-                time.sleep(3.0)  # phases swing on minute scales; brief backoff
-                continue
+            if draws < nreps + EXTRA_REDRAWS:
+                if best_cal["degraded"]:
+                    time.sleep(3.0)  # phases swing on minute scales
+                    continue
+                if macro_degraded:
+                    time.sleep(10.0)  # macro signal = phase spans whole draws
+                    continue
             break
         timings[name] = round(best, 3)
         rows[name] = int(n)
         entry_cal[name] = {**best_cal, "draws": draws}
+        if EXPECTED_MIN_S.get(name) is not None:
+            entry_cal[name]["macro_ratio"] = round(best / EXPECTED_MIN_S[name], 2)
+            entry_cal[name]["macro_degraded"] = macro_degraded
         return best
 
     # headline: flagship shuffle sjoin + tiling over replicated docs,
