@@ -3178,6 +3178,26 @@ def q_gml_roundtrip(sf_dir):
     return t
 
 
+def q_kml_roundtrip(sf_dir):
+    # native KML Placemark sink + file-parallel XML read-back; attributes
+    # travel through ExtendedData Data/value, repr() coords bit-exact
+    import shutil
+    import tempfile
+
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.sources.kml import read_kml, write_kml
+    from geopandas_ray.stages.ops import with_xy
+
+    out = tempfile.mkdtemp(prefix="graft_kml_", dir="/tmp")
+    try:
+        write_kml(doc_points(sf_dir), f"{out}/docs.kml")
+        back = read_kml(f"{out}/docs.kml")
+        t = _select(with_xy(back), ["doc_id", "x", "y"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return t
+
+
 def q_geopackage_roundtrip(sf_dir):
     # native GeoPackage (sqlite) sink + rowid-sharded read-back
     import shutil
@@ -3417,6 +3437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flatgeobuf_roundtrip": q_flatgeobuf_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gml_roundtrip": q_gml_roundtrip,
+        "kml_roundtrip": q_kml_roundtrip,
         "geopackage_roundtrip": q_geopackage_roundtrip,
         "sjoin_nearest_right": q_sjoin_nearest_right,
     }
@@ -4241,6 +4262,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM pts"
         ),
         "gml_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        "kml_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geopackage_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geojson_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "offset_curve_bounds": (

@@ -272,7 +272,7 @@ def read_file(
 
     if bbox is not None and mask is not None:
         raise ValueError("bbox and mask cannot be used together")
-    if path.lower().endswith((".shp", ".gpkg", ".fgb", ".gpx", ".gml")):
+    if path.lower().endswith((".shp", ".gpkg", ".fgb", ".gpx", ".gml", ".kml")):
         if path.lower().endswith(".shp"):
             from .shapefile import read_shapefile as _rd
 
@@ -289,6 +289,10 @@ def read_file(
             from .gml import read_gml
 
             ds = read_gml(path)
+        elif path.lower().endswith(".kml"):
+            from .kml import read_kml
+
+            ds = read_kml(path)
         else:
             # FlatGeobuf: bbox and columns push DOWN into the reader (the
             # packed R-tree prunes features before any bytes are parsed);
@@ -328,8 +332,8 @@ def read_file(
     if not all(p.endswith((".geojson", ".json")) for p in paths):
         raise NotImplementedError(
             "read_file parses GeoJSON / ESRI Shapefile / GeoPackage / "
-            "FlatGeobuf / GPX / GML in-sandbox; other OGR formats need "
-            "GDAL (cluster path)"
+            "FlatGeobuf / GPX / GML / KML in-sandbox; other OGR formats "
+            "need GDAL (cluster path)"
         )
     tables = []
     taken = 0
@@ -380,6 +384,10 @@ def to_file(ds: ray.data.Dataset, path: str, geometry: str = "geometry") -> list
         from .gml import write_gml
 
         return [write_gml(ds, path, geometry=geometry)]
+    if path.lower().endswith(".kml"):
+        from .kml import write_kml
+
+        return [write_kml(ds, path, geometry=geometry)]
 
     os.makedirs(path, exist_ok=True)
     paths: list[str] = []
