@@ -3198,6 +3198,29 @@ def q_kml_roundtrip(sf_dir):
     return t
 
 
+def q_postgis_roundtrip(sf_dir):
+    # read_postgis/to_postgis over DB-API (io/sql.py surface): parallel
+    # hex-EWKB inserts from worker connections, rowid-range sharded read
+    import os
+    import tempfile
+
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.sources.sql import read_postgis, sqlite_factory, write_postgis
+    from geopandas_ray.stages.ops import with_xy
+
+    db = tempfile.mktemp(suffix=".db", prefix="graft_sql_", dir="/tmp")
+    try:
+        write_postgis(doc_points(sf_dir), "docs", sqlite_factory(db),
+                      if_exists="replace", srid=4326)
+        back = read_postgis("docs", sqlite_factory(db, readonly=True),
+                            shard_col="rowid", parallelism=8)
+        t = _select(with_xy(back), ["doc_id", "x", "y"]).to_pandas()
+    finally:
+        if os.path.exists(db):
+            os.remove(db)
+    return t
+
+
 def q_geopackage_roundtrip(sf_dir):
     # native GeoPackage (sqlite) sink + rowid-sharded read-back
     import shutil
@@ -3438,6 +3461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gpx_roundtrip": q_gpx_roundtrip,
         "gml_roundtrip": q_gml_roundtrip,
         "kml_roundtrip": q_kml_roundtrip,
+        "postgis_roundtrip": q_postgis_roundtrip,
         "geopackage_roundtrip": q_geopackage_roundtrip,
         "sjoin_nearest_right": q_sjoin_nearest_right,
     }
@@ -4263,6 +4287,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gml_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "kml_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        "postgis_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geopackage_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geojson_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "offset_curve_bounds": (

@@ -113,6 +113,16 @@ class GeoDataset:
         return cls(read_feather(path, **kw), geometry=geometry)
 
     @classmethod
+    def read_postgis(cls, sql, con_factory, geometry: str = "geometry",
+                     crs=None, **kw) -> "GeoDataset":
+        """Reference geodataframe.py from_postgis / io/sql.py:158 — sharded
+        DB-API read (``shard_col=`` fans out range shards)."""
+        from .sources.sql import read_postgis
+
+        return cls(read_postgis(sql, con_factory, geometry=geometry, **kw),
+                   geometry=geometry, crs=crs)
+
+    @classmethod
     def from_xy(
         cls, ds: ray.data.Dataset, x: str = "x", y: str = "y", geometry: str = "geometry", crs=None
     ) -> "GeoDataset":
@@ -257,6 +267,14 @@ class GeoDataset:
         from .sources.geojson import to_file
 
         return to_file(self.ds, path, geometry=self.geometry, **kw)
+
+    def to_postgis(self, name, con_factory, **kw):
+        """Reference geodataframe.py to_postgis -> io/sql.py:199 — parallel
+        DB-API insert from worker-owned connections."""
+        from .sources.sql import write_postgis
+
+        return write_postgis(self.ds, name, con_factory,
+                             geometry=self.geometry, **kw)
 
     # --- plumbing ------------------------------------------------------
     def _wrap(self, ds: ray.data.Dataset, crs=None) -> "GeoDataset":
