@@ -3198,6 +3198,49 @@ def q_kml_roundtrip(sf_dir):
     return t
 
 
+def q_geocode(sf_dir):
+    # actor-pool geocode (tools/geocoding.py:22) with a deterministic pure
+    # provider: query 'poi <id>' -> address + (lat, lon) derived from the id
+    from geopandas_ray.functions.geocoding import geocode
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.stages.ops import with_xy
+
+    def provider_factory():
+        class P:
+            def geocode(self, s):
+                i = int(s.split()[1])
+                return (f"POI #{i}", (float(i % 90), float((2 * i) % 180)))
+
+        return P()
+
+    ds = doc_points(sf_dir).map_batches(
+        lambda b: b.append_column(
+            "address_query",
+            pa.array([f"poi {d}" for d in b.column("doc_id").to_pylist()]),
+        ),
+        batch_format="pyarrow",
+    )
+    out = geocode(ds, provider_factory)
+    return _select(with_xy(out), ["doc_id", "address", "x", "y"])
+
+
+def q_reverse_geocode(sf_dir):
+    # reverse_geocode (tools/geocoding.py:82) through the broadcast
+    # table_provider: points snap to the nearest of four grid POIs whose
+    # midlines (450.5) integer coordinates can never tie
+    from geopandas_ray.functions.geocoding import reverse_geocode, table_provider
+    from geopandas_ray.pipelines.datasets import doc_points
+
+    fac = table_provider({
+        "sw": ("SW", (200.0, 200.0)),
+        "nw": ("NW", (701.0, 200.0)),
+        "se": ("SE", (200.0, 701.0)),
+        "ne": ("NE", (701.0, 701.0)),
+    })
+    out = reverse_geocode(doc_points(sf_dir), fac)
+    return _select(out, ["doc_id", "address"])
+
+
 def q_postgis_roundtrip(sf_dir):
     # read_postgis/to_postgis over DB-API (io/sql.py surface): parallel
     # hex-EWKB inserts from worker connections, rowid-range sharded read
@@ -3462,6 +3505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gml_roundtrip": q_gml_roundtrip,
         "kml_roundtrip": q_kml_roundtrip,
         "postgis_roundtrip": q_postgis_roundtrip,
+        "geocode": q_geocode,
+        "reverse_geocode": q_reverse_geocode,
         "geopackage_roundtrip": q_geopackage_roundtrip,
         "sjoin_nearest_right": q_sjoin_nearest_right,
     }
@@ -4288,6 +4333,20 @@ def oracle_sql() -> dict[str, str]:
         "gml_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "kml_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "postgis_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        "geocode": (
+            "SELECT doc_id, 'POI #' || CAST(doc_id AS VARCHAR) AS address, "
+            "CAST((2*doc_id)%180 AS DOUBLE) AS x, CAST(doc_id%90 AS DOUBLE) AS y "
+            "FROM documents"
+        ),
+        "reverse_geocode": (
+            # provider snaps (lat=py, lon=px) to the nearest grid POI; the
+            # 2x2 grid argmin is separable per axis, midline 450.5
+            f"{W} SELECT doc_id, "
+            "CASE WHEN py <= 450 AND px <= 450 THEN 'SW' "
+            "WHEN py > 450 AND px <= 450 THEN 'NW' "
+            "WHEN py <= 450 AND px > 450 THEN 'SE' "
+            "ELSE 'NE' END AS address FROM pts"
+        ),
         "geopackage_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geojson_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "offset_curve_bounds": (
