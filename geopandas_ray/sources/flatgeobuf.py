@@ -382,10 +382,18 @@ class _FgbShard:
             fpos = off + 4
             ft = _FB(blob, fpos + _u32(blob, fpos))
             parts: list = []
+            top_t = 0
             gpos = ft.indirect(0)
             if gpos:
-                _geom_to_parts(blob, _FB(blob, gpos), default_t, parts)
-            wkbs.append(_parts_to_wkb(parts) if parts else None)
+                gfb = _FB(blob, gpos)
+                top_t = gfb.scalar(6, "<B", 0) or default_t
+                _geom_to_parts(blob, gfb, default_t, parts)
+            # declared Multi*/collection stays Multi even with one part
+            # (the spec's flat one-part MultiPolygon encoding, OGR parity)
+            wkbs.append(
+                _parts_to_wkb(parts, force_multi=top_t >= GT_MULTIPOINT)
+                if parts else None
+            )
             row = [None] * len(cols_meta)
             ppos, pn = ft.vector(1)
             if pn:
@@ -444,7 +452,13 @@ class _FgbShard:
             )
             blob = self._read_span(m["features_start"] + span_lo, span_hi - span_lo)
             rel = (offsets[take] - span_lo).tolist()
-            tables.append(self._parse_features(blob, rel))
+            t = self._parse_features(blob, rel)
+            if self.bbox is not None:
+                # exact post-filter on top of the index prune — null/empty
+                # geometries carry a (0,0,0,0) leaf bbox the index test can
+                # wrongly admit; this keeps indexed == sequential results
+                t = _bbox_filter(t, self.geometry, self.bbox)
+            tables.append(t)
         out = pa.concat_tables(tables) if tables else self._empty()
         return out
 
@@ -476,6 +490,11 @@ def read_flatgeobuf(
     the property columns (geometry always kept).
     """
     meta = _read_header(path)
+    if any(nm == geometry for nm, _ in meta["columns"]):
+        raise ValueError(
+            f"FlatGeobuf property {geometry!r} collides with the geometry "
+            "output column; pass geometry=<other name>"
+        )
     n = meta["features_count"]
     shards: list[dict] = []
     if meta["has_index"]:
@@ -494,16 +513,18 @@ def read_flatgeobuf(
                     nxt = shards[i + 1]["leaf_lo"]
                     f.seek(meta["index_start"] + (leaf_node0 + nxt) * NODE_LEN + 32)
                     shards[i]["next_off"] = struct.unpack("<Q", f.read(8))[0]
-    elif n >= 0:
+    else:
         shards.append({"leaf_lo": 0, "leaf_hi": 0, "next_off": -1, "sequential": True})
-    if not shards:
+    if not shards:  # indexed file with zero features
         shards.append({"leaf_lo": 0, "leaf_hi": 0, "next_off": -1, "sequential": True})
+    from ..util import default_pool
+
     ds = ray.data.from_items(shards)
     return ds.map_batches(
         _FgbShard,
         batch_format="pyarrow",
         batch_size=1,
-        concurrency=(1, 8),
+        concurrency=default_pool(),
         fn_constructor_kwargs=dict(
             path=path, meta=meta, geometry=geometry, columns=columns, bbox=bbox
         ),

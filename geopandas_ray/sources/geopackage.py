@@ -67,7 +67,10 @@ def _coerce_vals(vals: list, t: pa.DataType, col: str) -> list:
             continue
         try:
             if pa.types.is_integer(t):
-                out.append(int(v))
+                iv = int(v)
+                if iv != v:  # int(2.5) == 2 would silently corrupt
+                    raise ValueError(f"non-integral value {v!r}")
+                out.append(iv)
             elif pa.types.is_floating(t):
                 out.append(float(v))
             elif pa.types.is_string(t):
@@ -115,8 +118,15 @@ class _GpkgShard:
             for j, (c, t) in enumerate(zip(self.attrs, self.types)):
                 vals = [r[j] for r in rows]
                 try:
-                    cols[c] = pa.array(vals, type=t)
-                except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError, OverflowError):
+                    # infer first, then SAFE cast: pa.array(vals, type=int64)
+                    # silently truncates python floats (2.5 -> 2), while a
+                    # float64 -> int64 safe cast raises on any lossy value
+                    inferred = pa.array(vals)
+                    cols[c] = (
+                        inferred if inferred.type.equals(t) else inferred.cast(t)
+                    )
+                except (pa.ArrowInvalid, pa.ArrowTypeError,
+                        pa.ArrowNotImplementedError, TypeError, OverflowError):
                     # SQLite columns are dynamically typed per VALUE; letting
                     # pyarrow infer a per-shard type here would produce
                     # cross-shard schema divergence (the exact thing

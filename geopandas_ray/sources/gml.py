@@ -28,6 +28,7 @@ FeatureCollection on the driver (interchange sink, same
 from __future__ import annotations
 
 import os
+import re
 from xml.etree import ElementTree as ET
 
 import numpy as np
@@ -152,9 +153,21 @@ def _parse_gml(data: bytes, geometry: str = "geometry") -> pa.Table:
                     if n not in attr_names:
                         attr_names.append(n)
         row[geometry] = (
-            _parts_to_wkb(_geom_to_parts(geom)) if geom is not None else None
+            # a Multi* container with ONE member keeps its declared Multi
+            # row type (OGR parity — no demotion to the singular)
+            _parts_to_wkb(
+                _geom_to_parts(geom),
+                force_multi=_local(geom.tag).startswith("Multi"),
+            )
+            if geom is not None
+            else None
         )
         rows.append(row)
+    if geometry in attr_names:
+        raise ValueError(
+            f"GML property {geometry!r} collides with the geometry output "
+            "column; pass geometry=<other name> to read_gml"
+        )
     cols = {
         n: _typed_column([r.get(n) for r in rows]) for n in attr_names
     }
@@ -263,6 +276,14 @@ def write_gml(
         t = pa.table({geometry: pa.array([], type=pa.large_binary())})
     g = from_wkb(t.column(geometry))
     attrs = [c for c in t.column_names if c != geometry]
+    # column names become XML ELEMENT names — an invalid name would write
+    # a file no parser (ours included) can read back: fail loudly instead
+    bad = [c for c in attrs if not re.match(r"^[A-Za-z_][\w.\-]*$", c)]
+    if bad:
+        raise ValueError(
+            f"write_gml: column names {bad!r} are not valid XML element "
+            "names; rename them (letters/digits/_/./- only, non-digit start)"
+        )
     cols = {c: t.column(c).to_pylist() for c in attrs}
     is_float = {c: pa.types.is_floating(t.schema.field(c).type) for c in attrs}
 

@@ -149,7 +149,10 @@ def _parse_layer(data: bytes, layer: str) -> pa.Table:
                 parts.append(
                     (LINESTRING, [np.asarray(pts, dtype=np.float64).reshape(-1, 2)])
                 )
-            geoms.append(_parts_to_wkb(parts) if parts else None)
+            # OGR tracks layer contract: MultiLineString, one part per
+            # trkseg — a single-segment trk must NOT demote to LineString
+            # (write_gpx would transmute it into a <rte> route)
+            geoms.append(_parts_to_wkb(parts, force_multi=True) if parts else None)
         return pa.table(
             {
                 "name": pa.array(name_v, type=pa.string()),

@@ -124,9 +124,20 @@ def _parse_kml(data: bytes, geometry: str = "geometry") -> pa.Table:
                     elif dn == "SimpleData":
                         note(row, d.get("name", "data"), d.text)
         row[geometry] = (
-            _parts_to_wkb(_geom_to_parts(geom)) if geom is not None else None
+            # single-child MultiGeometry keeps its Multi row type (OGR parity)
+            _parts_to_wkb(
+                _geom_to_parts(geom),
+                force_multi=_local(geom.tag) == "MultiGeometry",
+            )
+            if geom is not None
+            else None
         )
         rows.append(row)
+    if geometry in attr_names:
+        raise ValueError(
+            f"KML attribute {geometry!r} collides with the geometry output "
+            "column; pass geometry=<other name> to read_kml"
+        )
     cols = {n: _typed_column([r.get(n) for r in rows]) for n in attr_names}
     cols[geometry] = pa.array(
         [r.get(geometry) for r in rows], type=pa.large_binary()
@@ -253,8 +264,11 @@ def write_kml(
                 if v is None:
                     continue
                 any_v = True
+                # quote-escape too: Data name is an ATTRIBUTE value, a bare
+                # '"' in a column name would break the XML
+                nm = escape(c, {'"': "&quot;"})
                 ed.append(
-                    f'      <Data name="{escape(c)}"><value>{txt(c, v)}</value></Data>'
+                    f'      <Data name="{nm}"><value>{txt(c, v)}</value></Data>'
                 )
             ed.append("    </ExtendedData>")
             if any_v:

@@ -135,14 +135,37 @@ def sqlite_factory(path: str, readonly: bool = False):
     return _open
 
 
-def _shard_sql(sql: str, shard_col: str) -> str:
+def _detect_paramstyle(con) -> str:
+    """DB-API exposes ``paramstyle`` on the MODULE, not the connection;
+    resolve it from the connection class's root module (sqlite3 -> qmark,
+    psycopg2/MySQLdb -> pyformat/format). Unknown modules fall back to
+    qmark."""
+    import sys
+
+    root = type(con).__module__.split(".")[0]
+    mod = sys.modules.get(root)
+    return getattr(mod, "paramstyle", "qmark")
+
+
+def _placeholder(paramstyle: str) -> str:
+    if paramstyle in ("format", "pyformat"):
+        return "%s"
+    if paramstyle == "qmark":
+        return "?"
+    raise NotImplementedError(
+        f"DB-API paramstyle {paramstyle!r} is not supported (qmark and "
+        "format/pyformat are); wrap the connection to translate"
+    )
+
+
+def _shard_sql(sql: str, shard_col: str, ph: str = "?") -> str:
     """Range-sharded form of the user's query. A bare table name filters
     directly (lets sqlite's implicit ``rowid`` shard a ``SELECT *``); an
     arbitrary query wraps as a subselect, so ``shard_col`` must appear in
     its SELECT list."""
     if _BARE_TABLE.match(sql.strip()):
-        return f'SELECT * FROM {sql.strip()} WHERE "{shard_col}" BETWEEN ? AND ?'
-    return f'SELECT * FROM ({sql}) AS __q WHERE "{shard_col}" BETWEEN ? AND ?'
+        return f'SELECT * FROM {sql.strip()} WHERE "{shard_col}" BETWEEN {ph} AND {ph}'
+    return f'SELECT * FROM ({sql}) AS __q WHERE "{shard_col}" BETWEEN {ph} AND {ph}'
 
 
 def _probe_sql(sql: str, shard_col: str) -> str:
@@ -164,17 +187,38 @@ def _rows_to_table(rows: list, names: list[str], geom_col: str,
             cols[c] = pa.array(vals)
             continue
         try:
-            cols[c] = pa.array(vals, type=t)
-        except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError, OverflowError):
+            # infer first, then SAFE cast to the shard schema type:
+            # pa.array(vals, type=int64) silently truncates python floats
+            # (2.5 -> 2); a float64 -> int64 safe cast raises instead
+            inferred = pa.array(vals)
+            cols[c] = inferred if inferred.type.equals(t) else inferred.cast(t)
+        except (pa.ArrowInvalid, pa.ArrowTypeError,
+                pa.ArrowNotImplementedError, TypeError, OverflowError):
             # the probe sample can under-observe a column (all-NULL first
             # rows); coerce per value so every shard emits the SAME schema
-            # (the GPKG affinity lesson — per-shard inference breaks union)
-            conv = (int if pa.types.is_integer(t)
-                    else float if pa.types.is_floating(t) else str)
+            # (the GPKG affinity lesson — per-shard inference breaks union).
+            # Lossy coercions RAISE rather than corrupt (int(2.5) == 2).
             cols[c] = pa.array(
-                [None if v is None else conv(v) for v in vals], type=t
+                [None if v is None else _coerce(v, t, c) for v in vals], type=t
             )
     return pa.table(cols)
+
+
+def _coerce(v, t: pa.DataType, col: str):
+    if pa.types.is_integer(t):
+        iv = int(v)
+        if iv != v:
+            raise ValueError(
+                f"column {col!r}: value {v!r} does not fit the shard schema "
+                f"type {t} without loss; read with shard_col=None or fix the "
+                "source column typing"
+            )
+        return iv
+    if pa.types.is_floating(t):
+        return float(v)
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return bytes(v).decode("utf-8", "replace")
+    return str(v)
 
 
 def _result_types(rows: list, names: list[str], geom_col: str) -> dict[str, pa.DataType]:
@@ -249,6 +293,7 @@ def read_postgis(
         raise ValueError("sql must be a string")
     con = con_factory()
     try:
+        ph = _placeholder(_detect_paramstyle(con))
         cur = con.cursor()
         if shard_col is None:
             q = f"SELECT * FROM {sql.strip()}" if _BARE_TABLE.match(sql.strip()) else sql
@@ -268,8 +313,10 @@ def read_postgis(
         lo, hi = cur.fetchone()
         if lo is None:
             return ray.data.from_arrow(pa.table({geometry: pa.array([], type=pa.large_binary())}))
-        # a bounded probe pins column names + cross-shard types
-        cur.execute(_shard_sql(sql, shard_col), (lo, hi))
+        # a bounded probe pins column names + cross-shard types; LIMIT keeps
+        # backends without lazy cursors from materializing the whole range
+        # server-side just to hand back 256 sample rows
+        cur.execute(_shard_sql(sql, shard_col, ph) + " LIMIT 256", (lo, hi))
         names = [d[0] for d in cur.description]
         if geom_col not in names:
             raise ValueError(f"Query missing geometry column {geom_col!r}")
@@ -287,7 +334,7 @@ def read_postgis(
     })
     return ray.data.from_arrow(shards).repartition(nshards).map_batches(
         _SqlShard,
-        fn_constructor_args=(con_factory, _shard_sql(sql, shard_col),
+        fn_constructor_args=(con_factory, _shard_sql(sql, shard_col, ph),
                              geom_col, geometry, names, types),
         batch_format="pyarrow",
         concurrency=(1, nshards),  # autoscaling pool, one actor per shard max
@@ -320,8 +367,14 @@ class _SqlInsert:
         try:  # single-writer backends: wait for the file lock
             self.con.cursor().execute("PRAGMA busy_timeout = 60000")
         except Exception:
-            pass  # not sqlite
-        self.sql = insert_sql
+            try:  # not sqlite: clear the aborted transaction the failed
+                self.con.rollback()  # statement left open (postgres)
+            except Exception:
+                pass
+        # the insert placeholders are rendered per the WORKER connection's
+        # paramstyle (same detection as the driver DDL path)
+        ph = _placeholder(_detect_paramstyle(self.con))
+        self.sql = insert_sql.replace("\x00PH\x00", ph)
         self.names = names
         self.geometry = geometry
         self.srid = srid
@@ -411,7 +464,9 @@ def write_postgis(
         con.close()
 
     out_names = [geom_col if c == geometry else c for c in names]
-    placeholders = ", ".join(["?"] * len(names))
+    # placeholder marker rendered per-worker in _SqlInsert.__init__ (the
+    # worker's DB-API module decides qmark vs format)
+    placeholders = ", ".join(["\x00PH\x00"] * len(names))
     quoted = ", ".join(f'"{c}"' for c in out_names)
     insert = f"INSERT INTO {name} ({quoted}) VALUES ({placeholders})"
     pool = default_pool(concurrency)

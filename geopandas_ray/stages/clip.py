@@ -71,7 +71,12 @@ def _clip_geoms_by_rect(g: Geoms, minx, miny, maxx, maxy) -> tuple[list, np.ndar
     return out_vals, keep
 
 
-def _parts_to_wkb(parts: list[tuple[int, list[np.ndarray]]]) -> bytes:
+def _parts_to_wkb(parts: list[tuple[int, list[np.ndarray]]],
+                  force_multi: bool = False) -> bytes:
+    """``force_multi`` keeps a single-part row at the Multi* row type —
+    format readers (GPX tracks, GML MultiSurface, KML MultiGeometry, FGB
+    declared-Multi layers) must preserve the source's declared type, not
+    demote one-part multis to the singular (OGR parity)."""
     coords = []
     ring_off = [0]
     part_off = [0]
@@ -87,7 +92,8 @@ def _parts_to_wkb(parts: list[tuple[int, list[np.ndarray]]]) -> bytes:
         row_type = 7
     else:
         t = tset.pop()
-        row_type = t if len(parts) == 1 else {POINT: 4, LINESTRING: 5, POLYGON: 6}[t]
+        single = len(parts) == 1 and not force_multi
+        row_type = t if single else {POINT: 4, LINESTRING: 5, POLYGON: 6}[t]
     g = Geoms(
         np.concatenate(coords),
         ring_off,

@@ -1,204 +1,182 @@
-"""Round-5 review items: ADVICE r4 fixes + driver-size guardrails.
-
-- sjoin on_attribute null keys never match (merge semantics) on both plans
-- iterfeatures positional 'id' is deterministic on multi-block inputs
-- GeoPackage affinity-defying values coerce to the DECLARED type (stable
-  cross-shard schema)
-- DBF float fields widen for large-magnitude doubles
-- sindex / .shp / .gpkg writers refuse metadata-provably oversized inputs
-"""
+"""Regression tests for the round-5 self-review findings: declared-Multi
+preservation on format reads, FGB indexed-bbox exact post-filter, writer
+name validation, geometry-name collisions, lossless type coercion."""
 from __future__ import annotations
+
+import sqlite3
+import struct
 
 import numpy as np
 import pyarrow as pa
 import pytest
-import ray
 import ray.data
 
+from geopandas_ray.geom import wkb as W
+from geopandas_ray.stages.clip import _parts_to_wkb
 
-@pytest.fixture
-def rng():
-    return np.random.RandomState(7)
+GPX_ONE_SEG = """<?xml version="1.0"?>
+<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1" creator="t">
+  <trk><name>solo</name>
+    <trkseg>
+      <trkpt lat="1.0" lon="2.0"/><trkpt lat="3.0" lon="4.0"/>
+    </trkseg>
+  </trk>
+</gpx>
+"""
 
 
-def test_on_attribute_null_keys_never_match_broadcast_and_shuffle(rng):
-    """merge semantics: a NULL join key matches nothing — for object/string
-    columns Arrow nulls surface as Python None and ``None == None`` is True,
-    which (pre-fix) wrongly joined null-keyed pairs (ADVICE r4)."""
-    from geopandas_ray.geom import wkb as W
-    from geopandas_ray.stages.sjoin import sjoin, sjoin_shuffle
+def _row_type(df, i=0):
+    g = W.from_wkb(pa.array(df["geometry"], type=pa.large_binary()))
+    return int(g.row_types[i])
 
-    n, m = 40, 10
-    px, py = rng.uniform(0, 100, n), rng.uniform(0, 100, n)
-    # string key with nulls on BOTH sides; every point is inside every box's
-    # spatial window often enough that null-null pairs would appear pre-fix
-    lgrp = [None if i % 4 == 0 else f"g{i % 3}" for i in range(n)]
-    left = ray.data.from_arrow(
-        pa.table({"pid": pa.array(np.arange(n)), "grp": pa.array(lgrp, type=pa.string()),
-                  "geometry": W.points_to_wkb(px, py)})
+
+def test_gpx_single_segment_track_stays_multilinestring(tmp_path):
+    from geopandas_ray.sources.gpx import read_gpx, write_gpx
+
+    p = tmp_path / "one.gpx"
+    p.write_text(GPX_ONE_SEG)
+    df = read_gpx(str(p), layer="tracks").to_pandas()
+    assert _row_type(df) == W.MULTILINESTRING  # OGR tracks contract
+    # roundtrip: still a <trk>, not transmuted into a <rte> route
+    out = str(tmp_path / "rt.gpx")
+    write_gpx(ray.data.from_arrow(pa.Table.from_pandas(df)), out)
+    back = read_gpx(out, layer="tracks").to_pandas()
+    assert len(back) == 1 and _row_type(back) == W.MULTILINESTRING
+    assert len(read_gpx(out, layer="routes").to_pandas()) == 0
+
+
+def test_gml_single_member_multisurface_stays_multipolygon(tmp_path):
+    from geopandas_ray.sources.gml import read_gml
+
+    gml = """<?xml version="1.0"?>
+<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml/3.2"
+ xmlns:gr="http://x/">
+ <gml:featureMember><gr:f gml:id="f0">
+  <gr:geometry><gml:MultiSurface><gml:surfaceMember>
+   <gml:Polygon><gml:exterior><gml:LinearRing>
+    <gml:posList>0 0 4 0 4 4 0 4 0 0</gml:posList>
+   </gml:LinearRing></gml:exterior></gml:Polygon>
+  </gml:surfaceMember></gml:MultiSurface></gr:geometry>
+ </gr:f></gml:featureMember>
+</gml:FeatureCollection>
+"""
+    p = tmp_path / "m.gml"
+    p.write_text(gml)
+    df = read_gml(str(p)).to_pandas()
+    assert _row_type(df) == W.MULTIPOLYGON
+
+
+def test_kml_single_child_multigeometry_stays_multi(tmp_path):
+    from geopandas_ray.sources.kml import read_kml
+
+    kml = """<?xml version="1.0"?>
+<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+ <Placemark><name>a</name><MultiGeometry>
+  <Polygon><outerBoundaryIs><LinearRing>
+   <coordinates>0,0 4,0 4,4 0,4 0,0</coordinates>
+  </LinearRing></outerBoundaryIs></Polygon>
+ </MultiGeometry></Placemark>
+</Document></kml>
+"""
+    p = tmp_path / "m.kml"
+    p.write_text(kml)
+    df = read_kml(str(p)).to_pandas()
+    assert _row_type(df) == W.MULTIPOLYGON
+
+
+def test_fgb_indexed_bbox_excludes_null_geometry(tmp_path):
+    from geopandas_ray.sources.flatgeobuf import read_flatgeobuf, write_flatgeobuf
+
+    geoms = pa.array(
+        list(W.points_to_wkb(np.array([5.0, 50.0]), np.array([5.0, 50.0])).to_pylist())
+        + [None],
+        type=pa.large_binary(),
     )
-    zx, zy = rng.uniform(0, 80, m), rng.uniform(0, 80, m)
-    rgrp = [None if j % 3 == 0 else f"g{j % 3}" for j in range(m)]
-    rt = pa.table({"zid": pa.array(np.arange(m)), "grp": pa.array(rgrp, type=pa.string()),
-                   "geometry": W.boxes_to_wkb(zx, zy, zx + 40, zy + 40)})
-
-    b = sjoin(left, rt, predicate="within", on_attribute="grp").to_pandas()
-    s = sjoin_shuffle(left, ray.data.from_arrow(rt), predicate="within",
-                      on_attribute="grp", res=4, domain=(0.0, 0.0, 128.0, 128.0),
-                      left_id="pid").to_pandas()
-    # no null keys survive on either plan
-    assert b["grp"].notna().all()
-    assert s["grp"].notna().all()
-    # and the two plans agree pair-for-pair
-    bp = sorted(map(tuple, b[["pid", "zid"]].values.tolist()))
-    sp = sorted(map(tuple, s[["pid", "zid"]].values.tolist()))
-    assert bp == sp
-    # sanity: non-null matches DO exist (the fixture isn't vacuous)
-    assert len(bp) > 0
+    t = pa.table({"fid": pa.array([0, 1, 2]), "geometry": geoms})
+    p = str(tmp_path / "n.fgb")
+    write_flatgeobuf(ray.data.from_arrow(t), p)
+    # bbox covering the origin: the null row's (0,0,0,0) leaf bbox passes
+    # the index test but the exact post-filter must drop it
+    got = read_flatgeobuf(p, bbox=(-1.0, -1.0, 10.0, 10.0)).to_pandas()
+    assert sorted(got["fid"]) == [0]
+    # indexed == sequential contract: full read still yields all rows
+    assert len(read_flatgeobuf(p).to_pandas()) == 3
 
 
-def test_iterfeatures_order_deterministic_multiblock(rng):
-    from geopandas_ray.geom import wkb as W
-    from geopandas_ray.sources.geojson import iterfeatures
+def test_fgb_single_part_multipolygon_roundtrip(tmp_path):
+    from geopandas_ray.sources.flatgeobuf import read_flatgeobuf, write_flatgeobuf
 
-    n = 500
-    x = np.arange(n, dtype=np.float64)
-    t = pa.table({"k": pa.array(np.arange(n)), "geometry": W.points_to_wkb(x, x + 1)})
-    ds = ray.data.from_arrow(t).repartition(16).materialize()
-    ids1 = [(ft["id"], ft["properties"]["k"]) for ft in iterfeatures(ds)]
-    ids2 = [(ft["id"], ft["properties"]["k"]) for ft in iterfeatures(ds)]
-    assert ids1 == ids2
-    # positional id tracks the feature's own position in the stream
-    assert [i for i, _ in ids1] == [str(i) for i in range(n)]
+    ring = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+    wkb1 = _parts_to_wkb([(W.POLYGON, [ring])], force_multi=True)
+    t = pa.table({"fid": pa.array([0]),
+                  "geometry": pa.array([wkb1], type=pa.large_binary())})
+    p = str(tmp_path / "m.fgb")
+    write_flatgeobuf(ray.data.from_arrow(t), p)
+    back = read_flatgeobuf(p).to_pandas()
+    assert _row_type(back) == W.MULTIPOLYGON
 
 
-def test_gpkg_affinity_mismatch_coerces_to_declared_type(tmp_path):
-    """SQLite stores types per VALUE; a value defying the declared column
-    affinity must coerce to the declared Arrow type (stable cross-shard
-    schema), not fall back to per-shard inference (ADVICE r4)."""
-    import sqlite3
+def test_gml_writer_rejects_invalid_element_names(tmp_path):
+    from geopandas_ray.sources.gml import write_gml
 
+    t = pa.table({
+        "my col": pa.array([1]),
+        "geometry": W.points_to_wkb(np.array([1.0]), np.array([2.0])),
+    })
+    with pytest.raises(ValueError, match="XML element"):
+        write_gml(ray.data.from_arrow(t), str(tmp_path / "x.gml"))
+
+
+def test_kml_geometry_name_collision_raises(tmp_path):
+    from geopandas_ray.sources.kml import read_kml
+
+    kml = """<?xml version="1.0"?>
+<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+ <Placemark><ExtendedData>
+  <Data name="geometry"><value>src</value></Data>
+ </ExtendedData><Point><coordinates>1,2</coordinates></Point></Placemark>
+</Document></kml>
+"""
+    p = tmp_path / "c.kml"
+    p.write_text(kml)
+    with pytest.raises(Exception, match="collides"):
+        read_kml(str(p)).materialize()
+
+
+def test_gpkg_integer_affinity_rejects_fractional(tmp_path):
     from geopandas_ray.sources.geopackage import read_geopackage, write_geopackage
-    from geopandas_ray.geom import wkb as W
 
-    path = str(tmp_path / "affinity.gpkg")
     t = pa.table({
-        "fid_attr": pa.array([1, 2, 3], type=pa.int64()),
-        "geometry": W.points_to_wkb(np.array([0.0, 1.0, 2.0]), np.array([0.0, 1.0, 2.0])),
+        "n": pa.array([1, 2]),
+        "geometry": W.points_to_wkb(np.array([1.0, 2.0]), np.array([1.0, 2.0])),
     })
-    write_geopackage(ray.data.from_arrow(t), path, layer="lyr")
-    # sneak a TEXT value into the INTEGER-affinity column (valid SQLite)
-    con = sqlite3.connect(path)
-    con.execute("UPDATE lyr SET fid_attr = '7' WHERE rowid = 2")
+    p = str(tmp_path / "f.gpkg")
+    write_geopackage(ray.data.from_arrow(t), p)
+    con = sqlite3.connect(p)
+    layer = con.execute("SELECT table_name FROM gpkg_contents").fetchone()[0]
+    con.execute(f'UPDATE "{layer}" SET n = 2.5 WHERE rowid = 1')  # defy affinity
     con.commit()
     con.close()
-    out = read_geopackage(path, layer="lyr").to_pandas().sort_values("fid_attr")
-    assert sorted(out["fid_attr"].tolist()) == [1, 3, 7]
-    assert out["fid_attr"].dtype == np.int64
+    with pytest.raises(Exception, match="non-integral|coerced"):
+        read_geopackage(p, layer=layer).materialize()
 
-    # a truly uncoercible value raises with a clear message
-    con = sqlite3.connect(path)
-    con.execute("UPDATE lyr SET fid_attr = 'not-a-number' WHERE rowid = 2")
-    con.commit()
+
+def test_sql_coerce_rejects_lossy_int():
+    from geopandas_ray.sources.sql import _coerce
+
+    assert _coerce(3.0, pa.int64(), "c") == 3
+    with pytest.raises(ValueError, match="without loss"):
+        _coerce(2.5, pa.int64(), "c")
+    assert _coerce(b"ab", pa.string(), "c") == "ab"  # no "b'..'" reprs
+
+
+def test_sql_paramstyle_detection():
+    from geopandas_ray.sources.sql import _detect_paramstyle, _placeholder
+
+    con = sqlite3.connect(":memory:")
+    assert _detect_paramstyle(con) == "qmark"
+    assert _placeholder("qmark") == "?"
+    assert _placeholder("pyformat") == "%s"
+    with pytest.raises(NotImplementedError):
+        _placeholder("numeric")
     con.close()
-    with pytest.raises(Exception, match="affinity|coerced"):
-        read_geopackage(path, layer="lyr").to_pandas()
-
-
-def test_dbf_float_field_widens_for_large_magnitude(tmp_path):
-    from geopandas_ray.sources.shapefile import read_shapefile, write_shapefile
-    from geopandas_ray.geom import wkb as W
-
-    path = str(tmp_path / "wide.shp")
-    big = 3.5e21  # %.10f renders 33 chars — overflows the old fixed N(30,10)
-    t = pa.table({
-        "v": pa.array([1.5, big, -big], type=pa.float64()),
-        "geometry": W.points_to_wkb(np.array([0.0, 1.0, 2.0]), np.array([0.0, 1.0, 2.0])),
-    })
-    write_shapefile(ray.data.from_arrow(t), path)
-    out = read_shapefile(path).to_pandas().sort_values("v").reset_index(drop=True)
-    assert out["v"].iloc[0] == pytest.approx(-big, rel=1e-9)
-    assert out["v"].iloc[2] == pytest.approx(big, rel=1e-9)
-
-
-def test_driver_sized_guardrails_fire_on_metadata_only():
-    """VERDICT r4 #5: sindex and the .shp/.gpkg writers refuse inputs whose
-    METADATA already proves them oversized — no execution, no build."""
-    from geopandas_ray.sources.geopackage import write_geopackage
-    from geopandas_ray.sources.shapefile import write_shapefile
-    from geopandas_ray.stages.sindex import DistributedSpatialIndex
-
-    huge = ray.data.range(60_000_000)  # metadata-known rows, never executed
-    with pytest.raises(ValueError, match="sjoin"):
-        DistributedSpatialIndex(huge)
-    with pytest.raises(ValueError, match="parquet"):
-        write_shapefile(huge, "/tmp/never_written.shp")
-    with pytest.raises(ValueError, match="parquet"):
-        write_geopackage(huge, "/tmp/never_written.gpkg")
-    # explicit caps override
-    small = ray.data.range(100)
-    with pytest.raises(ValueError, match="sindex"):
-        DistributedSpatialIndex(small, max_rows=10)
-
-
-def test_guardrail_unknown_size_passes_through(rng):
-    """Post-transform plans have unknown size; the guard must not block them
-    (it is a foot-gun guard, not admission control)."""
-    from geopandas_ray.geom import wkb as W
-    from geopandas_ray.stages.sindex import DistributedSpatialIndex
-
-    t = pa.table({"geometry": W.points_to_wkb(rng.uniform(0, 10, 20), rng.uniform(0, 10, 20))})
-    ds = ray.data.from_arrow(t).map_batches(lambda b: b, batch_format="pyarrow")
-    idx = DistributedSpatialIndex(ds)
-    assert len(idx) == 20
-
-
-def test_dwithin_array_distance_parity(rng):
-    """VERDICT r4 #3: per-row radii (base.py:2294-2297, tools/sjoin.py:38)
-    on dwithin + both sjoin plans; null radii never match; plans agree."""
-    from geopandas_ray.geom import wkb as W
-    from geopandas_ray.stages.binary import binary_predicate
-    from geopandas_ray.stages.sjoin import sjoin, sjoin_shuffle
-
-    n, m = 200, 30
-    px, py = rng.uniform(0, 100, n), rng.uniform(0, 100, n)
-    rad = rng.uniform(0.5, 12.0, n)
-    rad[::13] = np.nan
-    radarr = pa.array([None if np.isnan(v) else v for v in rad], type=pa.float64())
-    left = ray.data.from_arrow(
-        pa.table({"pid": pa.array(np.arange(n)), "r": radarr,
-                  "geometry": W.points_to_wkb(px, py)})
-    )
-    zx, zy = rng.uniform(0, 90, m), rng.uniform(0, 90, m)
-    rt = pa.table({"zid": pa.array(np.arange(m)),
-                   "geometry": W.boxes_to_wkb(zx, zy, zx + 8, zy + 8)})
-
-    b = sjoin(left, rt, predicate="dwithin", distance="r").to_pandas()
-    s = sjoin_shuffle(left, ray.data.from_arrow(rt), predicate="dwithin",
-                      distance="r", res=4, domain=(0.0, 0.0, 128.0, 128.0)).to_pandas()
-    exp = []
-    for i in range(n):
-        if np.isnan(rad[i]):
-            continue
-        dx = np.maximum(np.maximum(zx - px[i], px[i] - (zx + 8)), 0.0)
-        dy = np.maximum(np.maximum(zy - py[i], py[i] - (zy + 8)), 0.0)
-        for j in np.nonzero(dx * dx + dy * dy <= rad[i] ** 2)[0]:
-            exp.append((i, int(j)))
-    exp = sorted(exp)
-    assert sorted(map(tuple, b[["pid", "zid"]].values.tolist())) == exp
-    assert sorted(map(tuple, s[["pid", "zid"]].values.tolist())) == exp
-    assert len(exp) > 0
-
-    # element-wise surface: per-row radius column, null radius -> False
-    t2 = pa.table({"geometry": W.points_to_wkb(px, py),
-                   "g2": W.points_to_wkb(px + rng.uniform(-5, 5, n), py),
-                   "r": radarr})
-    out = binary_predicate(ray.data.from_arrow(t2), "dwithin", "g2", distance="r").to_pandas()
-    assert not out["dwithin"][np.isnan(rad)].any()
-    assert out["dwithin"].sum() > 0
-
-    # the swapped shuffle plan can't realign per-left-row radii: loud error
-    with pytest.raises(NotImplementedError, match="broadcast"):
-        sjoin_shuffle(left, ray.data.from_arrow(rt), predicate="dwithin",
-                      distance="r", how="right", right_id="zid",
-                      res=4, domain=(0.0, 0.0, 128.0, 128.0))
