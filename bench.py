@@ -177,12 +177,12 @@ def run_bench() -> dict:
             "dissolve_zones": 1.60,
             "dissolve_highcard": 4.64,
             "knn_brute": 0.81,
-            "minhash_dedup": 9.30,
+            "minhash_dedup": 8.62,  # r5 draw-3 min
             "curation": 7.72,
             "decontaminate": 2.28,
             "repetition_stats": 1.04,
             "q1_lineitem": 1.94,
-            "overlay_concave": 22.96,
+            "overlay_concave": 21.06,  # r5 draw-3 min
             "overlay_shuffle_concave": 12.87,
             "overlay_auto_concave": 13.75,
             "polyfill_compact_zones": 2.02,
