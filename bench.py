@@ -169,18 +169,18 @@ def run_bench() -> dict:
         {
             "flagship_shuffle_tiling": 16.22,
             "flagship_full_rows": 17.69,
-            "sjoin_broadcast": 23.92,
-            "sjoin_nearest": 4.66,
+            "sjoin_broadcast": 21.76,  # r5 draw-4 min
+            "sjoin_nearest": 3.70,  # r5 draw-4 min
             "sjoin_nearest_shuffle": 5.31,
             "sjoin_nearest_unbounded": 8.96,
             "sjoin_nearest_rect_shuffle": 8.36,
-            "dissolve_zones": 1.60,
+            "dissolve_zones": 1.51,  # r5 draw-4 min
             "dissolve_highcard": 4.64,
-            "knn_brute": 0.81,
-            "minhash_dedup": 8.62,  # r5 draw-3 min
-            "curation": 7.72,
+            "knn_brute": 0.58,  # r5 draw-4 min
+            "minhash_dedup": 8.59,  # r5 draw-4 min
+            "curation": 7.18,  # r5 draw-4 min
             "decontaminate": 2.28,
-            "repetition_stats": 1.04,
+            "repetition_stats": 1.00,  # r5 draw-4 min
             "q1_lineitem": 1.94,
             "overlay_concave": 21.06,  # r5 draw-3 min
             "overlay_shuffle_concave": 12.87,
