@@ -266,7 +266,10 @@ class _SqlShard:
             tables.append(_rows_to_table(rows, self.names, self.geom_col,
                                          self.geometry, self.types))
         if not tables:
-            return pa.table({self.geometry: pa.array([], type=pa.large_binary())})
+            # empty blocks must carry the SAME schema as populated shards
+            # (names + probe types), or downstream union/schema() diverges
+            return _rows_to_table([], self.names, self.geom_col,
+                                  self.geometry, self.types)
         return pa.concat_tables(tables)
 
 

@@ -140,6 +140,39 @@ def test_nulls_and_raw_wkb_mode(tmp_path):
     assert df["geometry"].isna().tolist() == [False, True, False]
 
 
+def test_empty_shard_blocks_keep_full_schema(tmp_path):
+    # sparse shard_col values leave some range shards (and possibly whole
+    # repartitioned blocks) empty; every block must still carry the full
+    # probe schema or downstream union/schema() diverges
+    db = str(tmp_path / "f.db")
+    t = pa.table({
+        "fid": pa.array([0, 1000]),  # huge gap: middle shards match no rows
+        "w": pa.array([1.5, 2.5]),
+        "geometry": W.points_to_wkb(np.array([1.0, 2.0]), np.array([3.0, 4.0])),
+    })
+    write_postgis(ray.data.from_arrow(t), "sparse", sqlite_factory(db))
+    back = read_postgis("sparse", sqlite_factory(db, readonly=True),
+                        shard_col="fid", parallelism=8)
+    m = back.materialize()
+    schemas = {str(ray.get(ref).schema) for ref in m.to_arrow_refs()}
+    assert len(schemas) == 1  # identical schema on every block, empty or not
+    df = m.to_pandas().sort_values("fid")
+    assert df["fid"].tolist() == [0, 1000]
+    assert df["w"].tolist() == [1.5, 2.5]
+
+    # the zero-row-batch fallback itself must emit the same schema too
+    from geopandas_ray.sources.sql import _SqlShard, _shard_sql
+    sh = _SqlShard(sqlite_factory(db, readonly=True),
+                   _shard_sql("sparse", "fid"), "geom", "geometry",
+                   ["fid", "w", "geom"],
+                   {"fid": pa.int64(), "w": pa.float64()})
+    empty = sh(pa.table({"lo": pa.array([], type=pa.int64()),
+                         "hi": pa.array([], type=pa.int64())}))
+    full = sh(pa.table({"lo": pa.array([0]), "hi": pa.array([1000])}))
+    assert empty.schema.equals(full.schema)
+    assert empty.num_rows == 0 and full.num_rows == 2
+
+
 def test_facade(tmp_path):
     import geopandas_ray as gr
 
