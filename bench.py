@@ -167,29 +167,29 @@ def run_bench() -> dict:
     )
     EXPECTED_MIN_S: dict[str, float] = (
         {
-            "flagship_shuffle_tiling": 16.22,
-            "flagship_full_rows": 17.69,
+            "flagship_shuffle_tiling": 14.04,  # r5 draw-5 min (15 new mins)
+            "flagship_full_rows": 17.68,  # r5 draw-5 min
             "sjoin_broadcast": 21.76,  # r5 draw-4 min
             "sjoin_nearest": 3.70,  # r5 draw-4 min
-            "sjoin_nearest_shuffle": 5.31,
-            "sjoin_nearest_unbounded": 8.96,
-            "sjoin_nearest_rect_shuffle": 8.36,
+            "sjoin_nearest_shuffle": 4.73,  # r5 draw-5 min
+            "sjoin_nearest_unbounded": 8.33,  # r5 draw-5 min
+            "sjoin_nearest_rect_shuffle": 6.94,  # r5 draw-5 min
             "dissolve_zones": 1.51,  # r5 draw-4 min
-            "dissolve_highcard": 4.64,
+            "dissolve_highcard": 3.84,  # r5 draw-5 min
             "knn_brute": 0.58,  # r5 draw-4 min
-            "minhash_dedup": 8.59,  # r5 draw-4 min
+            "minhash_dedup": 8.56,  # r5 draw-5 min
             "curation": 7.18,  # r5 draw-4 min
-            "decontaminate": 2.28,
-            "repetition_stats": 1.00,  # r5 draw-4 min
+            "decontaminate": 2.05,  # r5 draw-5 min
+            "repetition_stats": 0.94,  # r5 draw-5 min
             "q1_lineitem": 1.94,
-            "overlay_concave": 21.06,  # r5 draw-3 min
+            "overlay_concave": 20.44,  # r5 draw-5 min
             "overlay_shuffle_concave": 12.87,
-            "overlay_auto_concave": 13.75,
-            "polyfill_compact_zones": 2.02,
+            "overlay_auto_concave": 12.68,  # r5 draw-5 min
+            "polyfill_compact_zones": 1.88,  # r5 draw-5 min
             "buffer_round_zones": 4.57,
-            "knn_lsh_skewed": 10.06,
-            "dedup_cluster": 11.80,
-            "unary_vectorized_100k": 0.45,
+            "knn_lsh_skewed": 8.77,  # r5 draw-5 min
+            "dedup_cluster": 11.30,  # r5 draw-5 min
+            "unary_vectorized_100k": 0.44,  # r5 draw-5 min
         }
         if _std_shape
         else {}
