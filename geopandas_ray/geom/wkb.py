@@ -221,9 +221,16 @@ def _parse_geom(buf, pos, coords_chunks, ring_off, part_off, part_types):
     byte_order = buf[pos]
     endian = "<" if byte_order == 1 else ">"
     (raw_type,) = struct.unpack_from(endian + "I", buf, pos + 1)
-    # every op is planar (reference base.py:93-95): decode Z but drop it
+    # every op is planar (reference base.py:93-95): decode Z/M but drop
+    # them. Dims must honor BOTH conventions, combined: ISO blocks
+    # (+1000 Z, +2000 M, +3000 ZM) and the EWKB flag bits (0x80000000 Z,
+    # 0x40000000 M). The old `base >= 1000 -> 3` read only 3 of a ZM
+    # vertex's 4 doubles, interleaving M values into later coordinates.
     base = raw_type & 0x1FFFFFFF
-    dims = 3 if (raw_type & 0x80000000) or base >= 1000 else 2
+    iso_block = base // 1000  # 0=2D 1=Z 2=M 3=ZM
+    has_z = bool(raw_type & 0x80000000) or iso_block in (1, 3)
+    has_m = bool(raw_type & 0x40000000) or iso_block in (2, 3)
+    dims = 2 + int(has_z) + int(has_m)
     gtype = base % 1000
     pos += 5
 

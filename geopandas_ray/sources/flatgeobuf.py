@@ -624,7 +624,7 @@ def write_flatgeobuf(
         "driver; use to_parquet() (partitioned, parallel) for scale sinks.",
         max_rows, max_bytes,
     )
-    t = pull_table(ds)
+    t = pull_table(ds, ordered=True)
     if geometry not in t.column_names:
         # an empty Dataset loses its schema through Ray (no columns at all):
         # write a valid zero-feature file; non-empty inputs must carry it

@@ -58,19 +58,84 @@ def _local(tag) -> str:
     return tag.rsplit("}", 1)[-1] if isinstance(tag, str) else str(tag)
 
 
+def _declared_dim(el) -> int:
+    d = el.get("srsDimension")
+    return int(d) if d else 0
+
+
+def _axis_split(vals: np.ndarray, dim: int) -> np.ndarray:
+    """Flat axis-value list -> (n, 2) xy. A declared srsDimension wins;
+    undeclared lists infer 3D only when the count fits 3D and NOT 2D
+    (an even-count 3D posList without srsDimension is undecidable per
+    spec and reads as 2D). The old unconditional reshape(-1, 2) silently
+    interleaved z values into x/y on declared-3D input."""
+    if not dim:
+        if vals.size % 2 == 0:
+            dim = 2
+        elif vals.size % 3 == 0:
+            dim = 3
+        else:
+            raise ValueError(
+                f"GML coordinate list of {vals.size} values fits neither 2D "
+                "nor 3D and carries no srsDimension"
+            )
+    return np.ascontiguousarray(vals.reshape(-1, dim)[:, :2])
+
+
 def _coords_of(el) -> np.ndarray:
     """Coordinate array off a geometry element supporting pos / posList /
-    coordinates (GML 2 ``x,y x,y`` or GML 3 space-separated pairs)."""
+    coordinates (GML 2 ``x,y x,y`` or GML 3 space-separated tuples).
+    srsDimension-aware (z dropped — planar engine); a SEQUENCE of
+    <gml:pos> children concatenates in document order (GML 3 allows
+    pos-per-vertex lines/rings)."""
+    dim = _declared_dim(el)
+    pos_pts: list[np.ndarray] = []
     for c in el.iter():
         n = _local(c.tag)
-        if n in ("posList", "pos"):
-            return np.asarray(c.text.split(), dtype=np.float64).reshape(-1, 2)
-        if n == "coordinates":
+        if n == "posList":
+            vals = np.asarray(c.text.split(), dtype=np.float64)
+            return _axis_split(vals, _declared_dim(c) or dim)
+        if n == "pos":
+            vals = np.asarray(c.text.split(), dtype=np.float64)
+            pos_pts.append(vals[:2])
+        elif n == "coordinates":
             txt = c.text.strip()
             # GML2: tuples separated by whitespace, members by comma
             pts = [tuple(float(v) for v in tok.split(",")[:2]) for tok in txt.split()]
             return np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    if pos_pts:
+        return np.vstack(pos_pts)
     return np.empty((0, 2), dtype=np.float64)
+
+
+def _curve_coords(el) -> np.ndarray:
+    """gml:Curve -> ONE coordinate path: concatenate every linear
+    segment's coordinates in document order, dropping a segment's first
+    point when it repeats the previous segment's last (adjacent curve
+    segments share endpoints per spec). Non-linear segments (Arc family)
+    would need densification and raise instead of corrupting."""
+    segs: list[np.ndarray] = []
+    for c in el.iter():
+        n = _local(c.tag)
+        if n in ("LineStringSegment", "GeodesicString"):
+            segs.append(_coords_of(c))
+        elif n in ("Arc", "ArcString", "ArcByCenterPoint", "Circle",
+                   "CircleByCenterPoint", "CubicSpline", "Bezier"):
+            raise ValueError(
+                f"GML non-linear curve segment <{n}> is not supported "
+                "(linear LineStringSegment/GeodesicString only)"
+            )
+    if not segs:
+        return _coords_of(el)  # bare Curve without <segments>
+    out: list[np.ndarray] = []
+    for p in segs:
+        if not len(p):
+            continue
+        if out and np.array_equal(out[-1][-1], p[0]):
+            p = p[1:]
+        if len(p):
+            out.append(p)
+    return np.vstack(out) if out else np.empty((0, 2), dtype=np.float64)
 
 
 def _ring_coords(poly_el):
@@ -92,12 +157,31 @@ def _geom_to_parts(el) -> list:
     """[(part_type, [rings...])] for _parts_to_wkb off a GML geometry."""
     t = _local(el.tag)
     if t == "Point":
-        return [(POINT, [_coords_of(el)])]
+        c = _coords_of(el)
+        return [(POINT, [c])] if len(c) else []  # coordinate-less => empty
     if t in ("LineString", "Curve"):
-        return [(LINESTRING, [_coords_of(el)])]
+        c = _curve_coords(el) if t == "Curve" else _coords_of(el)
+        return [(LINESTRING, [c])] if len(c) else []
     if t in ("Polygon", "Surface"):
+        if t == "Surface":
+            # gml:Surface carries its rings under patches/PolygonPatch —
+            # the generic _ring_coords fallback saw only the first posList
+            # (exterior) and silently dropped holes + later patches. One
+            # POLYGON part per patch (multi-patch Surface reads back as a
+            # MultiPolygon row, OGR parity).
+            patches = [
+                c for c in el.iter()
+                if _local(c.tag) in ("PolygonPatch", "Rectangle", "Triangle")
+            ]
+            if patches:
+                parts = []
+                for p in patches:
+                    ext, ints = _ring_coords(p)
+                    if len(ext):
+                        parts.append((POLYGON, [ext, *ints]))
+                return parts
         ext, ints = _ring_coords(el)
-        return [(POLYGON, [ext, *ints])]
+        return [(POLYGON, [ext, *ints])] if len(ext) else []
     if t in (
         "MultiPoint", "MultiLineString", "MultiCurve", "MultiSurface",
         "MultiPolygon", "MultiGeometry",
@@ -152,14 +236,14 @@ def _parse_gml(data: bytes, geometry: str = "geometry") -> pa.Table:
                     row[n] = prop.text
                     if n not in attr_names:
                         attr_names.append(n)
+        # a Multi* container with ONE member keeps its declared Multi row
+        # type (OGR parity — no demotion to the singular); an EMPTY
+        # container / coordinate-less geometry reads as null (the GPX/FGB
+        # readers' guard — _parts_to_wkb([]) raises)
+        parts = _geom_to_parts(geom) if geom is not None else []
         row[geometry] = (
-            # a Multi* container with ONE member keeps its declared Multi
-            # row type (OGR parity — no demotion to the singular)
-            _parts_to_wkb(
-                _geom_to_parts(geom),
-                force_multi=_local(geom.tag).startswith("Multi"),
-            )
-            if geom is not None
+            _parts_to_wkb(parts, force_multi=_local(geom.tag).startswith("Multi"))
+            if parts
             else None
         )
         rows.append(row)
@@ -194,7 +278,10 @@ def read_gml(path: str, geometry: str = "geometry") -> ray.data.Dataset:
 
     def parse(b: pa.Table) -> pa.Table:
         tables = [_parse_gml(d.as_py(), geometry) for d in b.column("bytes")]
-        return pa.concat_tables(tables, promote_options="default")
+        # per-file inference can disagree across files in ONE batch (file A
+        # all-int "1", file B "2.5"): "default" promotion refuses int64 vs
+        # double and kills the read task; "permissive" unifies to double
+        return pa.concat_tables(tables, promote_options="permissive")
 
     return raw.map_batches(parse, batch_format="pyarrow")
 
@@ -269,7 +356,7 @@ def write_gml(
         "(partitioned, parallel) for scale sinks.",
         max_rows, max_bytes,
     )
-    t = pull_table(ds)
+    t = pull_table(ds, ordered=True)
     if geometry not in t.column_names:
         if t.num_rows:
             raise KeyError(f"no column {geometry!r} in input")

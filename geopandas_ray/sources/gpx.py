@@ -269,10 +269,11 @@ def write_gpx(
     """Driver-assembled GPX sink (single XML document — inherently
     non-parallel; use the parquet sink for scale). Points → <wpt>,
     LineStrings → <rte>, MultiLineStrings → <trk> (one <trkseg> per part),
-    matching the GDAL GPX writer's type routing. ``name``/``desc``/``ele``/
-    ``time`` columns map to the corresponding GPX child elements when
-    present. Coordinates emit shortest-roundtrip (``repr``) so a read-back
-    is bit-exact.
+    matching the GDAL GPX writer's type routing. ``name``/``desc`` columns
+    map to the corresponding GPX child elements when present; ``ele``/
+    ``time`` map on waypoints only (GPX 1.1 rteType/trkType have no
+    ele/time children). Coordinates emit shortest-roundtrip (``repr``) so
+    a read-back is bit-exact.
     """
     from xml.sax.saxutils import escape
 
@@ -284,7 +285,7 @@ def write_gpx(
         "(partitioned, parallel) for scale sinks.",
         max_rows, max_bytes,
     )
-    t = pull_table(ds)
+    t = pull_table(ds, ordered=True)
     if geometry not in t.column_names:
         if t.num_rows:
             raise KeyError(f"no column {geometry!r} in input")
@@ -296,12 +297,18 @@ def write_gpx(
 
     names, descs, eles, times = col("name"), col("desc"), col("ele"), col("time")
 
-    def meta_children(i, pad):
+    def meta_children(i, pad, point_level=False):
+        # GPX 1.1: <ele>/<time> are wptType children only (wpt/rtept/trkpt);
+        # rteType/trkType allow name/desc but NOT ele/time — emitting them
+        # there produced schema-invalid files that validating consumers
+        # (OGR's GPX driver) reject, and read_gpx's route/track layers
+        # ignored the values anyway
         out = []
-        if eles[i] is not None:
-            out.append(f"{pad}<ele>{_fmt(eles[i])}</ele>")
-        if times[i] is not None:
-            out.append(f"{pad}<time>{escape(str(times[i]))}</time>")
+        if point_level:
+            if eles[i] is not None:
+                out.append(f"{pad}<ele>{_fmt(eles[i])}</ele>")
+            if times[i] is not None:
+                out.append(f"{pad}<time>{escape(str(times[i]))}</time>")
         if names[i] is not None:
             out.append(f"{pad}<name>{escape(str(names[i]))}</name>")
         if descs[i] is not None:
@@ -322,7 +329,7 @@ def write_gpx(
             r0, _ = g.part_ring_range(p0)
             x, y = g.ring_coords(r0)[0]
             lines.append(f'  <wpt lat="{_fmt(y)}" lon="{_fmt(x)}">')
-            lines.extend(meta_children(i, "    "))
+            lines.extend(meta_children(i, "    ", point_level=True))
             lines.append("  </wpt>")
         elif rt == LINESTRING:
             lines.append("  <rte>")

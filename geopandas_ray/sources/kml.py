@@ -67,9 +67,11 @@ def _geom_to_parts(el) -> list:
     """[(part_type, [rings...])] for _parts_to_wkb off a KML geometry."""
     t = _local(el.tag)
     if t == "Point":
-        return [(POINT, [_kml_coords(el)])]
+        c = _kml_coords(el)
+        return [(POINT, [c])] if len(c) else []  # coordinate-less => empty
     if t in ("LineString", "LinearRing"):
-        return [(LINESTRING, [_kml_coords(el)])]
+        c = _kml_coords(el)
+        return [(LINESTRING, [c])] if len(c) else []
     if t == "Polygon":
         ext, ints = None, []
         for b in el:
@@ -81,7 +83,7 @@ def _geom_to_parts(el) -> list:
         if ext is None:
             ext = _kml_coords(el)
             ints = []
-        return [(POLYGON, [ext, *ints])]
+        return [(POLYGON, [ext, *ints])] if len(ext) else []
     if t == "MultiGeometry":
         parts = []
         for sub in el:
@@ -123,13 +125,13 @@ def _parse_kml(data: bytes, geometry: str = "geometry") -> pa.Table:
                         note(row, d.get("name", "data"), val)
                     elif dn == "SimpleData":
                         note(row, d.get("name", "data"), d.text)
+        # single-child MultiGeometry keeps its Multi row type (OGR parity);
+        # a child-less <MultiGeometry/> or coordinate-less geometry reads
+        # as null rather than crashing _parts_to_wkb([])
+        parts = _geom_to_parts(geom) if geom is not None else []
         row[geometry] = (
-            # single-child MultiGeometry keeps its Multi row type (OGR parity)
-            _parts_to_wkb(
-                _geom_to_parts(geom),
-                force_multi=_local(geom.tag) == "MultiGeometry",
-            )
-            if geom is not None
+            _parts_to_wkb(parts, force_multi=_local(geom.tag) == "MultiGeometry")
+            if parts
             else None
         )
         rows.append(row)
@@ -159,7 +161,9 @@ def read_kml(path: str, geometry: str = "geometry") -> ray.data.Dataset:
 
     def parse(b: pa.Table) -> pa.Table:
         tables = [_parse_kml(d.as_py(), geometry) for d in b.column("bytes")]
-        return pa.concat_tables(tables, promote_options="default")
+        # "permissive": per-file inference can disagree (int64 vs double)
+        # across files in one batch; "default" promotion raises in-task
+        return pa.concat_tables(tables, promote_options="permissive")
 
     return raw.map_batches(parse, batch_format="pyarrow")
 
@@ -230,7 +234,7 @@ def write_kml(
         "(partitioned, parallel) for scale sinks.",
         max_rows, max_bytes,
     )
-    t = pull_table(ds)
+    t = pull_table(ds, ordered=True)
     if geometry not in t.column_names:
         if t.num_rows:
             raise KeyError(f"no column {geometry!r} in input")

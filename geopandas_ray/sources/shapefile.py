@@ -420,7 +420,7 @@ def write_shapefile(ds: ray.data.Dataset, path: str, geometry: str = "geometry",
         "driver; use to_parquet() (partitioned, parallel) for scale sinks.",
         max_rows, max_bytes,
     )
-    t = pull_table(ds)
+    t = pull_table(ds, ordered=True)
     if geometry not in t.column_names:
         if t.num_rows:
             raise KeyError(f"no column {geometry!r} in input")

@@ -314,17 +314,27 @@ def read_postgis(
                              "sharded WHERE clause owns the placeholders)")
         cur.execute(_probe_sql(sql, shard_col))
         lo, hi = cur.fetchone()
-        if lo is None:
-            return ray.data.from_arrow(pa.table({geometry: pa.array([], type=pa.large_binary())}))
         # a bounded probe pins column names + cross-shard types; LIMIT keeps
         # backends without lazy cursors from materializing the whole range
-        # server-side just to hand back 256 sample rows
-        cur.execute(_shard_sql(sql, shard_col, ph) + " LIMIT 256", (lo, hi))
+        # server-side just to hand back 256 sample rows. It runs even when
+        # the MIN/MAX probe says EMPTY — cur.description carries the full
+        # column set at 0 rows, so an empty read keeps the populated-path
+        # schema instead of collapsing to {geometry} (downstream
+        # select_columns/union would fail only on the empty case otherwise)
+        empty = lo is None
+        cur.execute(
+            _shard_sql(sql, shard_col, ph) + " LIMIT 256",
+            (0, -1) if empty else (lo, hi),
+        )
         names = [d[0] for d in cur.description]
         if geom_col not in names:
             raise ValueError(f"Query missing geometry column {geom_col!r}")
         sample = cur.fetchmany(256)
         types = _result_types(sample, names, geom_col)
+        if empty:
+            return ray.data.from_arrow(
+                _rows_to_table([], names, geom_col, geometry, types)
+            )
     finally:
         con.close()
 

@@ -22,7 +22,7 @@ def default_pool(concurrency=None) -> tuple[int, int]:
     return (1, max(2, cpus))
 
 
-def pull_table(ds, columns: list[str] | None = None):
+def pull_table(ds, columns: list[str] | None = None, ordered: bool = False):
     """Bounded driver-side pull that is safe on ANY block type.
 
     ``filter(expr=...)`` and pandas-stage outputs can leave PANDAS blocks in
@@ -31,11 +31,23 @@ def pull_table(ds, columns: list[str] | None = None):
     the underlying block type. Only for results already known to be small
     (broadcast sides, unmatched tails, distinct keys) - never a full big
     dataset.
+
+    ``ordered=True`` pins Ray's output-bundle order to input order
+    (bundles otherwise arrive in task-completion order — a multi-block
+    pull is ROTATED run to run). Writers that promise deterministic
+    feature order (the driver-assembled interchange sinks) opt in;
+    order-free pulls (broadcast sides, key sets) keep the cheap default.
     """
     import pyarrow as pa
 
     if columns is not None:
         ds = ds.select_columns(columns)
+    if ordered:
+        # preserve_order must be set on the DATASET's captured context
+        # (mutating the global DataContext after creation is a no-op) —
+        # same pattern as DistributedSpatialIndex / iterfeatures
+        ds = ds.map_batches(lambda b: b, batch_format="pyarrow")
+        ds.context.execution_options.preserve_order = True
     tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
     if not tables:
         return pa.table({})
