@@ -31,6 +31,10 @@ def _stack_embeddings(col) -> np.ndarray:
     """(N, dim) float64 matrix from a list<float> / fixed_size_list<float>
     Arrow column (zero-copy flat read, one dtype cast)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        # an empty list<float> column has offsets == [0]; the dim probe
+        # below would IndexError
+        return np.empty((0, 0), dtype=np.float64)
     flat = np.asarray(arr.values, dtype=np.float64)
     if pa.types.is_fixed_size_list(arr.type):
         dim = arr.type.list_size
@@ -53,6 +57,15 @@ def _brute_topk_batch(
 ) -> pa.Table:
     """Exact cosine top-k of one query batch against a pre-normalized
     corpus matrix (shared by the actor-pool and stateless-task paths)."""
+    if b.num_rows == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
     q = _stack_embeddings(b.column(vec_col))
     qids = np.asarray(b.column(id_col), dtype=np.int64)
     qn = np.linalg.norm(q, axis=1)
@@ -74,12 +87,22 @@ def _brute_topk_batch(
     part_s = part_s[rowsel, o1]
     nids = nids[rowsel, o1]
     o2 = np.argsort(-part_s, axis=1, kind="stable")
+    out_q = np.repeat(qids, k)
+    out_n = nids[rowsel, o2].ravel()
+    out_r = np.tile(np.arange(1, k + 1, dtype=np.int64), m)
+    out_s = part_s[rowsel, o2].ravel()
+    if exclude_self:
+        # when the corpus has <= k rows the masked self slot (-inf) still
+        # survives argpartition as the last candidate — drop it here (the
+        # rerank path's np.isfinite guard, mirrored)
+        fin = np.isfinite(out_s)
+        out_q, out_n, out_r, out_s = out_q[fin], out_n[fin], out_r[fin], out_s[fin]
     return pa.table(
         {
-            id_col: pa.array(np.repeat(qids, k)),
-            "neighbor_id": pa.array(nids[rowsel, o2].ravel()),
-            "rank": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), m)),
-            "cosine": pa.array(part_s[rowsel, o2].ravel()),
+            id_col: pa.array(out_q),
+            "neighbor_id": pa.array(out_n),
+            "rank": pa.array(out_r),
+            "cosine": pa.array(out_s),
         }
     )
 
@@ -130,6 +153,19 @@ def knn_brute(
         from ..stages.sjoin import _materialize
 
         corpus = _materialize(corpus)
+    if corpus.num_rows == 0:
+        # no neighbors exist: empty result with the output schema (the dim
+        # probe / stateless path would otherwise crash on the empty column)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        )
     vc = corpus.column(vec_col)
     # size probe from METADATA (rows x dim x 8), not by building the float64
     # matrix on the driver - the actor path would otherwise pay a transient
@@ -168,11 +204,20 @@ def knn_brute(
 
 
 class _CosinePairs(_BruteKnn):
-    def __init__(self, corpus_ref, threshold, id_col, vec_col):
+    def __init__(self, corpus_ref, threshold, id_col, vec_col, self_join):
         super().__init__(corpus_ref, 1, id_col, vec_col, True, "cosine")
         self.threshold = threshold
+        self.self_join = self_join
 
     def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         q = _stack_embeddings(b.column(self.vec_col))
         qids = np.asarray(b.column(self.id_col), dtype=np.int64)
         qn = np.linalg.norm(q, axis=1)
@@ -180,10 +225,14 @@ class _CosinePairs(_BruteKnn):
         qs = q / qn[:, None]
         sims = qs @ self.corpus.T
         li, ri = np.nonzero(sims >= self.threshold)
-        # emit each unordered pair once (id_a < id_b)
         ida = qids[li]
         idb = self.corpus_ids[ri]
-        keep = ida < idb
+        # self-join: every row is both query and corpus member, so each
+        # unordered pair surfaces twice — id_a < id_b keeps it once (and
+        # drops the self match). A DIFFERENT query set must keep every
+        # (query, corpus) hit: id_a < id_b would silently drop pairs whose
+        # query id happens to exceed the corpus id.
+        keep = ida < idb if self.self_join else ida != idb
         return pa.table(
             {
                 "id_a": pa.array(ida[keep]),
@@ -200,7 +249,16 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     concurrency=None,
+    self_join: bool = True,
 ) -> ray.data.Dataset:
+    """All (id_a, id_b, cosine) pairs with cosine >= threshold between
+    ``ds`` rows and the broadcast ``corpus``.
+
+    ``self_join=True`` (default) is the near-dup scan contract: ds IS the
+    corpus (same rows, row-unique ids), each unordered pair emits once as
+    id_a < id_b. Pass ``self_join=False`` when ds is a different query
+    set: every (query, corpus) hit emits (only exact id equality is
+    suppressed)."""
     if isinstance(corpus, ray.data.Dataset):
         from ..stages.sjoin import _materialize
 
@@ -210,7 +268,10 @@ def cosine_near_dup_pairs(
         _CosinePairs,
         batch_format="pyarrow",
         concurrency=default_pool(concurrency),
-        fn_constructor_kwargs=dict(corpus_ref=ref, threshold=threshold, id_col=id_col, vec_col=vec_col),
+        fn_constructor_kwargs=dict(
+            corpus_ref=ref, threshold=threshold, id_col=id_col, vec_col=vec_col,
+            self_join=self_join,
+        ),
     )
 
 
@@ -475,6 +536,36 @@ def _bucket_topk_recursive(vs, ids, k, cap, seed, depth=0):
     return out
 
 
+def _merge_topk(cands: ray.data.Dataset, id_col: str, k: int, nparts: int) -> ray.data.Dataset:
+    """Global top-k reduce over per-bucket/per-list candidate streams,
+    shared by knn_lsh and knn_ivf (the determinism-critical step — one
+    copy so a tie-break fix can never drift between the two): hash-
+    partition by query id, then ONE vectorized pandas pass per partition
+    (sort + dedupe + head-k + cumcount) — never per-query map_groups
+    (CLAUDE.md high-cardinality rule). Tie-break: (-cosine, neighbor_id)."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = pd.util.hash_array(df[id_col].to_numpy()) % nparts
+        return df
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(
+            [id_col, "cosine", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        ).drop_duplicates(subset=[id_col, "neighbor_id"])
+        d = d.groupby(id_col, sort=False).head(k).copy()
+        d["rank"] = d.groupby(id_col, sort=False).cumcount().to_numpy() + 1
+        return d[[id_col, "neighbor_id", "rank", "cosine"]]
+
+    return (
+        cands.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(merge_part, batch_format="pandas")
+    )
+
+
 def knn_lsh(
     ds: ray.data.Dataset,
     k: int = 5,
@@ -538,30 +629,8 @@ def knn_lsh(
         .map_groups(per_bucket, batch_format="pandas")
     )
 
-    # merge candidates from all tables/sub-buckets per query. NOT a
-    # per-query map_groups (N tiny groups = per-group overhead dominates):
-    # hash-partition by query id, then one VECTORIZED pandas pass per
-    # partition (sort + dedupe + head-k + cumcount).
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__part"] = pd.util.hash_array(df[id_col].to_numpy()) % nparts
-        return df
-
-    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.sort_values(
-            [id_col, "cosine", "neighbor_id"],
-            ascending=[True, False, True],
-            kind="stable",
-        ).drop_duplicates(subset=[id_col, "neighbor_id"])
-        d = d.groupby(id_col, sort=False).head(k).copy()
-        d["rank"] = d.groupby(id_col, sort=False).cumcount().to_numpy() + 1
-        return d[[id_col, "neighbor_id", "rank", "cosine"]]
-
-    return (
-        cands.map_batches(add_part, batch_format="pandas")
-        .groupby("__part")
-        .map_groups(merge_part, batch_format="pandas")
-    )
+    # merge candidates from all tables/sub-buckets per query
+    return _merge_topk(cands, id_col, k, nparts)
 
 
 def _kmeans_fit(sample: np.ndarray, nlist: int, iters: int = 8, seed: int = 42) -> np.ndarray:
@@ -700,21 +769,4 @@ def knn_ivf(
         .map_groups(per_list, batch_format="pandas")
     )
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__part"] = pd.util.hash_array(df[id_col].to_numpy()) % nparts
-        return df
-
-    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.sort_values(
-            [id_col, "cosine", "neighbor_id"], ascending=[True, False, True], kind="stable"
-        ).drop_duplicates(subset=[id_col, "neighbor_id"])
-        d = d.groupby(id_col, sort=False).head(k).copy()
-        d["rank"] = d.groupby(id_col, sort=False).cumcount().to_numpy() + 1
-        return d[[id_col, "neighbor_id", "rank", "cosine"]]
-
-    return (
-        cands.map_batches(add_part, batch_format="pandas")
-        .groupby("__part")
-        .map_groups(merge_part, batch_format="pandas")
-    )
+    return _merge_topk(cands, id_col, k, nparts)

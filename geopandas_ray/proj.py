@@ -469,6 +469,10 @@ def resolve(src: str, dst: str):
     d = REGISTRY.get(dst.upper())
     if s is None or d is None:
         return None
+    if src.upper() == dst.upper():
+        # bit-exact identity, never a lossy WGS84 round trip (value-hash
+        # parity invariant — same guard as crs.py's resolver)
+        return lambda x, y: (x, y)
 
     def fn(x, y):
         lon, lat = _to_wgs84(s, x, y)

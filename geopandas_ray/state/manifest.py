@@ -29,7 +29,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from ..util import default_pool
 
 
 def _sanitize_tag(tag: str) -> str:
@@ -151,14 +150,18 @@ def write_fragments(
     partition_by: str | None = None,
 ) -> list[dict]:
     """Drive the sink; append manifest lines; return them."""
+    # STATELESS tasks, not an actor pool: the writer's per-worker state is
+    # four strings (CLAUDE.md — pools for trivial-state stages invert
+    # scaling on startup churn). The instance pickles by value per task;
+    # _write_one makedirs its target so any node can land fragments.
+    writer = FragmentWriter(
+        out_dir=out_dir, tag=tag, schema_metadata=schema_metadata,
+        partition_by=partition_by,
+    )
     rows = ds.map_batches(
-        FragmentWriter,
+        writer,
         batch_format="pyarrow",
         batch_size=None,  # one fragment per block, not per default-size batch
-        concurrency=default_pool(),
-        fn_constructor_kwargs=dict(
-            out_dir=out_dir, tag=tag, schema_metadata=schema_metadata, partition_by=partition_by
-        ),
     ).take_all()
     append_manifest(out_dir, rows)
     return rows

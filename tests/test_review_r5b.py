@@ -322,3 +322,119 @@ def test_writer_feature_order_deterministic(tmp_path):
     back = read_kml(p).to_pandas()
     # repartition(8) preserves global row order; written file must too
     assert back["fid"].tolist() == list(range(n))
+
+
+# ---------------------------------------------------------------------------
+# second review pass: windows, knn edge cases, proj identity
+# ---------------------------------------------------------------------------
+
+def _ts_events(ts_us: list[int], users=None):
+    import pandas as pd
+
+    n = len(ts_us)
+    return ray.data.from_pandas(pd.DataFrame({
+        "user": users or [1] * n,
+        "ts": pd.to_datetime(np.array(ts_us, dtype="int64"), unit="us"),
+    }))
+
+
+def test_sliding_ragged_window_slide():
+    from geopandas_ray.stages.window import sliding
+
+    # window=90, slide=60: k=ceil(1.5)=2 candidates, kept by containment.
+    # t=100 is in [60,150) only; t=70 is in [0,90) AND [60,150).
+    out = sliding(
+        _ts_events([100_000_000, 70_000_000]), "user", "ts", 90, 60
+    ).to_pandas().sort_values("window_start")
+    got = dict(zip(out.window_start, out.n))
+    assert got == {0: 1, 60: 2}
+
+
+def test_sliding_slide_gt_window():
+    from geopandas_ray.stages.window import sliding
+
+    # slide=90 > window=60: events between window end and next slide land
+    # in NO aligned window; the old floor-k emitted zero rows for ALL
+    out = sliding(
+        _ts_events([100_000_000, 80_000_000]), "user", "ts", 60, 90
+    ).to_pandas()
+    got = dict(zip(out.window_start, out.n))
+    assert got == {90: 1}  # t=100 in [90,150); t=80 in no window
+
+
+def test_sessionize_subsecond_gap():
+    from geopandas_ray.stages.window import sessionize
+
+    # true gap 1.9s > 1 must split (second-truncation merged them);
+    # true gap 1.1s > 1 must also split (truncation got this right only
+    # by accident)
+    # gaps: 1.9s (split), 8.1s (split), 0.9s (merge), 1.1s (split) -> 4
+    # sessions; the old whole-second truncation merged the first pair and
+    # reported 3
+    out = sessionize(
+        _ts_events([0, 1_900_000, 10_000_000, 10_900_000, 12_000_000]),
+        "user", "ts", gap_s=1,
+    ).to_pandas()
+    assert len(out) == 4
+    assert sorted(out.n_events.tolist()) == [1, 1, 1, 2]
+
+
+def test_knn_brute_small_corpus_no_self_inf():
+    from geopandas_ray.functions.knn import knn_brute
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]], type=pa.list_(pa.float64())
+        ),
+    })
+    out = knn_brute(
+        ray.data.from_arrow(t), t, k=5, exclude_self=True
+    ).to_pandas()
+    # k > corpus size: the masked self slot must NOT surface as a
+    # neighbor_id==vec_id row with cosine=-inf
+    assert (out.vec_id != out.neighbor_id).all()
+    assert np.isfinite(out.cosine).all()
+    assert len(out) == 6  # each of 3 queries gets the 2 others
+
+
+def test_knn_brute_empty_corpus():
+    from geopandas_ray.functions.knn import knn_brute
+
+    q = pa.table({
+        "vec_id": pa.array([1], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0]], type=pa.list_(pa.float64())),
+    })
+    empty = q.slice(0, 0)
+    out = knn_brute(ray.data.from_arrow(q), empty, k=3)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"vec_id", "neighbor_id", "rank", "cosine"}
+
+
+def test_cosine_pairs_cross_set():
+    from geopandas_ray.functions.knn import cosine_near_dup_pairs
+
+    corpus = pa.table({
+        "vec_id": pa.array([1, 2], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], type=pa.list_(pa.float64())),
+    })
+    queries = pa.table({
+        "vec_id": pa.array([10, 11], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], type=pa.list_(pa.float64())),
+    })
+    # query ids all EXCEED corpus ids: the self-join dedup (id_a < id_b)
+    # dropped every pair here
+    out = cosine_near_dup_pairs(
+        ray.data.from_arrow(queries), corpus, threshold=0.99, self_join=False
+    ).to_pandas()
+    assert sorted(zip(out.id_a, out.id_b)) == [(10, 1), (11, 2)]
+
+
+def test_proj_resolve_identity_bit_exact():
+    from geopandas_ray import proj
+
+    fn = proj.resolve("EPSG:27700", "EPSG:27700")
+    x = np.array([400000.123456789, 123456.987654321])
+    y = np.array([100000.111111111, 654321.222222222])
+    ox, oy = fn(x, y)
+    assert np.array_equal(np.asarray(ox), x) and np.array_equal(np.asarray(oy), y)
