@@ -261,8 +261,32 @@ def _parse_gml(data: bytes, geometry: str = "geometry") -> pa.Table:
     return pa.table(cols)
 
 
-def read_gml(path: str, geometry: str = "geometry") -> ray.data.Dataset:
-    """File-parallel GML read: one parse task per .gml/.xml file."""
+def _cast_declared(t: pa.Table, column_types: dict | None) -> pa.Table:
+    """Apply caller-declared attribute types after per-file inference —
+    the cross-TASK schema escape hatch: two files landing in DIFFERENT
+    read tasks can infer int64 vs float64 for the same column (permissive
+    promotion only unifies within one task's batch), leaving the dataset
+    with conflicting block schemas. Declaring the type pins every task to
+    the same schema. Unknown columns are ignored (sparse attributes)."""
+    if not column_types:
+        return t
+    for c, typ in column_types.items():
+        if c in t.column_names:
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, t.column(c).cast(typ))
+    return t
+
+
+def read_gml(
+    path: str,
+    geometry: str = "geometry",
+    column_types: dict | None = None,
+) -> ray.data.Dataset:
+    """File-parallel GML read: one parse task per .gml/.xml file.
+
+    ``column_types``: optional {name: pyarrow type} overrides applied
+    after per-file inference — pass for heterogeneous directories where
+    files disagree on a column's numeric type (see _cast_declared)."""
     if os.path.isdir(path):
         import glob
 
@@ -277,7 +301,10 @@ def read_gml(path: str, geometry: str = "geometry") -> ray.data.Dataset:
     raw = ray.data.read_binary_files(paths)
 
     def parse(b: pa.Table) -> pa.Table:
-        tables = [_parse_gml(d.as_py(), geometry) for d in b.column("bytes")]
+        tables = [
+            _cast_declared(_parse_gml(d.as_py(), geometry), column_types)
+            for d in b.column("bytes")
+        ]
         # per-file inference can disagree across files in ONE batch (file A
         # all-int "1", file B "2.5"): "default" promotion refuses int64 vs
         # double and kills the read task; "permissive" unifies to double

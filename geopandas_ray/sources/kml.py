@@ -147,8 +147,19 @@ def _parse_kml(data: bytes, geometry: str = "geometry") -> pa.Table:
     return pa.table(cols)
 
 
-def read_kml(path: str, geometry: str = "geometry") -> ray.data.Dataset:
-    """File-parallel KML read: one parse task per .kml file."""
+def read_kml(
+    path: str,
+    geometry: str = "geometry",
+    column_types: dict | None = None,
+) -> ray.data.Dataset:
+    """File-parallel KML read: one parse task per .kml file.
+
+    ``column_types``: optional {name: pyarrow type} overrides applied
+    after per-file inference — pass for heterogeneous directories where
+    files disagree on an ExtendedData column's numeric type (see
+    gml._cast_declared)."""
+    from .gml import _cast_declared
+
     if os.path.isdir(path):
         import glob
 
@@ -160,7 +171,10 @@ def read_kml(path: str, geometry: str = "geometry") -> ray.data.Dataset:
     raw = ray.data.read_binary_files(paths)
 
     def parse(b: pa.Table) -> pa.Table:
-        tables = [_parse_kml(d.as_py(), geometry) for d in b.column("bytes")]
+        tables = [
+            _cast_declared(_parse_kml(d.as_py(), geometry), column_types)
+            for d in b.column("bytes")
+        ]
         # "permissive": per-file inference can disagree (int64 vs double)
         # across files in one batch; "default" promotion raises in-task
         return pa.concat_tables(tables, promote_options="permissive")

@@ -438,3 +438,20 @@ def test_proj_resolve_identity_bit_exact():
     y = np.array([100000.111111111, 654321.222222222])
     ox, oy = fn(x, y)
     assert np.array_equal(np.asarray(ox), x) and np.array_equal(np.asarray(oy), y)
+
+
+def test_gml_column_types_pins_cross_file_schema(tmp_path):
+    # files in DIFFERENT read tasks can infer int64 vs float64; declaring
+    # the type pins every task's schema
+    from geopandas_ray.sources.gml import read_gml
+
+    body = "<gml:Point><gml:pos>0 0</gml:pos></gml:Point>"
+    for i, v in enumerate(["1", "2", "3", "4.5"]):
+        (tmp_path / f"f{i}.gml").write_text(
+            _GML_HEAD + f"<gml:featureMember><f><v>{v}</v><g>{body}</g></f>"
+            "</gml:featureMember></gml:FeatureCollection>"
+        )
+    ds = read_gml(str(tmp_path), column_types={"v": pa.float64()})
+    sch = ds.schema()
+    assert dict(zip(sch.names, sch.types))["v"] == pa.float64()
+    assert sorted(ds.to_pandas()["v"].tolist()) == [1.0, 2.0, 3.0, 4.5]
