@@ -733,6 +733,32 @@ class GeoDataset:
 
         return total_bounds(self.ds, geometry=self.geometry)
 
+    def drop_duplicates(self, id_col: str | None = None) -> "GeoDataset":
+        """One row per distinct geometry (array.py:582 unique / the
+        drop_duplicates(subset=geometry) idiom). Byte-exact WKB equality;
+        hash-partitioned (functions/geom_dedup.py). Deterministic when
+        ``id_col`` orders rows, else arbitrary-first per duplicate set."""
+        from .functions.geom_dedup import drop_duplicate_geometries
+
+        return self._wrap(
+            drop_duplicate_geometries(self.ds, geometry=self.geometry, id_col=id_col)
+        )
+
+    def unique(self, id_col: str | None = None) -> "GeoDataset":
+        """Distinct geometries only (array.py:582) — drop_duplicates
+        projected to the geometry column."""
+        dd = self.drop_duplicates(id_col=id_col)
+        return GeoDataset(
+            dd.ds.select_columns([self.geometry]), geometry=self.geometry, crs=self.crs
+        )
+
+    def value_counts(self) -> ray.data.Dataset:
+        """(geometry, count) per distinct geometry (array.py:567) — plain
+        Dataset out: count is not a per-row geometry attribute."""
+        from .functions.geom_dedup import geometry_value_counts
+
+        return geometry_value_counts(self.ds, geometry=self.geometry)
+
     def overlay(self, right, how: str = "intersection", *, left_id=None, right_id=None, **kw):
         """overlay with automatic physical-plan selection: when unique id
         columns are given and the right side is a large Dataset, the

@@ -158,3 +158,27 @@ def test_facade_sjoin_nearest_shuffle(boxes):
     # both points sit inside a box -> distance 0 to their container
     assert (j.d == 0).all()
     assert set(j.pid) == {0, 1}
+
+
+def test_facade_geometry_dedup_surface():
+    # two distinct points, each duplicated; ids order the keep-first
+    xs = [1.0, 1.0, 2.0, 2.0, 2.0]
+    t = pa.table(
+        {
+            "gid": pa.array([4, 1, 2, 3, 5], type=pa.int64()),
+            "geometry": W.points_to_wkb(xs, xs),
+        }
+    )
+    g = GeoDataset(ray.data.from_arrow(t), crs="EPSG:4326")
+
+    dd = g.drop_duplicates(id_col="gid").to_pandas()
+    assert sorted(dd.gid.tolist()) == [1, 2]  # min id per duplicate set
+    assert dd.geometry.nunique() == 2
+
+    u = g.unique()
+    assert isinstance(u, GeoDataset) and u.crs == "EPSG:4326"
+    up = u.to_pandas()
+    assert list(up.columns) == ["geometry"] and up.geometry.nunique() == 2 and len(up) == 2
+
+    vc = g.value_counts().to_pandas()
+    assert sorted(vc["count"].tolist()) == [2, 3]
