@@ -166,30 +166,33 @@ def run_bench() -> dict:
         SF_DIR.rstrip("/").endswith("sf0.1") and REPLICATE == 100 and NUM_CPUS >= 32
     )
     EXPECTED_MIN_S: dict[str, float] = (
+        # r5 draw-6 set a new min on EVERY entry (host calibration single
+        # 0.097 s — the fastest phase ever observed; all 26 macro_ratios
+        # 0.68-0.96). Floors = draw-6 values; earlier mins in BASELINE.md.
         {
-            "flagship_shuffle_tiling": 14.04,  # r5 draw-5 min (15 new mins)
-            "flagship_full_rows": 17.68,  # r5 draw-5 min
-            "sjoin_broadcast": 21.76,  # r5 draw-4 min
-            "sjoin_nearest": 3.70,  # r5 draw-4 min
-            "sjoin_nearest_shuffle": 4.73,  # r5 draw-5 min
-            "sjoin_nearest_unbounded": 8.33,  # r5 draw-5 min
-            "sjoin_nearest_rect_shuffle": 6.94,  # r5 draw-5 min
-            "dissolve_zones": 1.51,  # r5 draw-4 min
-            "dissolve_highcard": 3.84,  # r5 draw-5 min
-            "knn_brute": 0.58,  # r5 draw-4 min
-            "minhash_dedup": 8.56,  # r5 draw-5 min
-            "curation": 7.18,  # r5 draw-4 min
-            "decontaminate": 2.05,  # r5 draw-5 min
-            "repetition_stats": 0.94,  # r5 draw-5 min
-            "q1_lineitem": 1.94,
-            "overlay_concave": 20.44,  # r5 draw-5 min
-            "overlay_shuffle_concave": 12.87,
-            "overlay_auto_concave": 12.68,  # r5 draw-5 min
-            "polyfill_compact_zones": 1.88,  # r5 draw-5 min
-            "buffer_round_zones": 4.57,
-            "knn_lsh_skewed": 8.77,  # r5 draw-5 min
-            "dedup_cluster": 11.30,  # r5 draw-5 min
-            "unary_vectorized_100k": 0.44,  # r5 draw-5 min
+            "flagship_shuffle_tiling": 9.53,  # r5 draw-6 min
+            "flagship_full_rows": 11.98,
+            "sjoin_broadcast": 19.92,
+            "sjoin_nearest": 3.55,
+            "sjoin_nearest_shuffle": 3.47,
+            "sjoin_nearest_unbounded": 6.62,
+            "sjoin_nearest_rect_shuffle": 5.85,
+            "dissolve_zones": 1.44,
+            "dissolve_highcard": 3.58,
+            "knn_brute": 0.52,
+            "minhash_dedup": 7.17,
+            "curation": 6.27,
+            "decontaminate": 1.85,
+            "repetition_stats": 0.80,
+            "q1_lineitem": 1.53,
+            "overlay_concave": 18.09,
+            "overlay_shuffle_concave": 9.77,
+            "overlay_auto_concave": 9.94,
+            "polyfill_compact_zones": 1.56,
+            "buffer_round_zones": 3.84,
+            "knn_lsh_skewed": 7.01,
+            "dedup_cluster": 9.08,
+            "unary_vectorized_100k": 0.39,
         }
         if _std_shape
         else {}
