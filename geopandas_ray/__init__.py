@@ -25,4 +25,27 @@ def __getattr__(name):
         from .frame import GeoDataset
 
         return GeoDataset.from_xy
+    # reference __init__.py re-exports (read_file/read_parquet/... and the
+    # tools/ functional forms live at package top level there too)
+    if name in ("read_file", "read_parquet", "read_feather", "read_postgis"):
+        from .frame import GeoDataset
+
+        return getattr(GeoDataset, name)
+    if name in ("sjoin", "sjoin_nearest", "overlay", "clip"):
+        from . import frame
+
+        return getattr(frame, name)
+    if name == "list_layers":
+        from .sources.info import list_layers
+
+        return list_layers
+    if name == "show_versions":
+        from .testing import show_versions
+
+        return show_versions
+    if name == "GeoDataFrame":
+        # the reference's frame class name, for one-line ports
+        from .frame import GeoDataset
+
+        return GeoDataset
     raise AttributeError(f"module 'geopandas_ray' has no attribute {name!r}")

@@ -872,7 +872,54 @@ class GeoDataset:
     def has_sindex(self) -> bool:
         return self._sindex is not None
 
+    def plot(self, *a, **kw):
+        """Reference plotting.py — out of scope: matplotlib is not
+        available in this environment (documented exclusion, SURVEY §2.11).
+        Raising here beats __getattr__'s confusing Dataset AttributeError."""
+        raise NotImplementedError(
+            "GeoDataset.plot requires matplotlib (not available here). "
+            "Export a bounded result with .to_pandas() or .to_file(...) and "
+            "plot it with geopandas/matplotlib outside this engine."
+        )
+
+    def explore(self, *a, **kw):
+        """Reference explore.py — out of scope: folium/mapclassify are not
+        available in this environment (documented exclusion, SURVEY §2.11)."""
+        raise NotImplementedError(
+            "GeoDataset.explore requires folium (not available here). "
+            "Export a bounded result with .to_file('out.geojson') and view "
+            "it in an external map client."
+        )
+
     # deprecated reference aliases (kept at the end: `type` shadows the
     # builtin inside the class body from here on)
     from_file = read_file
     type = geom_type
+
+
+# --------------------------------------------------------------------------
+# top-level functional forms (reference tools/: sjoin.py, overlay.py,
+# clip.py expose module functions alongside the methods; __init__.py
+# re-exports them as geopandas.sjoin / overlay / clip)
+# --------------------------------------------------------------------------
+
+def sjoin(left: GeoDataset, right: GeoDataset, how: str = "inner",
+          predicate: str = "intersects", **kw) -> GeoDataset:
+    """tools/sjoin.py:10 functional form of GeoDataset.sjoin."""
+    return left.sjoin(right, how=how, predicate=predicate, **kw)
+
+
+def sjoin_nearest(left: GeoDataset, right: GeoDataset, **kw) -> GeoDataset:
+    """tools/sjoin.py functional form of GeoDataset.sjoin_nearest."""
+    return left.sjoin_nearest(right, **kw)
+
+
+def overlay(df1: GeoDataset, df2: GeoDataset, how: str = "intersection",
+            **kw) -> GeoDataset:
+    """tools/overlay.py functional form of GeoDataset.overlay."""
+    return df1.overlay(df2, how, **kw)
+
+
+def clip(gdf: GeoDataset, mask, **kw) -> GeoDataset:
+    """tools/clip.py functional form of GeoDataset.clip."""
+    return gdf.clip(mask, **kw)

@@ -300,9 +300,16 @@ def write_geopackage(
             "max_x, max_y, srs_id) VALUES (?,?,?,?,?,?,?,0)",
             (layer, "features", layer, *box),
         )
+        # record the specific type when the layer is uniform (what OGR
+        # writes; list_layers and other readers surface it), generic
+        # GEOMETRY for mixed/empty layers
+        _names = {1: "POINT", 2: "LINESTRING", 3: "POLYGON", 4: "MULTIPOINT",
+                  5: "MULTILINESTRING", 6: "MULTIPOLYGON", 7: "GEOMETRYCOLLECTION"}
+        present = set(np.unique(g.row_types[g.row_types > 0]).tolist())
+        gt_name = _names[present.pop()] if len(present) == 1 else "GEOMETRY"
         con.execute(
             "INSERT INTO gpkg_geometry_columns VALUES (?,?,?,0,0,0)",
-            (layer, geometry, "GEOMETRY"),
+            (layer, geometry, gt_name),
         )
         head = b"GP\x00\x01" + struct.pack("<i", 0)  # v0, LE, no envelope, srs 0
         wcol = t.column(geometry).to_pylist()

@@ -182,3 +182,11 @@ def test_facade_geometry_dedup_surface():
 
     vc = g.value_counts().to_pandas()
     assert sorted(vc["count"].tolist()) == [2, 3]
+
+
+def test_plot_explore_raise_actionable(boxes):
+    # deliberate scope errors, not __getattr__'s Dataset AttributeError
+    with pytest.raises(NotImplementedError, match="matplotlib"):
+        boxes.plot()
+    with pytest.raises(NotImplementedError, match="folium"):
+        boxes.explore()
