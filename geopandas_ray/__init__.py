@@ -48,4 +48,12 @@ def __getattr__(name):
         from .frame import GeoDataset
 
         return GeoDataset
+    if name == "options":
+        from ._config import options
+
+        return options
+    if name in ("tools", "datasets"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
     raise AttributeError(f"module 'geopandas_ray' has no attribute {name!r}")

@@ -198,11 +198,21 @@ class GeoDataset:
 
         return cls(from_geoarrow(ds, encoding, geometry=geometry), geometry=geometry, crs=crs)
 
-    def to_wkt(self, rounding_precision: int = 6, out: str = "wkt") -> "GeoDataset":
-        """Append a WKT string column (GeoSeries.to_wkt)."""
+    def to_wkt(self, rounding_precision: int | None = 6, out: str = "wkt") -> "GeoDataset":
+        """Append a WKT string column (GeoSeries.to_wkt).
+
+        ``rounding_precision=None`` consults ``geopandas_ray.options
+        .display_precision`` (reference ``_config.py`` — the display surface;
+        our lazy frame repr never renders coordinates, so WKT materialization
+        is where display precision applies), falling back to 6."""
         from .geom.wkb import from_wkb
         from .geom.wkt import to_wkt
 
+        if rounding_precision is None:
+            from ._config import options
+
+            dp = options.display_precision
+            rounding_precision = 6 if dp is None else dp
         geometry = self.geometry
 
         def f(b: pa.Table) -> pa.Table:
