@@ -3198,6 +3198,28 @@ def q_kml_roundtrip(sf_dir):
     return t
 
 
+def q_geojsonseq_roundtrip(sf_dir):
+    # newline-delimited GeoJSON: parallel per-block part writer (the scale
+    # layout — parts concatenate byte-for-byte) + line-sharded read-back
+    # through the driver head-probe schema pin; json's shortest-roundtrip
+    # float repr makes x/y bit-exact
+    import shutil
+    import tempfile
+
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.sources.geojsonseq import read_geojsonseq, write_geojsonseq
+    from geopandas_ray.stages.ops import with_xy
+
+    out = tempfile.mkdtemp(prefix="graft_gjs_", dir="/tmp")
+    try:
+        write_geojsonseq(doc_points(sf_dir), f"{out}/parts")
+        back = read_geojsonseq(f"{out}/parts")
+        t = _select(with_xy(back), ["doc_id", "x", "y"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return t
+
+
 def q_geocode(sf_dir):
     # actor-pool geocode (tools/geocoding.py:22) with a deterministic pure
     # provider: query 'poi <id>' -> address + (lat, lon) derived from the id
@@ -3504,6 +3526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gpx_roundtrip": q_gpx_roundtrip,
         "gml_roundtrip": q_gml_roundtrip,
         "kml_roundtrip": q_kml_roundtrip,
+        "geojsonseq_roundtrip": q_geojsonseq_roundtrip,
         "postgis_roundtrip": q_postgis_roundtrip,
         "geocode": q_geocode,
         "reverse_geocode": q_reverse_geocode,
@@ -4332,6 +4355,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gml_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "kml_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        "geojsonseq_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "postgis_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geocode": (
             "SELECT doc_id, 'POI #' || CAST(doc_id AS VARCHAR) AS address, "

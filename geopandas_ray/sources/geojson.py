@@ -272,7 +272,11 @@ def read_file(
 
     if bbox is not None and mask is not None:
         raise ValueError("bbox and mask cannot be used together")
-    if path.lower().endswith((".shp", ".gpkg", ".fgb", ".gpx", ".gml", ".kml")):
+    from .geojsonseq import EXTS as _SEQ_EXTS
+
+    if path.lower().endswith(
+        (".shp", ".gpkg", ".fgb", ".gpx", ".gml", ".kml") + _SEQ_EXTS
+    ):
         if path.lower().endswith(".shp"):
             from .shapefile import read_shapefile as _rd
 
@@ -293,6 +297,10 @@ def read_file(
             from .kml import read_kml
 
             ds = read_kml(path)
+        elif path.lower().endswith(_SEQ_EXTS):
+            from .geojsonseq import read_geojsonseq
+
+            ds = read_geojsonseq(path)
         else:
             # FlatGeobuf: bbox and columns push DOWN into the reader (the
             # packed R-tree prunes features before any bytes are parsed);
@@ -331,9 +339,9 @@ def read_file(
         raise FileNotFoundError(f"no .geojson/.json files under {path!r}")
     if not all(p.endswith((".geojson", ".json")) for p in paths):
         raise NotImplementedError(
-            "read_file parses GeoJSON / ESRI Shapefile / GeoPackage / "
-            "FlatGeobuf / GPX / GML / KML in-sandbox; other OGR formats "
-            "need GDAL (cluster path)"
+            "read_file parses GeoJSON / GeoJSONSeq (.geojsonl/.ndjson) / "
+            "ESRI Shapefile / GeoPackage / FlatGeobuf / GPX / GML / KML "
+            "in-sandbox; other OGR formats need GDAL (cluster path)"
         )
     tables = []
     taken = 0
@@ -388,6 +396,12 @@ def to_file(ds: ray.data.Dataset, path: str, geometry: str = "geometry") -> list
         from .kml import write_kml
 
         return [write_kml(ds, path, geometry=geometry)]
+    from .geojsonseq import EXTS as _SEQ_EXTS
+
+    if path.lower().endswith(_SEQ_EXTS):
+        from .geojsonseq import write_geojsonseq
+
+        return write_geojsonseq(ds, path, geometry=geometry)
 
     os.makedirs(path, exist_ok=True)
     paths: list[str] = []

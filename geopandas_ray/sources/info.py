@@ -142,7 +142,33 @@ def list_layers(path: str) -> pd.DataFrame:
     if ext in (".gml", ".xml", ".kml"):
         name = os.path.splitext(os.path.basename(path))[0]
         return _df([(name, "Unknown")])
+    if ext in (".geojsonl", ".geojsons", ".ndjson"):
+        return _geojsonseq_layers(path)
     raise ValueError(
         f"list_layers: unsupported extension {ext!r} for {path!r} "
-        "(.shp/.gpkg/.fgb/.gpx/.geojson/.json/.gml/.xml/.kml)"
+        "(.shp/.gpkg/.fgb/.gpx/.geojson/.json/.gml/.xml/.kml/"
+        ".geojsonl/.geojsons/.ndjson)"
     )
+
+
+def _geojsonseq_layers(path: str) -> pd.DataFrame:
+    # head probe only — the type lives per-feature and the file may be
+    # huge; OGR's GeoJSONSeq driver likewise reports from a bounded scan
+    from .geojsonseq import _clean, _parse_record
+
+    types: set = set()
+    truncated = False
+    with open(path, encoding="utf-8") as f:
+        for n, raw in enumerate(f):
+            if n >= 4096:
+                truncated = True  # unscanned tail -> can't claim uniform
+                break
+            s = _clean(raw)
+            if not s:
+                continue
+            geom, _ = _parse_record(s)
+            if geom is not None:
+                types.add(geom.get("type"))
+    gt = types.pop() if (len(types) == 1 and not truncated) else "Unknown"
+    name = os.path.splitext(os.path.basename(path))[0]
+    return _df([(name, gt)])
