@@ -3220,6 +3220,28 @@ def q_geojsonseq_roundtrip(sf_dir):
     return t
 
 
+def q_csv_roundtrip(sf_dir):
+    # CSV with a leading WKT geometry column (OGR CSV driver layout):
+    # single-file writer (task-parallel serialization, driver byte concat)
+    # + ray.data.read_csv line-sharded read-back; WKT emits
+    # rounding_precision=-1 shortest-roundtrip floats so x/y are bit-exact
+    import shutil
+    import tempfile
+
+    from geopandas_ray.pipelines.datasets import doc_points
+    from geopandas_ray.sources.csvgeo import read_csv_geo, write_csv_geo
+    from geopandas_ray.stages.ops import with_xy
+
+    out = tempfile.mkdtemp(prefix="graft_csv_", dir="/tmp")
+    try:
+        write_csv_geo(doc_points(sf_dir), f"{out}/docs.csv")
+        back = read_csv_geo(f"{out}/docs.csv")
+        t = _select(with_xy(back), ["doc_id", "x", "y"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return t
+
+
 def q_geocode(sf_dir):
     # actor-pool geocode (tools/geocoding.py:22) with a deterministic pure
     # provider: query 'poi <id>' -> address + (lat, lon) derived from the id
@@ -3527,6 +3549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gml_roundtrip": q_gml_roundtrip,
         "kml_roundtrip": q_kml_roundtrip,
         "geojsonseq_roundtrip": q_geojsonseq_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
         "postgis_roundtrip": q_postgis_roundtrip,
         "geocode": q_geocode,
         "reverse_geocode": q_reverse_geocode,
@@ -4356,6 +4379,7 @@ def oracle_sql() -> dict[str, str]:
         "gml_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "kml_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geojsonseq_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        "csv_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "postgis_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geocode": (
             "SELECT doc_id, 'POI #' || CAST(doc_id AS VARCHAR) AS address, "

@@ -137,6 +137,11 @@ def _parse_geom_text(code: int, body: str, add_part, row_types, i) -> int:
 
 
 def _fmt(v: float, precision: int) -> str:
+    if precision < 0:
+        # shapely's rounding_precision=-1: shortest-roundtrip repr, the
+        # bit-exact interchange mode (CSV/WKT roundtrips)
+        s = repr(float(v))
+        return s[:-2] if s.endswith(".0") else s
     s = f"{v:.{precision}f}".rstrip("0").rstrip(".")
     return s if s not in ("-0", "") else "0"
 

@@ -275,7 +275,7 @@ def read_file(
     from .geojsonseq import EXTS as _SEQ_EXTS
 
     if path.lower().endswith(
-        (".shp", ".gpkg", ".fgb", ".gpx", ".gml", ".kml") + _SEQ_EXTS
+        (".shp", ".gpkg", ".fgb", ".gpx", ".gml", ".kml", ".csv") + _SEQ_EXTS
     ):
         if path.lower().endswith(".shp"):
             from .shapefile import read_shapefile as _rd
@@ -301,6 +301,10 @@ def read_file(
             from .geojsonseq import read_geojsonseq
 
             ds = read_geojsonseq(path)
+        elif path.lower().endswith(".csv"):
+            from .csvgeo import read_csv_geo
+
+            ds = read_csv_geo(path)
         else:
             # FlatGeobuf: bbox and columns push DOWN into the reader (the
             # packed R-tree prunes features before any bytes are parsed);
@@ -402,6 +406,10 @@ def to_file(ds: ray.data.Dataset, path: str, geometry: str = "geometry") -> list
         from .geojsonseq import write_geojsonseq
 
         return write_geojsonseq(ds, path, geometry=geometry)
+    if path.lower().endswith(".csv"):
+        from .csvgeo import write_csv_geo
+
+        return write_csv_geo(ds, path, geometry=geometry)
 
     os.makedirs(path, exist_ok=True)
     paths: list[str] = []

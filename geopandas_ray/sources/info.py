@@ -144,10 +144,15 @@ def list_layers(path: str) -> pd.DataFrame:
         return _df([(name, "Unknown")])
     if ext in (".geojsonl", ".geojsons", ".ndjson"):
         return _geojsonseq_layers(path)
+    if ext == ".csv":
+        # geometry type lives per-row in the WKT field; OGR also reports
+        # the CSV layer without probing
+        name = os.path.splitext(os.path.basename(path))[0]
+        return _df([(name, "Unknown")])
     raise ValueError(
         f"list_layers: unsupported extension {ext!r} for {path!r} "
         "(.shp/.gpkg/.fgb/.gpx/.geojson/.json/.gml/.xml/.kml/"
-        ".geojsonl/.geojsons/.ndjson)"
+        ".geojsonl/.geojsons/.ndjson/.csv)"
     )
 
 
