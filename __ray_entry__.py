@@ -3242,6 +3242,22 @@ def q_csv_roundtrip(sf_dir):
     return t
 
 
+def q_pandas_extension(sf_dir):
+    # pandas-interop edge (array.py GeometryArray/GeometryDtype): pull the
+    # point table with to_pandas(geometry_dtype=True) and read x/y through
+    # the EXTENSION ARRAY's kernel-backed accessors — verifies the pandas
+    # boxing round-trips the WKB bytes unchanged
+    import pandas as pd
+
+    from geopandas_ray.frame import GeoDataset
+    from geopandas_ray.pipelines.datasets import doc_points
+
+    gd = GeoDataset(doc_points(sf_dir), crs="EPSG:4326")
+    df = gd.to_pandas(geometry_dtype=True)
+    arr = df["geometry"].array
+    return pd.DataFrame({"doc_id": df["doc_id"], "x": arr.x, "y": arr.y})
+
+
 def q_geocode(sf_dir):
     # actor-pool geocode (tools/geocoding.py:22) with a deterministic pure
     # provider: query 'poi <id>' -> address + (lat, lon) derived from the id
@@ -3550,6 +3566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kml_roundtrip": q_kml_roundtrip,
         "geojsonseq_roundtrip": q_geojsonseq_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
+        "pandas_extension": q_pandas_extension,
         "postgis_roundtrip": q_postgis_roundtrip,
         "geocode": q_geocode,
         "reverse_geocode": q_reverse_geocode,
@@ -4380,6 +4397,7 @@ def oracle_sql() -> dict[str, str]:
         "kml_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geojsonseq_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "csv_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        "pandas_extension": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "postgis_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geocode": (
             "SELECT doc_id, 'POI #' || CAST(doc_id AS VARCHAR) AS address, "

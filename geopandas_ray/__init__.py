@@ -48,6 +48,12 @@ def __getattr__(name):
         from .frame import GeoDataset
 
         return GeoDataset
+    if name in ("GeometryArray", "GeometryDtype"):
+        # pandas-interop edge (reference array.py); importing it registers
+        # the 'geometry' extension dtype with pandas
+        from . import array
+
+        return getattr(array, name)
     if name == "options":
         from ._config import options
 

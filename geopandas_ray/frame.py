@@ -22,6 +22,7 @@ Conventions (documented deviations from pandas-object semantics):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -169,6 +170,49 @@ class GeoDataset:
 
         return cls(ray.data.from_arrow(from_dict(data, geometry=geometry)),
                    geometry=geometry, crs=crs)
+
+    @classmethod
+    def from_pandas(cls, df, geometry: str = "geometry", crs=None) -> "GeoDataset":
+        """A pandas DataFrame whose geometry column is either WKB bytes
+        (object) or the engine's pandas ``GeometryArray`` extension dtype
+        (reference array.py) — the inverse of
+        ``to_pandas(geometry_dtype=True)``."""
+        from .array import GeometryArray
+
+        df = df.copy(deep=False)
+        col = df[geometry] if geometry in df.columns else None
+        if col is not None and isinstance(col.array, GeometryArray):
+            arr: GeometryArray = col.array
+            crs = crs or arr.crs
+            t = pa.Table.from_pandas(
+                df.drop(columns=[geometry]), preserve_index=False
+            ).append_column(
+                geometry, pa.array(list(arr.to_wkb()), type=pa.large_binary())
+            )
+            return cls(ray.data.from_arrow(t), geometry=geometry, crs=crs)
+        return cls(ray.data.from_pandas(df), geometry=geometry, crs=crs)
+
+    def to_pandas(self, limit: int | None = None, geometry_dtype: bool = False):
+        """Pull to a driver-sized pandas DataFrame. ``geometry_dtype=True``
+        boxes the geometry column as the pandas extension dtype
+        ``geometry`` (GeometryArray — reference array.py:256), carrying
+        the CRS, so pandas-side groupby/unique/concat see a first-class
+        geometry column instead of raw bytes."""
+        df = self.ds.to_pandas(limit) if limit is not None else self.ds.to_pandas()
+        if geometry_dtype and self.geometry in df.columns:
+            from .array import GeometryArray
+
+            df[self.geometry] = pd.Series(
+                GeometryArray(
+                    np.asarray(
+                        [None if v is None else bytes(v) for v in df[self.geometry]],
+                        dtype=object,
+                    ),
+                    crs=self.crs,
+                ),
+                index=df.index,
+            )
+        return df
 
     @classmethod
     def from_wkb(
