@@ -3258,6 +3258,37 @@ def q_pandas_extension(sf_dir):
     return pd.DataFrame({"doc_id": df["doc_id"], "x": arr.x, "y": arr.y})
 
 
+def q_hash_split(sf_dir):
+    # deterministic train/test split (functions/sampling.py): shuffle-free
+    # per-row Knuth bucket on doc_id, SQL-reproducible — returns the TRAIN
+    # side with its bucket so the oracle checks assignment, not just counts
+    import ray.data
+
+    from geopandas_ray.functions.sampling import train_test_split, with_hash_bucket
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    train, _test = train_test_split(docs, key="doc_id", test_frac=0.2)
+    out = with_hash_bucket(train, key="doc_id", out="bucket")
+    return _select(out, ["doc_id", "lang", "bucket"]).to_pandas()
+
+
+def q_sample_stratified(sf_dir):
+    # per-stratum deterministic budgets: 50% of en, 25% of de, nothing
+    # else — a pure per-row filter (zero shuffle), key-consistent across
+    # tables by construction
+    import ray.data
+
+    from geopandas_ray.functions.sampling import sample_stratified
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = sample_stratified(docs, strata="lang", fracs={"en": 0.5, "de": 0.25})
+    return _select(out, ["doc_id", "lang"]).to_pandas()
+
+
 def q_geocode(sf_dir):
     # actor-pool geocode (tools/geocoding.py:22) with a deterministic pure
     # provider: query 'poi <id>' -> address + (lat, lon) derived from the id
@@ -3567,6 +3598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geojsonseq_roundtrip": q_geojsonseq_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
         "pandas_extension": q_pandas_extension,
+        "hash_split": q_hash_split,
+        "sample_stratified": q_sample_stratified,
         "postgis_roundtrip": q_postgis_roundtrip,
         "geocode": q_geocode,
         "reverse_geocode": q_reverse_geocode,
@@ -4398,6 +4431,17 @@ def oracle_sql() -> dict[str, str]:
         "geojsonseq_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "csv_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "pandas_extension": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        "hash_split": (
+            "SELECT doc_id, lang, "
+            "(doc_id * 2654435761) % 4294967296 % 10000 AS bucket "
+            "FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 % 10000 >= 2000"
+        ),
+        "sample_stratified": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "(lang = 'en' AND (doc_id * 2654435761) % 4294967296 % 10000 < 5000) "
+            "OR (lang = 'de' AND (doc_id * 2654435761) % 4294967296 % 10000 < 2500)"
+        ),
         "postgis_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geocode": (
             "SELECT doc_id, 'POI #' || CAST(doc_id AS VARCHAR) AS address, "

@@ -206,6 +206,11 @@ class GeometryArray(ExtensionArray):
     def __array__(self, dtype=None, copy=None):
         return self._data if dtype in (None, object) else self._data.astype(dtype)
 
+    def __arrow_array__(self, type=None):
+        # pa.Table.from_pandas on a geometry-dtyped frame lands on the
+        # engine's canonical Arrow encoding directly
+        return pa.array(list(self._data), type=type or pa.large_binary())
+
     def __eq__(self, other):
         if isinstance(other, GeometryArray):
             other = other._data

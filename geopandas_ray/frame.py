@@ -179,16 +179,11 @@ class GeoDataset:
         ``to_pandas(geometry_dtype=True)``."""
         from .array import GeometryArray
 
-        df = df.copy(deep=False)
         col = df[geometry] if geometry in df.columns else None
         if col is not None and isinstance(col.array, GeometryArray):
-            arr: GeometryArray = col.array
-            crs = crs or arr.crs
-            t = pa.Table.from_pandas(
-                df.drop(columns=[geometry]), preserve_index=False
-            ).append_column(
-                geometry, pa.array(list(arr.to_wkb()), type=pa.large_binary())
-            )
+            crs = crs or col.array.crs
+            # GeometryArray.__arrow_array__ encodes straight to large_binary
+            t = pa.Table.from_pandas(df, preserve_index=False)
             return cls(ray.data.from_arrow(t), geometry=geometry, crs=crs)
         return cls(ray.data.from_pandas(df), geometry=geometry, crs=crs)
 

@@ -145,8 +145,11 @@ def test_list_layers_gpx_and_geojson(tmp_path):
     df = list_layers(str(gj))
     assert df.name.tolist() == ["pts"] and df.geometry_type.tolist() == ["Point"]
 
+    # csv is supported now (geometry type lives per-row -> Unknown)
+    csv_df = list_layers(str(tmp_path / "x.csv"))
+    assert csv_df.geometry_type.tolist() == ["Unknown"]
     with pytest.raises(ValueError, match="unsupported extension"):
-        list_layers(str(tmp_path / "x.csv"))
+        list_layers(str(tmp_path / "x.tab"))
 
 
 def test_list_layers_engine_written_gpkg(tmp_path):
