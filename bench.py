@@ -692,6 +692,26 @@ def run_bench() -> dict:
 
     timed("dedup_cluster", run_cluster, reps=2)
 
+    def run_geojsonseq_io():
+        # text-interchange throughput: per-block part writer + line-sharded
+        # read-back over 500k features (new r5 format; no floor yet)
+        import shutil
+        import tempfile
+
+        from geopandas_ray.sources.geojsonseq import (
+            read_geojsonseq,
+            write_geojsonseq,
+        )
+
+        out = tempfile.mkdtemp(prefix="bench_gjs_", dir="/tmp")
+        try:
+            write_geojsonseq(doc_points(SF_DIR, replicate=REPLICATE), f"{out}/parts")
+            return read_geojsonseq(f"{out}/parts").count()
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    timed("geojsonseq_io", run_geojsonseq_io)
+
     def run_q1():
         from ray.data.aggregate import Count, Sum
 

@@ -29,6 +29,10 @@ _MOD32 = np.uint64(4294967296)
 
 
 def _bucket_of(keys: np.ndarray, n_buckets: int, salt: int) -> np.ndarray:
+    if keys.min(initial=0) < 0:
+        # uint64 wraparound would silently diverge from the SQL form of
+        # the same hash — refuse rather than split differently
+        raise ValueError("hash-split keys must be non-negative integers")
     k = keys.astype(np.uint64) + np.uint64(salt)
     return ((k * _KNUTH) % _MOD32 % np.uint64(n_buckets)).astype(np.int64)
 

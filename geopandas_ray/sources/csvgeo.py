@@ -73,6 +73,9 @@ def read_csv_geo(
         def decode(b: pa.Table) -> pa.Table:
             vals = b.column(src).to_pylist()
             g = from_wkt([v if v else None for v in vals])
+            if src == geometry:
+                # replace in place — never two columns of the same name
+                return b.set_column(b.column_names.index(src), geometry, to_wkb(g))
             if not keep_geom_columns:
                 b = b.drop_columns([src])
             return b.append_column(geometry, to_wkb(g))
