@@ -170,8 +170,8 @@ def run_bench() -> dict:
         # 0.097 s — the fastest phase ever observed; all 26 macro_ratios
         # 0.68-0.96). Floors = draw-6 values; earlier mins in BASELINE.md.
         {
-            "flagship_shuffle_tiling": 9.53,  # r5 draw-6 min
-            "flagship_full_rows": 11.98,
+            "flagship_shuffle_tiling": 9.36,  # r5 draw-7 min
+            "flagship_full_rows": 9.34,  # r5 draw-7 min
             "sjoin_broadcast": 19.92,
             "sjoin_nearest": 3.55,
             "sjoin_nearest_shuffle": 3.47,
@@ -179,12 +179,13 @@ def run_bench() -> dict:
             "sjoin_nearest_rect_shuffle": 5.85,
             "dissolve_zones": 1.44,
             "dissolve_highcard": 3.58,
-            "knn_brute": 0.52,
+            "knn_brute": 0.48,  # r5 draw-7 min
             "minhash_dedup": 7.17,
             "curation": 6.27,
             "decontaminate": 1.85,
             "repetition_stats": 0.80,
-            "q1_lineitem": 1.53,
+            "q1_lineitem": 1.00,  # r5 draw-7 min
+            "geojsonseq_io": 3.19,  # r5 draw-7 first number
             "overlay_concave": 18.09,
             "overlay_shuffle_concave": 9.77,
             "overlay_auto_concave": 9.94,
