@@ -3289,6 +3289,22 @@ def q_sample_stratified(sf_dir):
     return _select(out, ["doc_id", "lang"]).to_pandas()
 
 
+def q_tfidf_top_terms(sf_dir):
+    # distributed TF-IDF keyword extraction (functions/tfidf.py): tokenize
+    # -> per-batch df partials + small groupby-sum -> broadcast idf ->
+    # hash-partitioned per-doc top-k. Score is tf * (N/df) in a pinned
+    # association order — bit-identical to the SQL oracle (no log)
+    import ray.data
+
+    from geopandas_ray.functions.tfidf import tfidf_top_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = tfidf_top_terms(docs, k=5)
+    return _select(out, ["doc_id", "token", "tf", "df", "score"]).to_pandas()
+
+
 def q_geocode(sf_dir):
     # actor-pool geocode (tools/geocoding.py:22) with a deterministic pure
     # provider: query 'poi <id>' -> address + (lat, lon) derived from the id
@@ -3600,6 +3616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pandas_extension": q_pandas_extension,
         "hash_split": q_hash_split,
         "sample_stratified": q_sample_stratified,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "postgis_roundtrip": q_postgis_roundtrip,
         "geocode": q_geocode,
         "reverse_geocode": q_reverse_geocode,
@@ -4441,6 +4458,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents WHERE "
             "(lang = 'en' AND (doc_id * 2654435761) % 4294967296 % 10000 < 5000) "
             "OR (lang = 'de' AND (doc_id * 2654435761) % 4294967296 % 10000 < 2500)"
+        ),
+        "tfidf_top_terms": (
+            "WITH toks AS ("
+            " SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS tf"
+            " FROM (SELECT doc_id, unnest(string_split_regex(lower(text),"
+            " '[^a-z0-9]+')) AS t FROM documents) u"
+            " WHERE t <> '' GROUP BY doc_id, t"
+            "), dfr AS ("
+            " SELECT token, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY token"
+            "), nn AS (SELECT count(*) AS n FROM documents),"
+            " scored AS ("
+            " SELECT toks.doc_id, toks.token, toks.tf, dfr.df,"
+            " toks.tf * (CAST(nn.n AS DOUBLE) / dfr.df) AS score"
+            " FROM toks JOIN dfr ON toks.token = dfr.token CROSS JOIN nn"
+            "), ranked AS ("
+            " SELECT *, row_number() OVER (PARTITION BY doc_id"
+            " ORDER BY score DESC, token ASC) AS rk FROM scored)"
+            " SELECT doc_id, token, tf, df, score FROM ranked WHERE rk <= 5"
         ),
         "postgis_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "geocode": (
