@@ -3305,6 +3305,23 @@ def q_tfidf_top_terms(sf_dir):
     return _select(out, ["doc_id", "token", "tf", "df", "score"]).to_pandas()
 
 
+def q_kmeans_clusters(sf_dir):
+    # distributed k-means over embeddings (functions/clustering.py):
+    # deterministic smallest-id init, broadcast centroids, one streaming
+    # pass per iteration. Iterative — no SQL oracle (rows-only check);
+    # single-node Lloyd equivalence is pinned in tests/test_clustering.py
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from geopandas_ray.functions.clustering import kmeans
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = kmeans(emb, k=8, iters=5)
+    return _select(
+        out.groupby("cluster").aggregate(Count(alias_name="n")), ["cluster", "n"]
+    ).to_pandas()
+
+
 def q_geocode(sf_dir):
     # actor-pool geocode (tools/geocoding.py:22) with a deterministic pure
     # provider: query 'poi <id>' -> address + (lat, lon) derived from the id
@@ -3617,6 +3634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": q_hash_split,
         "sample_stratified": q_sample_stratified,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "kmeans_clusters": q_kmeans_clusters,
         "postgis_roundtrip": q_postgis_roundtrip,
         "geocode": q_geocode,
         "reverse_geocode": q_reverse_geocode,

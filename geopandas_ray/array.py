@@ -343,6 +343,73 @@ class GeometryArray(ExtensionArray):
         return self._data.copy()
 
 
+@pd.api.extensions.register_series_accessor("geo")
+class GeoAccessor:
+    """``series.geo.<op>`` on a geometry-dtyped pandas Series — the
+    GeoSeries-method surface for frames produced by
+    ``GeoDataset.to_pandas(geometry_dtype=True)`` (driver-sized by
+    contract; dataset-scale work stays on the GeoDataset facade)."""
+
+    def __init__(self, s: pd.Series):
+        if not isinstance(s.array, GeometryArray):
+            raise AttributeError(
+                ".geo accessor requires a geometry-dtyped Series "
+                "(GeoDataset.to_pandas(geometry_dtype=True))"
+            )
+        self._s = s
+
+    @property
+    def _arr(self) -> GeometryArray:
+        return self._s.array
+
+    @property
+    def crs(self):
+        return self._arr.crs
+
+    @property
+    def area(self) -> pd.Series:
+        return pd.Series(self._arr.area, index=self._s.index, name="area")
+
+    @property
+    def length(self) -> pd.Series:
+        return pd.Series(self._arr.length, index=self._s.index, name="length")
+
+    @property
+    def x(self) -> pd.Series:
+        return pd.Series(self._arr.x, index=self._s.index, name="x")
+
+    @property
+    def y(self) -> pd.Series:
+        return pd.Series(self._arr.y, index=self._s.index, name="y")
+
+    @property
+    def geom_type(self) -> pd.Series:
+        return pd.Series(self._arr.geom_type, index=self._s.index, name="geom_type")
+
+    @property
+    def bounds(self) -> pd.DataFrame:
+        b = self._arr.bounds
+        return pd.DataFrame(
+            b, columns=["minx", "miny", "maxx", "maxy"], index=self._s.index
+        )
+
+    @property
+    def total_bounds(self) -> np.ndarray:
+        return self._arr.total_bounds
+
+    @property
+    def centroid(self) -> pd.Series:
+        return pd.Series(self._arr.centroid, index=self._s.index, name="centroid")
+
+    def to_crs(self, crs) -> pd.Series:
+        return pd.Series(self._arr.to_crs(crs), index=self._s.index, name=self._s.name)
+
+    def to_wkt(self, rounding_precision: int = 6) -> pd.Series:
+        return pd.Series(
+            self._arr.to_wkt(rounding_precision), index=self._s.index, name=self._s.name
+        )
+
+
 # --- module constructors (reference array.py:118-255) -------------------
 
 

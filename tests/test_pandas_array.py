@@ -125,3 +125,22 @@ def test_geodataset_roundtrip(ray_session):
     assert back.crs == "EPSG:4326"
     t2 = back.to_pandas().sort_values("fid")
     assert t2["geometry"].tolist() == plain["geometry"].tolist()
+
+
+def test_geo_accessor():
+    s = pd.Series(points_from_xy([1.0, 3.0], [2.0, 4.0], crs="EPSG:4326"))
+    assert s.geo.x.tolist() == [1.0, 3.0]
+    assert s.geo.y.tolist() == [2.0, 4.0]
+    assert s.geo.crs == "EPSG:4326"
+    assert s.geo.geom_type.tolist() == ["Point", "Point"]
+    assert s.geo.bounds.columns.tolist() == ["minx", "miny", "maxx", "maxy"]
+    assert s.geo.total_bounds.tolist() == [1.0, 2.0, 3.0, 4.0]
+    m = s.geo.to_crs("EPSG:3857")
+    assert isinstance(m.array, GeometryArray) and m.array.crs == "EPSG:3857"
+    assert s.geo.to_wkt().tolist() == ["POINT (1 2)", "POINT (3 4)"]
+    poly = pd.Series(from_wkt(["POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"]))
+    assert poly.geo.area.tolist() == [4.0]
+    assert poly.geo.centroid.geo.x.tolist() == [1.0]
+    # non-geometry series refuses the accessor
+    with pytest.raises(AttributeError, match="geometry-dtyped"):
+        pd.Series([1, 2]).geo.area
