@@ -80,12 +80,13 @@ class GeometryArray(ExtensionArray):
             data = data._data
         elif isinstance(data, (pa.Array, pa.ChunkedArray)):
             data = np.asarray(data.to_pylist(), dtype=object)
-        elif not isinstance(data, np.ndarray):
+        elif not isinstance(data, np.ndarray) or data.dtype != object:
+            # coerce per scalar (WKT strings parse, junk raises loudly);
+            # object ndarrays are the internal fast path (take/concat/
+            # factorize always hand back object arrays of bytes)
             data = np.asarray(
                 [_coerce_scalar(v) for v in data], dtype=object
             )
-        if data.dtype != object:
-            data = data.astype(object)
         self._data = data
         self._crs = crs
 
@@ -155,7 +156,9 @@ class GeometryArray(ExtensionArray):
 
     @classmethod
     def _from_sequence(cls, scalars, dtype=None, copy=False):
-        return cls(scalars)
+        # always through the coercing list path: user scalars may be WKT
+        # strings / memoryviews even inside an object ndarray
+        return cls(list(scalars))
 
     @classmethod
     def _from_sequence_of_strings(cls, strings, *, dtype=None, copy=False):
@@ -217,6 +220,13 @@ class GeometryArray(ExtensionArray):
         elif isinstance(other, (bytes, bytearray)) or other is None:
             # NOT np.full — numpy expands bytes as a sequence of ints
             other = [other] * len(self)
+        elif not hasattr(other, "__len__"):
+            # non-geometry scalar: nothing matches (pandas eq semantics)
+            return np.zeros(len(self), dtype=bool)
+        elif len(other) != len(self):
+            raise ValueError(
+                f"Lengths must match: {len(self)} vs {len(other)}"
+            )
         return np.array(
             [a == b and a is not None for a, b in zip(self._data, other)], dtype=bool
         )
@@ -242,9 +252,13 @@ class GeometryArray(ExtensionArray):
         # reference array.py:541 — to string means WKT, not repr(bytes)
         if isinstance(dtype, GeometryDtype):
             return self.copy() if copy else self
+        d = pd.api.types.pandas_dtype(dtype)
+        if d == np.dtype(object):
+            # object means the scalars themselves (WKB bytes) — NOT a
+            # lossy WKT rendering (is_string_dtype is True for object!)
+            return self._data.copy() if copy else self._data
         if dtype in (str, "str"):
             return np.asarray(self.to_wkt(), dtype=object)
-        d = pd.api.types.pandas_dtype(dtype)
         if pd.api.types.is_string_dtype(d) and not isinstance(d, pd.CategoricalDtype):
             return pd.array(self.to_wkt(), dtype=d)
         return super().astype(dtype, copy=copy)
@@ -289,10 +303,9 @@ class GeometryArray(ExtensionArray):
     @property
     def x(self) -> np.ndarray:
         g = self._geoms()
-        tb = K.bounds(g)
         if any(t not in (0, _wkb.POINT) for t in np.asarray(g.row_types)):
             raise ValueError("x attribute access only provided for Point geometries")
-        return tb[:, 0]
+        return K.bounds(g)[:, 0]
 
     @property
     def y(self) -> np.ndarray:

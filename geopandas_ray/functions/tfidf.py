@@ -103,6 +103,7 @@ def tfidf_top_terms(
     """Top-``k`` terms per document by ``tf * (N / df)``. Returns
     (doc_id, token, tf, df, score) — ``score`` is bit-reproducible (no
     transcendentals, fixed association order)."""
+    ds = ds.materialize()  # two consumers (count + tokenize) — CLAUDE.md rule
     n_docs = ds.count()
     toks = tokenize_tf(ds, text_col=text_col, id_col=id_col).materialize()
     # ^ two consumers below (df pass + scoring join) — materialize once

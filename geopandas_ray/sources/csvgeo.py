@@ -58,6 +58,11 @@ def read_csv_geo(
         arrow_csv_args["convert_options"] = pacsv.ConvertOptions(
             strings_can_be_null=True
         )
+    if (x is None) != (y is None):
+        raise ValueError(
+            "read_csv_geo: x= and y= must be given together "
+            f"(got x={x!r}, y={y!r})"
+        )
     ds = ray.data.read_csv(path, **arrow_csv_args)
     names = ds.schema().names
     if wkt is None and x is None and y is None:

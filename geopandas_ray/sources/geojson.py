@@ -81,13 +81,23 @@ def geo_dict_to_wkb(d: dict | None) -> bytes | None:
         return _parts_to_wkb([(LINESTRING, [np.asarray(c, dtype=np.float64)])])
     if t == "Polygon":
         return _parts_to_wkb([(POLYGON, [np.asarray(r, dtype=np.float64) for r in c])])
+    # force_multi: a one-part "MultiPolygon" stays MULTIPOLYGON — GeoJSON
+    # declares the type explicitly, same OGR-parity rule as the GPX/GML/
+    # KML/FGB readers (CLAUDE.md round-5; was a silent type transmutation)
     if t == "MultiPoint":
-        return _parts_to_wkb([(POINT, [np.asarray([p], dtype=np.float64)]) for p in c])
+        return _parts_to_wkb(
+            [(POINT, [np.asarray([p], dtype=np.float64)]) for p in c],
+            force_multi=True,
+        )
     if t == "MultiLineString":
-        return _parts_to_wkb([(LINESTRING, [np.asarray(l, dtype=np.float64)]) for l in c])
+        return _parts_to_wkb(
+            [(LINESTRING, [np.asarray(l, dtype=np.float64)]) for l in c],
+            force_multi=True,
+        )
     if t == "MultiPolygon":
         return _parts_to_wkb(
-            [(POLYGON, [np.asarray(r, dtype=np.float64) for r in poly]) for poly in c]
+            [(POLYGON, [np.asarray(r, dtype=np.float64) for r in poly]) for poly in c],
+            force_multi=True,
         )
     if t == "GeometryCollection":
         parts = []
@@ -321,6 +331,13 @@ def read_file(
         # narrowing stays ON the dataset (streaming), unlike the
         # driver-parsed GeoJSON branch below
         if bbox is not None or mask is not None:
+            if "geometry" not in ds.schema().names:
+                # a geometry-less CSV read: fail on the driver with the
+                # cause, not a KeyError inside a worker task
+                raise ValueError(
+                    f"read_file: {path!r} has no recognizable geometry "
+                    "column, so bbox=/mask= cannot filter it"
+                )
             ds = ds.map_batches(
                 lambda b: _filter_bbox_mask(b, bbox, mask), batch_format="pyarrow"
             )
