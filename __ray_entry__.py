@@ -3322,6 +3322,37 @@ def q_kmeans_clusters(sf_dir):
     ).to_pandas()
 
 
+def q_semantic_dedup(sf_dir):
+    # SemDeDup pruning rule in its oracle-able k=1 form: row i survives iff
+    # NO smaller-id row has cosine >= tau (NOT-EXISTS in SQL). The kmeans
+    # bucketing itself is checked rows-only by q_semantic_dedup_kmeans.
+    import ray.data
+
+    from geopandas_ray.functions.clustering import semantic_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = semantic_dedup(ds, threshold=NEAR_DUP_TAU, k=1, iters=1)
+    return _select(out, ["vec_id"])
+
+
+def q_semantic_dedup_kmeans(sf_dir):
+    # the real scale path: kmeans buckets (one shuffle on the cluster key),
+    # per-cluster prefix pruning. Approximate across cluster boundaries by
+    # construction (SemDeDup contract) — rows-only check; single-node
+    # equivalence pinned in tests/test_semantic_dedup.py
+    import ray.data
+
+    from geopandas_ray.functions.clustering import semantic_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = semantic_dedup(ds, threshold=NEAR_DUP_TAU, k=8, iters=5)
+    return _select(out, ["vec_id"])
+
+
 def q_geocode(sf_dir):
     # actor-pool geocode (tools/geocoding.py:22) with a deterministic pure
     # provider: query 'poi <id>' -> address + (lat, lon) derived from the id
@@ -3635,6 +3666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": q_sample_stratified,
         "tfidf_top_terms": q_tfidf_top_terms,
         "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
         "postgis_roundtrip": q_postgis_roundtrip,
         "geocode": q_geocode,
         "reverse_geocode": q_reverse_geocode,
@@ -4185,6 +4218,11 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b "
             f"ON a.vec_id < b.vec_id AND list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_TAU}"
+        ),
+        "semantic_dedup": (
+            "SELECT a.vec_id FROM embeddings a WHERE NOT EXISTS ("
+            "SELECT 1 FROM embeddings b WHERE b.vec_id < a.vec_id "
+            f"AND list_cosine_similarity(a.embedding, b.embedding) >= {NEAR_DUP_TAU})"
         ),
         "buffer_mitre_area": (
             f"{W} SELECT zone_key, CAST((zmaxx-zminx+14)*(zmaxy-zminy+14) AS DOUBLE) AS area FROM zones"

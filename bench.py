@@ -680,6 +680,37 @@ def run_bench() -> dict:
 
     timed("knn_lsh_skewed", run_knn_lsh)
 
+    def run_semantic_dedup():
+        # SemDeDup over 50k deterministic 64-dim vectors, 30% planted
+        # near-duplicates (perturbed copies of earlier rows): kmeans
+        # buckets (one shuffle) -> per-cluster chunked prefix pruning
+        import numpy as np
+        import pyarrow as pa
+
+        from geopandas_ray.functions.clustering import semantic_dedup
+
+        rng = np.random.RandomState(7)
+        n, dim = 50_000, 64
+        vecs = rng.randn(n, dim).astype(np.float32)
+        dup = rng.rand(n) < 0.3
+        dup[: n // 2] = False  # duplicates copy only earlier (kept) rows
+        src = rng.randint(0, n // 2, size=int(dup.sum()))
+        vecs[dup] = vecs[src] + 0.01 * rng.randn(int(dup.sum()), dim).astype(
+            np.float32
+        )
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.ravel()), dim
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(32)
+        return semantic_dedup(ds, threshold=0.95, iters=5).count()
+
+    timed("semantic_dedup_50k", run_semantic_dedup)
+
     def run_cluster():
         # full near-dup pipeline: minhash candidates -> min-label
         # connected components (4 bounded label-propagation rounds)

@@ -141,3 +141,119 @@ def kmeans(
     """fit + assign in one call."""
     cents = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
     return kmeans_assign(ds, cents, vec_col=vec_col, out=out)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+
+def _prefix_keep(v: np.ndarray, ids: np.ndarray, threshold: float, chunk: int) -> np.ndarray:
+    """Kept-id subset of one cluster under the prefix rule: row ``i`` (ids
+    ascending) survives iff NO row with a smaller id has cosine >=
+    ``threshold`` to it — the NOT-EXISTS contract an SQL oracle can state.
+    ``v`` must be L2-normalized. Chunked (chunk x n) matmuls, never the full
+    n x n matrix."""
+    order = np.argsort(ids, kind="stable")
+    v = v[order]
+    ids_sorted = ids[order]
+    n = len(ids_sorted)
+    keep = np.ones(n, dtype=bool)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        sims = v[s:e] @ v[:e].T  # rows [s,e) vs every column j < e
+        # mask columns j >= i (global): the sub-block's upper triangle
+        # including the diagonal
+        tri = np.triu_indices(e - s)
+        sims[tri[0], s + tri[1]] = -np.inf
+        keep[s:e] = sims.max(axis=1, initial=-np.inf) < threshold
+    return ids_sorted[keep]
+
+
+def _prune_cluster(
+    v: np.ndarray,
+    ids: np.ndarray,
+    threshold: float,
+    chunk: int,
+    cap: int,
+    seed: int,
+    depth: int = 0,
+) -> list[np.ndarray]:
+    """Recursive hyperplane re-split above ``cap`` (same overflow pattern as
+    knn.py's LSH buckets). A split can separate a true near-dup pair
+    (approximate, documented); EXACT duplicates always land on the same
+    side (identical vectors -> identical projection)."""
+    if len(ids) > cap and depth <= 24:
+        rng = np.random.RandomState((seed + depth * 7919) & 0x7FFFFFFF)
+        plane = rng.normal(size=v.shape[1])
+        side = (v - v.mean(axis=0)) @ plane > 0
+        if side.any() and not side.all():
+            return _prune_cluster(
+                v[side], ids[side], threshold, chunk, cap, seed, depth + 1
+            ) + _prune_cluster(v[~side], ids[~side], threshold, chunk, cap, seed, depth + 1)
+    return [_prefix_keep(v, ids, threshold, chunk)]
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    threshold: float = 0.9,
+    k: int | None = None,
+    iters: int = 5,
+    target_cluster: int = 4096,
+    cluster_row_cap: int = 65536,
+    chunk: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cluster_col: bool = False,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """SemDeDup: k-means buckets the embedding space, then each cluster is
+    pruned independently — row ``i`` is dropped iff some smaller-id row in
+    the SAME cluster has cosine >= ``threshold``. Returns the surviving rows
+    (all input columns).
+
+    Scale shape: ``k`` defaults to ``ceil(n / target_cluster)`` so per-group
+    work stays a bounded O(cluster^2 / chunk) matmul; the cluster id is the
+    ONE shuffle key (repartition-before-groupby per the block-per-input-block
+    quirk); per-group matmul is the documented heavy-group exception to the
+    no-map_groups rule. Clusters over ``cluster_row_cap`` re-split by random
+    hyperplanes (cross-split near-dups can be missed — same approximation
+    contract as minhash/LSH; exact duplicates are never missed).
+
+    Determinism: smallest-id k-means init + prefix-keep rule make the kept
+    set reproducible; with ``k=1`` the result is exactly the SQL
+    ``NOT EXISTS (earlier row with cosine >= t)`` relation (gate-checked).
+    """
+    ds = ds.materialize()  # fit reads it twice more below (CLAUDE.md rule)
+    n = ds.count()
+    if n == 0:
+        return ds
+    if k is None:
+        k = max(1, int(np.ceil(n / max(target_cluster, 1))))
+    cents = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    assigned = kmeans_assign(ds, cents, vec_col=vec_col, out="__sem_cluster")
+
+    drop_cols = [] if keep_cluster_col else ["__sem_cluster"]
+
+    def per_cluster(df):
+        import pandas as pd
+
+        v = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        ids = df[id_col].to_numpy().astype(np.int64)
+        nn = np.linalg.norm(v, axis=1)
+        nn[nn == 0] = 1.0
+        kept_parts = _prune_cluster(
+            v / nn[:, None], ids, threshold, chunk, cluster_row_cap, seed
+        )
+        kept = np.concatenate(kept_parts) if kept_parts else np.array([], dtype=np.int64)
+        out = df[df[id_col].isin(pd.unique(kept))]
+        return out.drop(columns=drop_cols) if drop_cols else out
+
+    from ..util import default_shuffle_partitions
+
+    nparts = default_shuffle_partitions()
+    return (
+        assigned.repartition(nparts)
+        .groupby("__sem_cluster")
+        .map_groups(per_cluster, batch_format="pandas")
+    )
