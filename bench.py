@@ -170,21 +170,21 @@ def run_bench() -> dict:
         # 0.097 s — the fastest phase ever observed; all 26 macro_ratios
         # 0.68-0.96). Floors = draw-6 values; earlier mins in BASELINE.md.
         {
-            "flagship_shuffle_tiling": 9.36,  # r5 draw-7 min
-            "flagship_full_rows": 9.34,  # r5 draw-7 min
-            "sjoin_broadcast": 19.92,
-            "sjoin_nearest": 3.55,
+            "flagship_shuffle_tiling": 8.64,  # r5 draw-8 min
+            "flagship_full_rows": 8.84,  # r5 draw-8 min
+            "sjoin_broadcast": 19.13,  # r5 draw-8 min
+            "sjoin_nearest": 3.27,  # r5 draw-8 min
             "sjoin_nearest_shuffle": 3.47,
             "sjoin_nearest_unbounded": 6.62,
             "sjoin_nearest_rect_shuffle": 5.85,
             "dissolve_zones": 1.44,
-            "dissolve_highcard": 3.58,
-            "knn_brute": 0.48,  # r5 draw-7 min
-            "minhash_dedup": 7.17,
-            "curation": 6.27,
-            "decontaminate": 1.85,
+            "dissolve_highcard": 3.49,  # r5 draw-8 min
+            "knn_brute": 0.35,  # r5 draw-8 min
+            "minhash_dedup": 6.89,  # r5 draw-8 min
+            "curation": 5.88,  # r5 draw-8 min
+            "decontaminate": 1.51,  # r5 draw-8 min
             "repetition_stats": 0.80,
-            "q1_lineitem": 1.00,  # r5 draw-7 min
+            "q1_lineitem": 0.89,  # r5 draw-8 min
             "geojsonseq_io": 3.19,  # r5 draw-7 first number
             "overlay_concave": 18.09,
             "overlay_shuffle_concave": 9.77,
@@ -192,6 +192,7 @@ def run_bench() -> dict:
             "polyfill_compact_zones": 1.56,
             "buffer_round_zones": 3.84,
             "knn_lsh_skewed": 7.01,
+            "semantic_dedup_50k": 2.95,  # r5 draw-8 first number
             "dedup_cluster": 9.08,
             "unary_vectorized_100k": 0.39,
         }
