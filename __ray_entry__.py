@@ -1276,6 +1276,101 @@ def q_knn_ivf_recall(sf_dir):
     )
 
 
+def q_knn_ivf_pq_recall(sf_dir):
+    # recall@2k-for-top-k metric for the IVF-PQ (IVFADC) path: PQ's ADC
+    # estimate reorders near-ties, so the meaningful contract is "brute
+    # top-k pairs appear in the PQ top-2k candidate set". Same distributed
+    # in-cluster join as q_knn_ivf_recall. Approximate -> rows-only.
+    import ray.data
+
+    from geopandas_ray.functions.knn import knn_brute, knn_ivf_pq
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def tag(e, a):
+        def f(b: pa.Table) -> pa.Table:
+            n = len(b)
+            b = b.append_column("e", pa.array(np.full(n, e, dtype=np.int64)))
+            return b.append_column("a", pa.array(np.full(n, a, dtype=np.int64)))
+
+        return f
+
+    exact = _select(knn_brute(ds, ds, k=KNN_K), ["vec_id", "neighbor_id"]).map_batches(
+        tag(1, 0), batch_format="pyarrow"
+    )
+    approx = _select(
+        knn_ivf_pq(ds, k=2 * KNN_K, m=8, nbits=8, nprobe=6),
+        ["vec_id", "neighbor_id"],
+    ).map_batches(tag(0, 1), batch_format="pyarrow")
+    g = exact.union(approx).groupby(["vec_id", "neighbor_id"]).sum(["e", "a"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        e = np.asarray(b.column("sum(e)"), dtype=np.int64)
+        a = np.asarray(b.column("sum(a)"), dtype=np.int64)
+        return pa.table(
+            {
+                "total": pa.array([int((e >= 1).sum())], type=pa.int64()),
+                "matched": pa.array([int(((e >= 1) & (a >= 1)).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = g.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = int(parts["total"].sum())
+    matched = int(parts["matched"].sum())
+    return pa.table(
+        {
+            "k": pa.array([KNN_K], type=pa.int64()),
+            "total_pairs": pa.array([total], type=pa.int64()),
+            "matched_pairs": pa.array([matched], type=pa.int64()),
+            "recall": pa.array([matched / total if total else 0.0]),
+        }
+    )
+
+
+def q_pq_codes(sf_dir):
+    # IVF-PQ compression plumbing: every embedding compresses to m=8 code
+    # bytes + a coarse list id; verifiable invariants (row count, byte
+    # width, list range) ride as exact integers. Codes themselves depend
+    # on the trained codebooks -> rows-only.
+    import ray.data
+
+    from geopandas_ray.functions.knn import pq_encode, pq_train
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.materialize()  # consumed twice: training sample + encode
+    model = pq_train(ds, m=8, nbits=8)
+    enc = pq_encode(ds, model)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        code = b.column("code")
+        widths = pc.binary_length(code)
+        return pa.table(
+            {
+                "rows": pa.array([len(b)], type=pa.int64()),
+                "code_bytes": pa.array(
+                    [int(pc.sum(widths).as_py() or 0)], type=pa.int64()
+                ),
+                "max_list": pa.array(
+                    [int(pc.max(b.column("list_id")).as_py() or 0)], type=pa.int64()
+                ),
+            }
+        )
+
+    parts = enc.map_batches(partial, batch_format="pyarrow").to_pandas()
+    nlist = len(model["centroids"])
+    return pa.table(
+        {
+            "rows": pa.array([int(parts["rows"].sum())], type=pa.int64()),
+            "code_bytes": pa.array([int(parts["code_bytes"].sum())], type=pa.int64()),
+            "lists_ok": pa.array(
+                [int(parts["max_list"].max() < nlist)], type=pa.int64()
+            ),
+        }
+    )
+
+
 def q_embed_near_dup(sf_dir):
     import ray.data
 
@@ -3585,6 +3680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_recall": q_knn_lsh_recall,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
+        "knn_ivf_pq_recall": q_knn_ivf_pq_recall,
+        "pq_codes": q_pq_codes,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -4504,6 +4601,13 @@ def oracle_sql() -> dict[str, str]:
         "geojsonseq_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "csv_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "pandas_extension": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        # IVF-PQ compression invariants: one 8-byte code per embedding row,
+        # every coarse list id inside the trained quantizer's range
+        "pq_codes": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS rows, "
+            "CAST(8 * COUNT(*) AS BIGINT) AS code_bytes, "
+            "CAST(1 AS BIGINT) AS lists_ok FROM embeddings"
+        ),
         "hash_split": (
             "SELECT doc_id, lang, "
             "(doc_id * 2654435761) % 4294967296 % 10000 AS bucket "

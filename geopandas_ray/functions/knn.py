@@ -770,3 +770,312 @@ def knn_ivf(
     )
 
     return _merge_topk(cands, id_col, k, nparts)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC, Jegou/Douze/Schmid TPAMI 2011): the memory-scale ANN path
+# ---------------------------------------------------------------------------
+
+
+def _pq_train_books(
+    residuals: np.ndarray, m: int, ksub: int, iters: int, seed: int
+) -> np.ndarray:
+    """Per-subspace L2 Lloyd codebooks on coarse residuals: (m, ksub, dsub).
+    Driver-side, bounded by the training sample."""
+    n, d = residuals.shape
+    dsub = d // m
+    ksub = min(ksub, n)
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = residuals[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(n, size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = sub @ cent.T
+            d2 *= -2.0
+            d2 += (cent * cent).sum(axis=1)[None, :]
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros((ksub, dsub), dtype=np.float64)
+            np.add.at(sums, a, sub)
+            cnt = np.bincount(a, minlength=ksub).astype(np.float64)
+            nz = cnt > 0
+            cent[nz] = sums[nz] / cnt[nz, None]  # empty codes keep position
+        books[j] = cent
+    return books
+
+
+def _pq_encode_block(
+    vs: np.ndarray, cent: np.ndarray, books: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(list assignment, (n, m) uint8 codes) for L2-normalized rows."""
+    assign = np.argmax(vs @ cent.T, axis=1)
+    resid = vs - cent[assign]
+    m, ksub, dsub = books.shape
+    codes = np.empty((len(vs), m), dtype=np.uint8)
+    for j in range(m):
+        sub = resid[:, j * dsub : (j + 1) * dsub]
+        d2 = sub @ books[j].T
+        d2 *= -2.0
+        d2 += (books[j] * books[j]).sum(axis=1)[None, :]
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return assign, codes
+
+
+def pq_train(
+    ds: ray.data.Dataset,
+    m: int = 8,
+    nbits: int = 8,
+    nlist: int | None = None,
+    sample_size: int = 65_536,
+    iters: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> dict:
+    """Train an IVF-PQ model from a bounded driver sample: a spherical
+    k-means coarse quantizer (``nlist`` lists) plus ``m`` per-subspace
+    codebooks of ``2**nbits`` entries fit on the coarse RESIDUALS (the
+    IVFADC recipe). Returns {'centroids', 'codebooks'} — broadcast it with
+    one ray.put; never re-ship per batch."""
+    if nbits < 1 or nbits > 8:
+        raise ValueError("nbits must be in 1..8 (codes are uint8)")
+    n = ds.count()
+    if nlist is None:
+        nlist = max(4, int(np.sqrt(max(n, 4))))
+    tbl = pa.table(
+        ds.limit(min(sample_size, n)).take_batch(
+            min(sample_size, n), batch_format="pyarrow"
+        )
+    )
+    sample = _stack_embeddings(tbl.column(vec_col))
+    if sample.shape[1] % m:
+        raise ValueError(
+            f"embedding dim {sample.shape[1]} is not divisible by m={m}"
+        )
+    norms = np.linalg.norm(sample, axis=1)
+    norms[norms == 0] = 1.0
+    sample = sample / norms[:, None]
+    cent = _kmeans_fit(sample, nlist, seed=seed)
+    assign = np.argmax(sample @ cent.T, axis=1)
+    books = _pq_train_books(sample - cent[assign], m, 1 << nbits, iters, seed)
+    return {"centroids": cent, "codebooks": books}
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Compress a corpus to its persistable IVF-PQ index rows
+    (id, list_id, code): ``m`` bytes per vector instead of ``4*dim`` —
+    the representation a 100-TB corpus is actually stored and shuffled in.
+    ``model`` is a pq_train() dict or an ObjectRef of one."""
+    ref = model if isinstance(model, ray.ObjectRef) else ray.put(model)
+
+    class _Enc:
+        def __init__(self):
+            mdl = ray.get(ref)
+            self.cent, self.books = mdl["centroids"], mdl["codebooks"]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            v = _stack_embeddings(b.column(vec_col))
+            if v.shape[0] == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "list_id": pa.array([], pa.int64()),
+                        "code": pa.array([], pa.large_binary()),
+                    }
+                )
+            nn = np.linalg.norm(v, axis=1)
+            nn[nn == 0] = 1.0
+            assign, codes = _pq_encode_block(v / nn[:, None], self.cent, self.books)
+            return pa.table(
+                {
+                    id_col: pa.array(
+                        np.asarray(b.column(id_col), dtype=np.int64)
+                    ),
+                    "list_id": pa.array(assign.astype(np.int64)),
+                    "code": pa.array(
+                        [r.tobytes() for r in codes], pa.large_binary()
+                    ),
+                }
+            )
+
+    return ds.map_batches(
+        _Enc, batch_format="pyarrow", concurrency=default_pool(concurrency)
+    )
+
+
+def knn_ivf_pq(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    nlist: int | None = None,
+    nprobe: int = 4,
+    sample_size: int = 65_536,
+    seed: int = 42,
+    qchunk: int = 256,
+    cblock: int = 8192,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Approximate self-kNN via IVF-PQ / asymmetric distance (ADC). Same
+    probe fan-out as knn_ivf, but LIST MEMBERS ship as m-byte PQ codes
+    (not full vectors) — the shuffle payload of the corpus side shrinks
+    ~4*dim/m x, and a hot list is scanned with per-subspace table lookups
+    in bounded (qchunk x cblock) tiles instead of a dense matmul, so no
+    list cap or re-split is needed. Queries stay full-precision (the
+    asymmetric half of ADC). Output matches knn_ivf (vec_id, neighbor_id,
+    rank, cosine) — ``cosine`` is the ADC estimate q . (centroid +
+    decode(code)); recall grows with nprobe/m/nbits.
+
+    ``id_col`` must be integer-valued and row-unique (self-matches are
+    excluded by id equality)."""
+    from ..util import default_shuffle_partitions
+
+    ds = ds.materialize()  # consumed twice: pq_train sample + fan-out
+    model = pq_train(
+        ds,
+        m=m,
+        nbits=nbits,
+        nlist=nlist,
+        sample_size=sample_size,
+        seed=seed,
+        vec_col=vec_col,
+    )
+    ref = ray.put(model)
+
+    class _Fan:
+        """One member row (code only) + nprobe query rows (float32 vec)
+        per input row."""
+
+        def __init__(self):
+            mdl = ray.get(ref)
+            self.cent, self.books = mdl["centroids"], mdl["codebooks"]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            v = _stack_embeddings(b.column(vec_col))
+            empty = pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "list_id": pa.array([], pa.int64()),
+                    "is_member": pa.array([], pa.bool_()),
+                    "code": pa.array([], pa.large_binary()),
+                    "vec": pa.array([], pa.large_list(pa.float32())),
+                }
+            )
+            if v.shape[0] == 0:
+                return empty
+            nn = np.linalg.norm(v, axis=1)
+            nn[nn == 0] = 1.0
+            vs = v / nn[:, None]
+            ids = np.asarray(b.column(id_col), dtype=np.int64)
+            assign, codes = _pq_encode_block(vs, self.cent, self.books)
+            sims = vs @ self.cent.T
+            kk = min(nprobe, sims.shape[1])
+            probes = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            nq = len(vs)
+            vec32 = vs.astype(np.float32)
+            member = pa.table(
+                {
+                    id_col: pa.array(ids),
+                    "list_id": pa.array(assign.astype(np.int64)),
+                    "is_member": pa.array(np.ones(nq, dtype=bool)),
+                    "code": pa.array(
+                        [r.tobytes() for r in codes], pa.large_binary()
+                    ),
+                    "vec": pa.array(
+                        [None] * nq, pa.large_list(pa.float32())
+                    ),
+                }
+            )
+            query = pa.table(
+                {
+                    id_col: pa.array(np.repeat(ids, kk)),
+                    "list_id": pa.array(probes.ravel().astype(np.int64)),
+                    "is_member": pa.array(np.zeros(nq * kk, dtype=bool)),
+                    "code": pa.array([b""] * (nq * kk), pa.large_binary()),
+                    "vec": pa.array(
+                        list(np.repeat(vec32, kk, axis=0)),
+                        pa.large_list(pa.float32()),
+                    ),
+                }
+            )
+            return pa.concat_tables([member, query])
+
+    fanned = ds.map_batches(
+        _Fan, batch_format="pyarrow", concurrency=default_pool(concurrency)
+    )
+
+    def per_list(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {id_col: [], "neighbor_id": [], "rank": [], "cosine": []}
+        ).astype(
+            {
+                id_col: np.int64,
+                "neighbor_id": np.int64,
+                "rank": np.int64,
+                "cosine": np.float64,
+            }
+        )
+        mem = df[df["is_member"]]
+        qs = df[~df["is_member"]]
+        if len(mem) == 0 or len(qs) == 0:
+            return empty
+        mdl = ray.get(ref)
+        cent, books = mdl["centroids"], mdl["codebooks"]
+        mm, ksub, dsub = books.shape
+        gid = int(df["list_id"].iloc[0])
+        codes = np.frombuffer(
+            b"".join(mem["code"].tolist()), dtype=np.uint8
+        ).reshape(len(mem), mm)
+        cids = mem[id_col].to_numpy(np.int64)
+        qvs = np.stack(qs["vec"].to_numpy()).astype(np.float64)
+        qids = qs[id_col].to_numpy(np.int64)
+        base = qvs @ cent[gid]
+        out_q, out_n, out_s = [], [], []
+        for s in range(0, len(qids), qchunk):
+            e = min(s + qchunk, len(qids))
+            lut = np.einsum(
+                "qmd,mbd->qmb", qvs[s:e].reshape(e - s, mm, dsub), books
+            )
+            # per-query running top-k across bounded candidate tiles
+            bq, bn, bs = [], [], []
+            for cs in range(0, len(cids), cblock):
+                ce = min(cs + cblock, len(cids))
+                sims = np.zeros((e - s, ce - cs), dtype=np.float64)
+                for j in range(mm):
+                    sims += lut[:, j, codes[cs:ce, j]]
+                sims += base[s:e, None]
+                sims[qids[s:e, None] == cids[None, cs:ce]] = -np.inf
+                kk2 = min(k, ce - cs)
+                idx = np.argpartition(-sims, kth=kk2 - 1, axis=1)[:, :kk2]
+                rows = np.repeat(np.arange(e - s), kk2)
+                bq.append(np.repeat(qids[s:e], kk2))
+                bn.append(cids[cs:ce][idx.ravel()])
+                bs.append(sims[rows, idx.ravel()])
+            out_q.append(np.concatenate(bq))
+            out_n.append(np.concatenate(bn))
+            out_s.append(np.concatenate(bs))
+        res = pd.DataFrame(
+            {
+                id_col: np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_s),
+            }
+        )
+        res = res[np.isfinite(res["cosine"])]
+        res["rank"] = np.int64(0)  # real rank assigned in the global merge
+        return res[[id_col, "neighbor_id", "rank", "cosine"]]
+
+    nparts = default_shuffle_partitions()
+    cands = (
+        fanned.repartition(nparts)
+        .groupby("list_id")
+        .map_groups(per_list, batch_format="pandas")
+    )
+    return _merge_topk(cands, id_col, k, nparts)
