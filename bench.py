@@ -712,6 +712,31 @@ def run_bench() -> dict:
 
     timed("semantic_dedup_50k", run_semantic_dedup)
 
+    def run_knn_ivf_pq():
+        # IVF-PQ self-kNN over 50k deterministic 64-dim vectors (the
+        # memory-scale ANN path: m=8-byte codes through the shuffle, tiled
+        # ADC list scans); includes the bounded driver-side train sample
+        import numpy as np
+        import pyarrow as pa
+
+        from geopandas_ray.functions.knn import knn_ivf_pq
+
+        rng = np.random.RandomState(11)
+        n, dim = 50_000, 64
+        vecs = rng.randn(n, dim).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.ravel()), dim
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(32)
+        return knn_ivf_pq(ds, k=5, m=8, nbits=8, nprobe=4).count()
+
+    timed("knn_ivf_pq_50k", run_knn_ivf_pq)
+
     def run_cluster():
         # full near-dup pipeline: minhash candidates -> min-label
         # connected components (4 bounded label-propagation rounds)

@@ -781,19 +781,29 @@ def _pq_train_books(
     residuals: np.ndarray, m: int, ksub: int, iters: int, seed: int
 ) -> np.ndarray:
     """Per-subspace L2 Lloyd codebooks on coarse residuals: (m, ksub, dsub).
-    Driver-side, bounded by the training sample."""
+    Driver-side; training is bounded at ~100 points per code (the FAISS
+    guideline — beyond that Lloyd barely moves but the (n, ksub) distance
+    matrix per subspace per iteration is pure memory traffic), and the
+    assign step runs in float32 (it only picks argmins; the codebook means
+    accumulate in float64)."""
     n, d = residuals.shape
     dsub = d // m
     ksub = min(ksub, n)
     rng = np.random.RandomState(seed)
+    if n > 100 * ksub:
+        residuals = residuals[rng.choice(n, size=100 * ksub, replace=False)]
+        n = len(residuals)
+    res32 = residuals.astype(np.float32)
     books = np.empty((m, ksub, dsub), dtype=np.float64)
     for j in range(m):
         sub = residuals[:, j * dsub : (j + 1) * dsub]
+        sub32 = res32[:, j * dsub : (j + 1) * dsub]
         cent = sub[rng.choice(n, size=ksub, replace=False)].copy()
         for _ in range(iters):
-            d2 = sub @ cent.T
+            c32 = cent.astype(np.float32)
+            d2 = sub32 @ c32.T
             d2 *= -2.0
-            d2 += (cent * cent).sum(axis=1)[None, :]
+            d2 += (c32 * c32).sum(axis=1)[None, :]
             a = np.argmin(d2, axis=1)
             sums = np.zeros((ksub, dsub), dtype=np.float64)
             np.add.at(sums, a, sub)
