@@ -1371,6 +1371,92 @@ def q_pq_codes(sf_dir):
     )
 
 
+def q_search_ivf(sf_dir):
+    # external-query search (broadcast queries, streaming corpus, zero
+    # shuffle): probing EVERY list makes the IVF pruning lossless, so the
+    # result is exact and gates hash-equal against a DuckDB window oracle
+    # (query set = the first 20 corpus vectors; self-matches included).
+    import ray.data
+
+    from geopandas_ray.functions.knn import search_ivf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = pa.table(
+        ds.filter(expr="vec_id < 20")
+        .select_columns(["vec_id", "embedding"])
+        .to_pandas()
+    )
+    res = search_ivf(ds, qt, k=KNN_K, nprobe=16, nlist=16)
+    return _select(res, ["query_id", "neighbor_id", "rank"])
+
+
+def q_search_pq_recall(sf_dir):
+    # ADC search over the persisted pq_encode index vs the exact full-probe
+    # answer: distributed overlap metric (approximate -> rows-only).
+    import ray.data
+
+    from geopandas_ray.functions.knn import (
+        pq_encode,
+        pq_train,
+        search_ivf,
+        search_pq_index,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.materialize()  # three consumers: train sample, encode, exact leg
+    qt = pa.table(
+        ds.filter(expr="vec_id < 20")
+        .select_columns(["vec_id", "embedding"])
+        .to_pandas()
+    )
+    model = pq_train(ds, m=8, nbits=8)
+    idx = pq_encode(ds, model)
+    approx = search_pq_index(idx, qt, model, k=2 * KNN_K, nprobe=8)
+    exact = search_ivf(ds, qt, k=KNN_K, nprobe=16, nlist=16)
+
+    def tag(e, a):
+        def f(b: pa.Table) -> pa.Table:
+            n = len(b)
+            b = b.append_column("e", pa.array(np.full(n, e, dtype=np.int64)))
+            return b.append_column("a", pa.array(np.full(n, a, dtype=np.int64)))
+
+        return f
+
+    g = (
+        _select(exact, ["query_id", "neighbor_id"])
+        .map_batches(tag(1, 0), batch_format="pyarrow")
+        .union(
+            _select(approx, ["query_id", "neighbor_id"]).map_batches(
+                tag(0, 1), batch_format="pyarrow"
+            )
+        )
+        .groupby(["query_id", "neighbor_id"])
+        .sum(["e", "a"])
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        e = np.asarray(b.column("sum(e)"), dtype=np.int64)
+        a = np.asarray(b.column("sum(a)"), dtype=np.int64)
+        return pa.table(
+            {
+                "total": pa.array([int((e >= 1).sum())], type=pa.int64()),
+                "matched": pa.array([int(((e >= 1) & (a >= 1)).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = g.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = int(parts["total"].sum())
+    matched = int(parts["matched"].sum())
+    return pa.table(
+        {
+            "k": pa.array([KNN_K], type=pa.int64()),
+            "total_pairs": pa.array([total], type=pa.int64()),
+            "matched_pairs": pa.array([matched], type=pa.int64()),
+            "recall": pa.array([matched / total if total else 0.0]),
+        }
+    )
+
+
 def q_embed_near_dup(sf_dir):
     import ray.data
 
@@ -3682,6 +3768,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_recall": q_knn_ivf_recall,
         "knn_ivf_pq_recall": q_knn_ivf_pq_recall,
         "pq_codes": q_pq_codes,
+        "search_ivf": q_search_ivf,
+        "search_pq_recall": q_search_pq_recall,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -4601,6 +4689,17 @@ def oracle_sql() -> dict[str, str]:
         "geojsonseq_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "csv_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "pandas_extension": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        # external-query search, full-probe (lossless pruning): exact top-k
+        # per query incl. the self-match, rank ordered by cosine then id
+        "search_ivf": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20), "
+            "sims AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.embedding, c.embedding) AS s "
+            "FROM q CROSS JOIN embeddings c), "
+            "ranked AS (SELECT query_id, neighbor_id, "
+            "CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS BIGINT) AS rank "
+            f"FROM sims) SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {KNN_K}"
+        ),
         # IVF-PQ compression invariants: one 8-byte code per embedding row,
         # every coarse list id inside the trained quantizer's range
         "pq_codes": (

@@ -177,7 +177,7 @@ def run_bench() -> dict:
             "sjoin_nearest_shuffle": 3.47,
             "sjoin_nearest_unbounded": 6.62,
             "sjoin_nearest_rect_shuffle": 5.85,
-            "dissolve_zones": 1.44,
+            "dissolve_zones": 1.40,  # r5 draw-9 min
             "dissolve_highcard": 3.49,  # r5 draw-8 min
             "knn_brute": 0.35,  # r5 draw-8 min
             "minhash_dedup": 6.89,  # r5 draw-8 min
@@ -189,12 +189,13 @@ def run_bench() -> dict:
             "overlay_concave": 18.09,
             "overlay_shuffle_concave": 9.77,
             "overlay_auto_concave": 9.94,
-            "polyfill_compact_zones": 1.56,
+            "polyfill_compact_zones": 1.54,  # r5 draw-9 min
             "buffer_round_zones": 3.84,
             "knn_lsh_skewed": 7.01,
-            "semantic_dedup_50k": 2.95,  # r5 draw-8 first number
+            "semantic_dedup_50k": 2.59,  # r5 draw-9 min
+            "knn_ivf_pq_50k": 8.50,  # r5 draw-9 first number
             "dedup_cluster": 9.08,
-            "unary_vectorized_100k": 0.39,
+            "unary_vectorized_100k": 0.36,  # r5 draw-9 min
         }
         if _std_shape
         else {}

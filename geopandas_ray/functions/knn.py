@@ -1089,3 +1089,258 @@ def knn_ivf_pq(
         .map_groups(per_list, batch_format="pandas")
     )
     return _merge_topk(cands, id_col, k, nparts)
+
+
+# ---------------------------------------------------------------------------
+# External-query similarity search: stream the corpus, broadcast the queries
+# (the complement of knn_brute's broadcast-corpus shape — at 100 TB the
+# corpus is the dataset and the query set is the small side)
+# ---------------------------------------------------------------------------
+
+
+def _query_matrix(queries, id_col: str, vec_col: str):
+    """(qids int64, L2-normalized float64 matrix) from a driver-sized
+    query set (pa.Table / pandas / Dataset)."""
+    if isinstance(queries, ray.data.Dataset):
+        from ..stages.sjoin import _materialize
+
+        queries = _materialize(queries)
+    if isinstance(queries, pd.DataFrame):
+        queries = pa.Table.from_pandas(queries)
+    qids = np.asarray(queries.column(id_col), dtype=np.int64)
+    q = _stack_embeddings(queries.column(vec_col))
+    nn = np.linalg.norm(q, axis=1)
+    nn[nn == 0] = 1.0
+    return qids, q / nn[:, None]
+
+
+def _probe_lists(qvs: np.ndarray, cent: np.ndarray, nprobe: int) -> np.ndarray:
+    """(nq, nprobe) nearest-list ids per query (unordered — membership
+    pruning only)."""
+    sims = qvs @ cent.T
+    kk = min(nprobe, sims.shape[1])
+    return np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+
+
+_SEARCH_SCHEMA = {
+    "query_id": pa.int64(),
+    "neighbor_id": pa.int64(),
+    "rank": pa.int64(),
+    "cosine": pa.float64(),
+}
+
+
+def _empty_search_table() -> pa.Table:
+    return pa.table({c: pa.array([], t) for c, t in _SEARCH_SCHEMA.items()})
+
+
+def search_ivf(
+    corpus_ds: ray.data.Dataset,
+    queries,
+    k: int = 5,
+    nprobe: int = 4,
+    nlist: int | None = None,
+    sample_size: int = 65_536,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    concurrency=None,
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Top-k cosine search of a small broadcast query set against a large
+    streaming corpus, IVF-pruned: a coarse quantizer (one bounded corpus
+    sample) assigns every corpus row to a list, each query probes its
+    ``nprobe`` nearest lists, and inside each batch a corpus row is scored
+    ONLY against the queries probing its list — exact dot products, so the
+    only approximation is probe misses. ZERO corpus shuffle: one streaming
+    pass emits <= |Q| * k candidates per batch and a small hash-partitioned
+    merge finishes. ``nprobe >= nlist`` probes every list, making the
+    result EXACT. Output (query_id, neighbor_id, rank, cosine); corpus
+    ``id_col`` must be integer-valued. The corpus plan is consumed three
+    times (count, train sample, scan) — pass a materialized dataset when
+    the upstream plan is expensive."""
+    from ..util import default_shuffle_partitions
+
+    qids, qvs = _query_matrix(queries, id_col, vec_col)
+    if len(qids) == 0:
+        return ray.data.from_arrow(_empty_search_table())
+    n = corpus_ds.count()
+    if nlist is None:
+        nlist = max(4, int(np.sqrt(max(n, 4))))
+    sample_tbl = corpus_ds.limit(min(sample_size, n)).take_batch(
+        min(sample_size, n), batch_format="pyarrow"
+    )
+    sample = _stack_embeddings(pa.table(sample_tbl).column(vec_col))
+    norms = np.linalg.norm(sample, axis=1)
+    norms[norms == 0] = 1.0
+    cent = _kmeans_fit(sample / norms[:, None], nlist, seed=seed)
+    probes = _probe_lists(qvs, cent, nprobe)
+    # invert: list id -> indices of the queries probing it (CSR layout)
+    order = np.argsort(probes.ravel(), kind="stable")
+    flat_q = (
+        np.repeat(np.arange(len(qids)), probes.shape[1])[order]
+        .astype(np.int64)
+    )
+    lists_sorted = probes.ravel()[order]
+    bounds = np.searchsorted(lists_sorted, np.arange(nlist + 1))
+    state = ray.put(
+        {"cent": cent, "qids": qids, "qvs": qvs, "flat_q": flat_q, "bounds": bounds}
+    )
+
+    def scan(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty_search_table()
+        st = ray.get(state)
+        cent_, qids_, qvs_ = st["cent"], st["qids"], st["qvs"]
+        flat_q_, bounds_ = st["flat_q"], st["bounds"]
+        v = _stack_embeddings(b.column(vec_col))
+        nn = np.linalg.norm(v, axis=1)
+        nn[nn == 0] = 1.0
+        vs = v / nn[:, None]
+        cids = np.asarray(b.column(id_col), dtype=np.int64)
+        assign = np.argmax(vs @ cent_.T, axis=1)
+        row_order = np.argsort(assign, kind="stable")
+        a_sorted = assign[row_order]
+        starts = np.searchsorted(a_sorted, np.arange(len(cent_) + 1))
+        out_q, out_n, out_s = [], [], []
+        for gid in np.unique(a_sorted):
+            rows = row_order[starts[gid] : starts[gid + 1]]
+            qidx = flat_q_[bounds_[gid] : bounds_[gid + 1]]
+            if len(rows) == 0 or len(qidx) == 0:
+                continue
+            # id-ascending columns + stable argsort = (-sim, id) order, so
+            # exact-cosine ties at the k boundary keep the LOWEST id (the
+            # global merge's and the SQL oracle's tie-break), batch-order
+            # independent
+            rows = rows[np.argsort(cids[rows], kind="stable")]
+            sims = qvs_[qidx] @ vs[rows].T  # (nq_sub, n_sub)
+            kk = min(k, sims.shape[1])
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            rsel = np.arange(len(qidx))[:, None]
+            out_q.append(np.repeat(qids_[qidx], kk))
+            out_n.append(cids[rows][top].ravel())
+            out_s.append(sims[rsel, top].ravel())
+        if not out_q:
+            return _empty_search_table()
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "rank": pa.array(
+                    np.zeros(sum(len(x) for x in out_q), dtype=np.int64)
+                ),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    cands = corpus_ds.map_batches(
+        scan, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+    return _merge_topk(cands, "query_id", k, default_shuffle_partitions())
+
+
+def search_pq_index(
+    index_ds: ray.data.Dataset,
+    queries,
+    model,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=None,
+    batch_size: int = 65_536,
+) -> ray.data.Dataset:
+    """Top-k ADC search of a broadcast query set against a PERSISTED IVF-PQ
+    index (the (id, list_id, code) rows pq_encode writes — m bytes/vector,
+    the layout a 100-TB corpus is actually stored in). Per-query distance
+    tables (nq x m x ksub) and per-list base terms (nq x nlist) precompute
+    ONCE on the driver and broadcast; each streaming batch of codes is then
+    scored with pure table lookups — no floats ship with the index and no
+    shuffle runs. Approximate: ADC quantization + probe misses. Output
+    (query_id, neighbor_id, rank, cosine) with cosine the ADC estimate."""
+    from ..util import default_shuffle_partitions
+
+    mdl = ray.get(model) if isinstance(model, ray.ObjectRef) else model
+    cent, books = mdl["centroids"], mdl["codebooks"]
+    m, ksub, dsub = books.shape
+    qids, qvs = _query_matrix(queries, id_col, vec_col)
+    if len(qids) == 0:
+        return ray.data.from_arrow(_empty_search_table())
+    probes = _probe_lists(qvs, cent, nprobe)
+    order = np.argsort(probes.ravel(), kind="stable")
+    flat_q = np.repeat(np.arange(len(qids)), probes.shape[1])[order].astype(np.int64)
+    lists_sorted = probes.ravel()[order]
+    bounds = np.searchsorted(lists_sorted, np.arange(len(cent) + 1))
+    lut = np.einsum("qmd,mbd->qmb", qvs.reshape(len(qvs), m, dsub), books)
+    base = qvs @ cent.T  # (nq, nlist)
+    state = ray.put(
+        {
+            "qids": qids,
+            "flat_q": flat_q,
+            "bounds": bounds,
+            "lut": lut,
+            "base": base,
+        }
+    )
+
+    def scan(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty_search_table()
+        st = ray.get(state)
+        qids_, flat_q_, bounds_ = st["qids"], st["flat_q"], st["bounds"]
+        lut_, base_ = st["lut"], st["base"]
+        lists = np.asarray(b.column("list_id"), dtype=np.int64)
+        cids = np.asarray(b.column(id_col), dtype=np.int64)
+        arr = b.column("code")
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        bufs = arr.buffers()  # [validity, offsets, data]
+        odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=odt)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        vals = np.frombuffer(bufs[2], dtype=np.uint8)
+        # codes are non-null fixed-width m-byte slots -> contiguous values
+        if offs[-1] - offs[0] != len(arr) * m:
+            raise ValueError("malformed PQ code column (expected m-byte codes)")
+        codes = vals[offs[0] : offs[-1]].reshape(len(arr), m)
+        row_order = np.argsort(lists, kind="stable")
+        l_sorted = lists[row_order]
+        starts = np.searchsorted(l_sorted, np.arange(base_.shape[1] + 1))
+        out_q, out_n, out_s = [], [], []
+        for gid in np.unique(l_sorted):
+            rows = row_order[starts[gid] : starts[gid + 1]]
+            qidx = flat_q_[bounds_[gid] : bounds_[gid + 1]]
+            if len(rows) == 0 or len(qidx) == 0:
+                continue
+            # shared codes make exact ADC ties COMMON: id-ascending columns
+            # + stable argsort keep the lowest id at the k boundary,
+            # batch-order independent (same rule as search_ivf / the merge)
+            rows = rows[np.argsort(cids[rows], kind="stable")]
+            sub = codes[rows]
+            lq = lut_[qidx]  # one gather, reused across subspaces
+            sims = np.tile(base_[qidx, gid][:, None], (1, len(rows)))
+            for j in range(m):
+                sims += lq[:, j, sub[:, j]]
+            kk = min(k, sims.shape[1])
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            rsel = np.arange(len(qidx))[:, None]
+            out_q.append(np.repeat(qids_[qidx], kk))
+            out_n.append(cids[rows][top].ravel())
+            out_s.append(sims[rsel, top].ravel())
+        if not out_q:
+            return _empty_search_table()
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "rank": pa.array(
+                    np.zeros(sum(len(x) for x in out_q), dtype=np.int64)
+                ),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    cands = index_ds.map_batches(
+        scan, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+    return _merge_topk(cands, "query_id", k, default_shuffle_partitions())

@@ -720,3 +720,128 @@ def test_knn_ivf_pq_recall_vs_brute(rng):
     assert hi >= 0.80, hi
     lo = recall(2)
     assert hi >= lo  # more probes never hurt
+
+
+def test_search_ivf_full_probe_is_exact(rng):
+    # external queries vs streaming corpus; probing EVERY list makes the
+    # IVF pruning lossless, so results must equal the numpy brute answer
+    # (same (-cosine, neighbor_id) tie-break as the knn family)
+    from geopandas_ray.functions.knn import search_ivf
+
+    n, dim, nq = 800, 16, 20
+    cvs = rng.standard_normal((n, dim))
+    qvs = rng.standard_normal((nq, dim))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(cvs.ravel().astype(np.float32)), dim
+            ),
+        }
+    )
+    qt = pa.table(
+        {
+            "vec_id": pa.array(np.arange(nq, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(qvs.ravel().astype(np.float32)), dim
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    res = search_ivf(ds, qt, k=3, nprobe=16, nlist=16, sample_size=n).to_pandas()
+    assert res.query_id.nunique() == nq
+    assert res.groupby("query_id").size().eq(3).all()
+    # numpy expected (float32-quantized inputs, float64 math — same as engine)
+    C = cvs.astype(np.float32).astype(np.float64)
+    Q = qvs.astype(np.float32).astype(np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Q @ C.T
+    for qi in range(nq):
+        order = np.lexsort((np.arange(n), -S[qi]))[:3]
+        got = res[res.query_id == qi].sort_values("rank")
+        assert list(got.neighbor_id) == list(order), qi
+        assert np.allclose(got.cosine.to_numpy(), S[qi][order])
+    # partial probing: a subset of the full-probe answer per query
+    part = search_ivf(ds, qt, k=3, nprobe=4, nlist=16, sample_size=n).to_pandas()
+    full_pairs = set(zip(res.query_id, res.neighbor_id))
+    part_pairs = set(zip(part.query_id, part.neighbor_id))
+    assert len(part_pairs & full_pairs) / len(full_pairs) >= 0.5
+
+
+def test_search_pq_index_matches_driver_adc(rng):
+    # persisted (id, list_id, code) index rows + broadcast queries: the
+    # distributed ADC scan must reproduce a driver-side reference that
+    # applies the SAME formula (base + per-subspace LUT adds, same add
+    # order -> bit-identical doubles) over each query's probed lists,
+    # with the (-sim, id) tie-break. Pins the plumbing exactly while
+    # staying independent of quantization quality.
+    from geopandas_ray.functions.knn import (
+        _probe_lists,
+        pq_encode,
+        pq_train,
+        search_pq_index,
+    )
+
+    nclust, per, dim, nq, k = 30, 20, 16, 15, 5
+    centers = rng.standard_normal((nclust, dim)) * 4.0
+    cvs = np.repeat(centers, per, axis=0) + 0.3 * rng.standard_normal(
+        (nclust * per, dim)
+    )
+    n = len(cvs)
+    dup_rows = rng.choice(n, size=nq, replace=False)
+    qvs = cvs[dup_rows]
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(cvs.ravel().astype(np.float32)), dim
+            ),
+        }
+    )
+    qt = pa.table(
+        {
+            "vec_id": pa.array(np.arange(nq, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(qvs.ravel().astype(np.float32)), dim
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4).materialize()
+    model = pq_train(ds, m=4, nbits=8, nlist=16, sample_size=n)
+    idx = pq_encode(ds, model).materialize()
+    res = search_pq_index(idx, qt, model, k=k, nprobe=4).to_pandas()
+    assert res.query_id.nunique() == nq
+
+    cent, books = model["centroids"], model["codebooks"]
+    m, ksub, dsub = books.shape
+    enc = idx.to_pandas().sort_values("vec_id")
+    codes = np.frombuffer(b"".join(enc.code.tolist()), dtype=np.uint8).reshape(n, m)
+    li = enc.list_id.to_numpy()
+    ids = enc.vec_id.to_numpy()
+    Q = qvs.astype(np.float32).astype(np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    probes = _probe_lists(Q, cent, 4)
+    lut = np.einsum("qmd,mbd->qmb", Q.reshape(nq, m, dsub), books)
+    base = Q @ cent.T
+    in_top = 0
+    for qi in range(nq):
+        mask = np.isin(li, probes[qi])
+        sims = np.full(mask.sum(), 0.0)
+        sims += base[qi, li[mask]]
+        sub = codes[mask]
+        for j in range(m):
+            sims += lut[qi, j, sub[:, j]]
+        order = np.lexsort((ids[mask], -sims))[:k]
+        got = res[res.query_id == qi].sort_values("rank")
+        assert list(got.neighbor_id) == list(ids[mask][order]), qi
+        assert np.allclose(got.cosine.to_numpy(), sims[order], atol=1e-12)
+        # within a tight cluster every member is a near-tie (cosine 0.99+)
+        # and ADC cannot rank among them — the meaningful quality contract
+        # is that every result comes from the query's own planted cluster
+        in_top += all(nb // per == dup_rows[qi] // per for nb in got.neighbor_id)
+    assert in_top == nq, in_top
+    # empty query set -> empty result (Ray drops the schema of an empty
+    # dataset on to_pandas — the documented engine-wide behavior)
+    empty = search_pq_index(idx, qt.slice(0, 0), model, k=3).to_pandas()
+    assert len(empty) == 0
