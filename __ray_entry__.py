@@ -1299,7 +1299,7 @@ def q_knn_ivf_pq_recall(sf_dir):
         tag(1, 0), batch_format="pyarrow"
     )
     approx = _select(
-        knn_ivf_pq(ds, k=2 * KNN_K, m=8, nbits=8, nprobe=6),
+        knn_ivf_pq(ds, k=2 * KNN_K, m=8, nbits=8, nprobe=12),
         ["vec_id", "neighbor_id"],
     ).map_batches(tag(0, 1), batch_format="pyarrow")
     g = exact.union(approx).groupby(["vec_id", "neighbor_id"]).sum(["e", "a"])

@@ -738,6 +738,26 @@ def run_bench() -> dict:
 
     timed("knn_ivf_pq_50k", run_knn_ivf_pq)
 
+    def run_search_ivf():
+        # external-query search: 256 broadcast queries against the sf
+        # embeddings corpus, IVF-pruned streaming scan (zero corpus
+        # shuffle); nprobe=8 of sqrt(n) lists
+        import pyarrow as pa
+
+        from geopandas_ray.functions.knn import search_ivf
+
+        ds = ray.data.read_parquet(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).materialize()
+        qt = pa.table(
+            ds.filter(expr="vec_id < 256")
+            .select_columns(["vec_id", "embedding"])
+            .to_pandas()
+        )
+        return search_ivf(ds, qt, k=10, nprobe=8).count()
+
+    timed("search_ivf_256q", run_search_ivf)
+
     def run_cluster():
         # full near-dup pipeline: minhash candidates -> min-label
         # connected components (4 bounded label-propagation rounds)

@@ -849,6 +849,8 @@ def pq_train(
     if nbits < 1 or nbits > 8:
         raise ValueError("nbits must be in 1..8 (codes are uint8)")
     n = ds.count()
+    if n == 0:
+        raise ValueError("cannot train a PQ model on an empty dataset")
     if nlist is None:
         nlist = max(4, int(np.sqrt(max(n, 4))))
     tbl = pa.table(
@@ -1044,6 +1046,11 @@ def knn_ivf_pq(
             b"".join(mem["code"].tolist()), dtype=np.uint8
         ).reshape(len(mem), mm)
         cids = mem[id_col].to_numpy(np.int64)
+        # ADC ties are common (shared codes); id-sorted members make the
+        # argpartition tie boundary deterministic regardless of the order
+        # the shuffle delivered the rows in
+        mo = np.argsort(cids, kind="stable")
+        cids, codes = cids[mo], codes[mo]
         qvs = np.stack(qs["vec"].to_numpy()).astype(np.float64)
         qids = qs[id_col].to_numpy(np.int64)
         base = qvs @ cent[gid]
@@ -1165,6 +1172,8 @@ def search_ivf(
     if len(qids) == 0:
         return ray.data.from_arrow(_empty_search_table())
     n = corpus_ds.count()
+    if n == 0:
+        return ray.data.from_arrow(_empty_search_table())
     if nlist is None:
         nlist = max(4, int(np.sqrt(max(n, 4))))
     sample_tbl = corpus_ds.limit(min(sample_size, n)).take_batch(

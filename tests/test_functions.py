@@ -845,3 +845,44 @@ def test_search_pq_index_matches_driver_adc(rng):
     # dataset on to_pandas — the documented engine-wide behavior)
     empty = search_pq_index(idx, qt.slice(0, 0), model, k=3).to_pandas()
     assert len(empty) == 0
+
+
+def test_search_pq_index_parquet_roundtrip(rng, tmp_path):
+    # the index rows are a persistable artifact: write_parquet -> fresh
+    # read_parquet -> search must equal searching the in-memory index
+    from geopandas_ray.functions.knn import pq_encode, pq_train, search_pq_index
+
+    n, dim, nq = 600, 16, 8
+    cvs = rng.standard_normal((n, dim)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(cvs.ravel()), dim),
+        }
+    )
+    qt = pa.table(
+        {
+            "vec_id": pa.array(np.arange(nq, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(cvs[:nq].ravel()), dim
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3).materialize()
+    model = pq_train(ds, m=4, nbits=8, nlist=8, sample_size=n)
+    idx = pq_encode(ds, model).materialize()
+    out = str(tmp_path / "pq_index")
+    idx.write_parquet(out)
+    mem = (
+        search_pq_index(idx, qt, model, k=3, nprobe=3)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    back = (
+        search_pq_index(ray.data.read_parquet(out), qt, model, k=3, nprobe=3)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(mem, back)
