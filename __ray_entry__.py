@@ -3486,6 +3486,57 @@ def q_tfidf_top_terms(sf_dir):
     return _select(out, ["doc_id", "token", "tf", "df", "score"]).to_pandas()
 
 
+def q_vocab_stats(sf_dir):
+    # exact corpus vocabulary statistics (functions/sketch.py): per-batch
+    # local-distinct partials + one hash shuffle for COUNT(DISTINCT token),
+    # pure per-batch partial sum for total token instances. The exact
+    # anchor the cardinality sketches are judged against.
+    import ray.data
+
+    from geopandas_ray.functions.sketch import vocab_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return vocab_stats(docs)
+
+
+def q_distinct_sketch(sf_dir):
+    # mergeable cardinality sketches (KMV k=1024 + HLL p=12) vs the exact
+    # distinct token count: SipHash isn't SQL-computable -> rows-only; the
+    # verifiable contract (estimates within sketch error of exact) rides
+    # as integer flags.
+    import ray.data
+
+    from geopandas_ray.functions.sketch import (
+        distinct_count_exact,
+        hll_distinct,
+        kmv_distinct,
+    )
+    from geopandas_ray.functions.tfidf import tokenize_tf
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    toks = tokenize_tf(docs).materialize()  # three consumers
+    exact = distinct_count_exact(toks, "token")
+    kmv = float(kmv_distinct(toks, "token", k=1024).column("estimate")[0].as_py())
+    hll = float(hll_distinct(toks, "token", p=12).column("estimate")[0].as_py())
+    return pa.table(
+        {
+            "exact": pa.array([exact], pa.int64()),
+            "kmv_estimate": pa.array([kmv], pa.float64()),
+            "hll_estimate": pa.array([hll], pa.float64()),
+            "kmv_within_10pct": pa.array(
+                [int(abs(kmv - exact) <= 0.10 * exact)], pa.int64()
+            ),
+            "hll_within_10pct": pa.array(
+                [int(abs(hll - exact) <= 0.10 * exact)], pa.int64()
+            ),
+        }
+    )
+
+
 def q_kmeans_clusters(sf_dir):
     # distributed k-means over embeddings (functions/clustering.py):
     # deterministic smallest-id init, broadcast centroids, one streaming
@@ -3850,6 +3901,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": q_hash_split,
         "sample_stratified": q_sample_stratified,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "vocab_stats": q_vocab_stats,
+        "distinct_sketch": q_distinct_sketch,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
@@ -4689,6 +4742,13 @@ def oracle_sql() -> dict[str, str]:
         "geojsonseq_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "csv_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "pandas_extension": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        # exact vocabulary anchor (same tokenizer as tfidf_top_terms)
+        "vocab_stats": (
+            "WITH toks AS (SELECT t FROM (SELECT unnest(string_split_regex("
+            "lower(text), '[^a-z0-9]+')) AS t FROM documents) u WHERE t <> '') "
+            "SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS distinct_tokens, "
+            "CAST(COUNT(*) AS BIGINT) AS total_tokens FROM toks"
+        ),
         # external-query search, full-probe (lossless pruning): exact top-k
         # per query incl. the self-match, rank ordered by cosine then id
         "search_ivf": (

@@ -194,6 +194,7 @@ def run_bench() -> dict:
             "knn_lsh_skewed": 7.01,
             "semantic_dedup_50k": 2.59,  # r5 draw-9 min
             "knn_ivf_pq_50k": 8.50,  # r5 draw-9 first number
+            "search_ivf_256q": 1.02,  # r5 draw-10 first number
             "dedup_cluster": 9.08,
             "unary_vectorized_100k": 0.36,  # r5 draw-9 min
         }

@@ -1264,8 +1264,9 @@ def search_pq_index(
     the layout a 100-TB corpus is actually stored in). Per-query distance
     tables (nq x m x ksub) and per-list base terms (nq x nlist) precompute
     ONCE on the driver and broadcast; each streaming batch of codes is then
-    scored with pure table lookups — no floats ship with the index and no
-    shuffle runs. Approximate: ADC quantization + probe misses. Output
+    scored with pure table lookups — no floats ship with the index, and the
+    only shuffle is the <= |Q|*k-per-batch candidate merge. Approximate:
+    ADC quantization + probe misses. Output
     (query_id, neighbor_id, rank, cosine) with cosine the ADC estimate."""
     from ..util import default_shuffle_partitions
 

@@ -1,0 +1,250 @@
+"""Mergeable cardinality sketches + exact vocabulary statistics.
+
+The corpus-statistics primitives a 100-TB curation stack needs when an
+exact ``COUNT(DISTINCT)`` shuffle is too expensive:
+
+- ``kmv_distinct``: K-Minimum-Values (Bar-Yossef et al., RANDOM 2002) —
+  keep the k smallest 64-bit hashes ever seen; the k-th smallest order
+  statistic estimates cardinality as ``(k-1) / (h_k / 2^64)``. Exact
+  below k distinct values (the sketch simply holds them all).
+- ``hll_distinct``: HyperLogLog (Flajolet et al., AofA 2007) — 2**p
+  max-rank registers with the standard small-range linear-counting
+  correction.
+- ``distinct_count_exact`` / ``vocab_stats``: the exact anchors (one
+  hash shuffle), gate-checkable against SQL ``COUNT(DISTINCT)``.
+
+Physical plan (both sketches): one streaming ``map_batches`` pass emits a
+TINY partial sketch row per batch (k*8 bytes / 2**p bytes), a
+``repartition(P)`` + per-block merge bounds the driver pull to P rows,
+and the driver folds the last P sketches. No value ever shuffles; the
+reduce payload is sketch-sized, independent of data volume.
+
+Determinism: hashing is ``pd.util.hash_array`` (SipHash-1-3 with the
+fixed default key — stable across processes and runs), merges are
+order-independent (set-union / elementwise max), so estimates are
+bit-reproducible for a given input set. Not SQL-reproducible (DuckDB
+cannot compute SipHash) — sketch gates are rows-only; the exact anchors
+gate hash-equal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..util import default_shuffle_partitions
+
+
+def _hash_values(values: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hashes of an object/string array."""
+    return pd.util.hash_array(np.asarray(values, dtype=object)).astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+
+def _kmv_fold(hashes: np.ndarray, k: int) -> np.ndarray:
+    """k smallest DISTINCT hashes (ascending uint64; shorter if fewer)."""
+    u = np.unique(hashes)  # sorted ascending
+    return u[:k]
+
+
+def _kmv_estimate(sketch: np.ndarray, k: int) -> float:
+    if len(sketch) < k:
+        return float(len(sketch))  # saw fewer than k distinct: exact
+    # (k-1)/x where x is the k-th order statistic of U(0,1) hashes
+    return float(k - 1) * 18446744073709551616.0 / float(sketch[k - 1] + 1)
+
+
+def kmv_partials(
+    ds: ray.data.Dataset, col: str, k: int = 1024, concurrency=None
+) -> ray.data.Dataset:
+    """One (sketch: large_binary) row per batch: the k smallest distinct
+    SipHash values of ``col``, little-endian uint64 bytes."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b.column(col).to_numpy(zero_copy_only=False)
+        sk = _kmv_fold(_hash_values(vals), k) if len(vals) else np.empty(0, np.uint64)
+        return pa.table({"sketch": pa.array([sk.tobytes()], pa.large_binary())})
+
+    return ds.map_batches(partial, batch_format="pyarrow", concurrency=concurrency)
+
+
+def _kmv_merge_block(b: pa.Table, k: int) -> np.ndarray:
+    views = [
+        np.frombuffer(s.as_py(), dtype=np.uint64) for s in b.column("sketch")
+    ]
+    if not views:
+        return np.empty(0, np.uint64)
+    return _kmv_fold(np.concatenate(views), k)
+
+
+def kmv_distinct(
+    ds: ray.data.Dataset, col: str, k: int = 1024, concurrency=None
+) -> pa.Table:
+    """Distinct-count estimate of ``col``. Returns a one-row table
+    (k, sketch_size, estimate)."""
+    parts = kmv_partials(ds, col, k=k, concurrency=concurrency)
+    nparts = default_shuffle_partitions()
+
+    def merge(b: pa.Table) -> pa.Table:
+        sk = _kmv_merge_block(b, k)
+        return pa.table({"sketch": pa.array([sk.tobytes()], pa.large_binary())})
+
+    folded = parts.repartition(nparts).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+    final = _kmv_merge_block(
+        pa.table(folded.take_batch(nparts + 1, batch_format="pyarrow")), k
+    )
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "sketch_size": pa.array([len(final)], pa.int64()),
+            "estimate": pa.array([_kmv_estimate(final, k)], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (0 -> 0)."""
+    bl = np.zeros(len(w), dtype=np.int64)
+    w = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = w >= (np.uint64(1) << np.uint64(shift))
+        bl[mask] += shift
+        w[mask] >>= np.uint64(shift)
+    bl[w > 0] += 1
+    return bl
+
+
+def _hll_fold(hashes: np.ndarray, p: int) -> np.ndarray:
+    """2**p uint8 max-rank registers from a hash batch."""
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    if len(hashes) == 0:
+        return regs
+    idx = (hashes & np.uint64((1 << p) - 1)).astype(np.int64)
+    w = hashes >> np.uint64(p)
+    rho = ((64 - p) - _bit_length_u64(w) + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.ldexp(1.0, -regs.astype(np.int64))))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        return m * float(np.log(m / zeros))  # linear counting
+    return float(est)
+
+
+def hll_partials(
+    ds: ray.data.Dataset, col: str, p: int = 12, concurrency=None
+) -> ray.data.Dataset:
+    """One (sketch: large_binary) row per batch: 2**p max-rank registers."""
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in 4..18")
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b.column(col).to_numpy(zero_copy_only=False)
+        regs = _hll_fold(
+            _hash_values(vals) if len(vals) else np.empty(0, np.uint64), p
+        )
+        return pa.table({"sketch": pa.array([regs.tobytes()], pa.large_binary())})
+
+    return ds.map_batches(partial, batch_format="pyarrow", concurrency=concurrency)
+
+
+def _hll_merge_block(b: pa.Table, p: int) -> np.ndarray:
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    for s in b.column("sketch"):
+        regs = np.maximum(regs, np.frombuffer(s.as_py(), dtype=np.uint8))
+    return regs
+
+
+def hll_distinct(
+    ds: ray.data.Dataset, col: str, p: int = 12, concurrency=None
+) -> pa.Table:
+    """Distinct-count estimate of ``col``. Returns a one-row table
+    (p, estimate); typical relative error ~1.04/sqrt(2**p)."""
+    parts = hll_partials(ds, col, p=p, concurrency=concurrency)
+    nparts = default_shuffle_partitions()
+
+    def merge(b: pa.Table) -> pa.Table:
+        regs = _hll_merge_block(b, p)
+        return pa.table({"sketch": pa.array([regs.tobytes()], pa.large_binary())})
+
+    folded = parts.repartition(nparts).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+    final = _hll_merge_block(
+        pa.table(folded.take_batch(nparts + 1, batch_format="pyarrow")), p
+    )
+    return pa.table(
+        {
+            "p": pa.array([p], pa.int64()),
+            "estimate": pa.array([_hll_estimate(final)], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact anchors
+# ---------------------------------------------------------------------------
+
+
+def distinct_count_exact(ds: ray.data.Dataset, col: str) -> int:
+    """Exact distinct count: per-batch local distinct partial, then ONE
+    hash shuffle on the value (the cost the sketches avoid)."""
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = pc.unique(b.column(col).combine_chunks())
+        return pa.table({col: u})
+
+    return (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(col)
+        .count()
+        .count()
+    )
+
+
+def vocab_stats(
+    ds: ray.data.Dataset, text_col: str = "text", doc_id_col: str = "doc_id"
+) -> pa.Table:
+    """Exact corpus vocabulary statistics over the tfidf tokenizer's
+    ``[a-z0-9]+`` tokens: (distinct_tokens, total_tokens). The distinct
+    pass pre-shrinks per batch before its one shuffle; total_tokens is a
+    pure per-batch partial sum."""
+    from .tfidf import tokenize_tf
+
+    toks = tokenize_tf(ds, text_col=text_col, id_col=doc_id_col).materialize()
+    distinct = distinct_count_exact(toks, "token")
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        tf = np.asarray(b.column("tf"), dtype=np.int64)
+        return pa.table({"s": pa.array([int(tf.sum())], pa.int64())})
+
+    total = sum(
+        r["s"] for r in toks.map_batches(tf_partial, batch_format="pyarrow").take_all()
+    )
+    return pa.table(
+        {
+            "distinct_tokens": pa.array([distinct], pa.int64()),
+            "total_tokens": pa.array([int(total)], pa.int64()),
+        }
+    )

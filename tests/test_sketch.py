@@ -1,0 +1,97 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from geopandas_ray.functions.sketch import (
+    _hash_values,
+    _hll_estimate,
+    _hll_fold,
+    _kmv_estimate,
+    _kmv_fold,
+    distinct_count_exact,
+    hll_distinct,
+    kmv_distinct,
+    vocab_stats,
+)
+
+
+def _token_ds(n_distinct, repeats=3, nblocks=4):
+    toks = [f"tok{i:06d}" for i in range(n_distinct)] * repeats
+    return ray.data.from_arrow(
+        pa.table({"token": pa.array(toks, pa.string())})
+    ).repartition(nblocks)
+
+
+def test_kmv_merge_equals_whole():
+    # sketch(merge of parts) == sketch(whole): the mergeability contract
+    rng = np.random.RandomState(3)
+    vals = np.array([f"v{i}" for i in rng.randint(0, 5000, size=20000)], dtype=object)
+    h = _hash_values(vals)
+    whole = _kmv_fold(h, 256)
+    parts = [_kmv_fold(h[i::5], 256) for i in range(5)]
+    merged = _kmv_fold(np.concatenate(parts), 256)
+    assert np.array_equal(whole, merged)
+
+
+def test_hll_merge_equals_whole():
+    rng = np.random.RandomState(4)
+    vals = np.array([f"v{i}" for i in rng.randint(0, 5000, size=20000)], dtype=object)
+    h = _hash_values(vals)
+    whole = _hll_fold(h, 10)
+    merged = np.zeros(1 << 10, dtype=np.uint8)
+    for i in range(5):
+        merged = np.maximum(merged, _hll_fold(h[i::5], 10))
+    assert np.array_equal(whole, merged)
+
+
+def test_kmv_exact_below_k():
+    ds = _token_ds(100)
+    t = kmv_distinct(ds, "token", k=1024)
+    assert t.column("estimate")[0].as_py() == 100.0
+    assert t.column("sketch_size")[0].as_py() == 100
+
+
+def test_estimates_within_error_bounds():
+    n = 20_000
+    ds = _token_ds(n, repeats=2, nblocks=6)
+    kmv = kmv_distinct(ds, "token", k=1024).column("estimate")[0].as_py()
+    hll = hll_distinct(ds, "token", p=12).column("estimate")[0].as_py()
+    # theory: kmv ~1/sqrt(k)=3.1%, hll ~1.04/sqrt(2^12)=1.6%; generous margins
+    assert abs(kmv - n) / n < 0.15, kmv
+    assert abs(hll - n) / n < 0.08, hll
+    # determinism: same input -> bit-identical estimates
+    assert kmv == kmv_distinct(ds, "token", k=1024).column("estimate")[0].as_py()
+    assert hll == hll_distinct(ds, "token", p=12).column("estimate")[0].as_py()
+
+
+def test_distinct_count_exact():
+    assert distinct_count_exact(_token_ds(777, repeats=4), "token") == 777
+
+
+def test_hll_estimate_edge_cases():
+    # empty registers -> linear counting of m/m -> 0
+    assert _hll_estimate(np.zeros(16, dtype=np.uint8)) == 0.0
+    # kmv of empty sketch
+    assert _kmv_estimate(np.empty(0, np.uint64), 16) == 0.0
+    with pytest.raises(ValueError, match="p must be"):
+        from geopandas_ray.functions.sketch import hll_partials
+
+        hll_partials(_token_ds(10), "token", p=2)
+
+
+def test_vocab_stats_small():
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["the cat the dog", "Cat! and fish-42", ""], pa.string()
+                ),
+            }
+        )
+    )
+    t = vocab_stats(docs)
+    # tokens: doc0 {the(x2), cat, dog}, doc1 {cat, and, fish, 42}
+    assert t.column("distinct_tokens")[0].as_py() == 6  # the cat dog and fish 42
+    assert t.column("total_tokens")[0].as_py() == 8
