@@ -3537,6 +3537,23 @@ def q_distinct_sketch(sf_dir):
     )
 
 
+def q_token_quantiles(sf_dir):
+    # exact doc-length quantiles without a sort shuffle (functions/
+    # sketch.py int_quantiles): per-batch bincount partials over the
+    # bounded token-count domain, padded sums, driver fold; the
+    # smallest-value-reaching-ceil(q*n) rule is probe-verified identical
+    # to DuckDB quantile_disc.
+    import ray.data
+
+    from geopandas_ray.functions.sketch import int_quantiles
+    from geopandas_ray.functions.text import with_token_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return int_quantiles(with_token_stats(docs), "n_tokens", (0.5, 0.9, 0.99))
+
+
 def q_kmeans_clusters(sf_dir):
     # distributed k-means over embeddings (functions/clustering.py):
     # deterministic smallest-id init, broadcast centroids, one streaming
@@ -3903,6 +3920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "vocab_stats": q_vocab_stats,
         "distinct_sketch": q_distinct_sketch,
+        "token_quantiles": q_token_quantiles,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
@@ -4742,6 +4760,14 @@ def oracle_sql() -> dict[str, str]:
         "geojsonseq_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "csv_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "pandas_extension": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        # exact doc-length quantiles (same n_tokens rule as token_stats)
+        "token_quantiles": (
+            "WITH s AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n "
+            "FROM documents) "
+            "SELECT CAST(0.5 AS DOUBLE) AS q, CAST(quantile_disc(n, 0.5) AS BIGINT) AS value FROM s "
+            "UNION ALL SELECT CAST(0.9 AS DOUBLE), CAST(quantile_disc(n, 0.9) AS BIGINT) FROM s "
+            "UNION ALL SELECT CAST(0.99 AS DOUBLE), CAST(quantile_disc(n, 0.99) AS BIGINT) FROM s"
+        ),
         # exact vocabulary anchor (same tokenizer as tfidf_top_terms)
         "vocab_stats": (
             "WITH toks AS (SELECT t FROM (SELECT unnest(string_split_regex("

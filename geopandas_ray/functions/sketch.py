@@ -248,3 +248,72 @@ def vocab_stats(
             "total_tokens": pa.array([int(total)], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles of a bounded non-negative integer column
+# ---------------------------------------------------------------------------
+
+
+def _bincount_merge_block(b: pa.Table) -> np.ndarray:
+    views = [np.frombuffer(s.as_py(), dtype=np.int64) for s in b.column("counts")]
+    if not views:
+        return np.zeros(1, dtype=np.int64)
+    out = np.zeros(max(len(v) for v in views), dtype=np.int64)
+    for v in views:
+        out[: len(v)] += v
+    return out
+
+
+def int_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    concurrency=None,
+) -> pa.Table:
+    """EXACT discrete quantiles of a bounded non-negative integer column
+    (doc token counts, span counts, ...) without any sort shuffle: per-
+    batch ``np.bincount`` partials (one small counts row per batch),
+    repartition(P) + per-block padded sums, driver fold of P rows. The
+    quantile rule matches SQL ``quantile_disc`` / ``percentile_disc``:
+    the smallest value whose cumulative count reaches ``ceil(q * n)``.
+    Returns (q: float64, value: int64) rows."""
+    nparts = default_shuffle_partitions()
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = np.asarray(b.column(col), dtype=np.int64)
+        if len(vals) and vals.min() < 0:
+            raise ValueError(f"int_quantiles requires non-negative {col!r}")
+        counts = np.bincount(vals) if len(vals) else np.zeros(1, dtype=np.int64)
+        return pa.table(
+            {"counts": pa.array([counts.astype(np.int64).tobytes()], pa.large_binary())}
+        )
+
+    def merge(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"counts": pa.array([_bincount_merge_block(b).tobytes()], pa.large_binary())}
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", concurrency=concurrency)
+        .repartition(nparts)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+    counts = _bincount_merge_block(
+        pa.table(folded.take_batch(nparts + 1, batch_format="pyarrow"))
+    )
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        target = max(1, int(np.ceil(q * n)))
+        out_q.append(float(q))
+        out_v.append(int(np.searchsorted(cum, target)))
+    return pa.table(
+        {
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.int64()),
+        }
+    )

@@ -95,3 +95,31 @@ def test_vocab_stats_small():
     # tokens: doc0 {the(x2), cat, dog}, doc1 {cat, and, fish, 42}
     assert t.column("distinct_tokens")[0].as_py() == 6  # the cat dog and fish 42
     assert t.column("total_tokens")[0].as_py() == 8
+
+
+def test_int_quantiles_matches_duckdb():
+    import duckdb
+
+    rng = np.random.RandomState(9)
+    vals = rng.randint(0, 60, size=1234)
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(vals, pa.int64())})
+    ).repartition(5)
+    from geopandas_ray.functions.sketch import int_quantiles
+
+    got = int_quantiles(ds, "v", (0.0, 0.25, 0.5, 0.9, 0.99, 1.0))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (SELECT unnest(?) AS v)", [vals.tolist()]
+    )
+    for q, v in zip(got.column("q").to_pylist(), got.column("value").to_pylist()):
+        dd = con.execute(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        assert v == dd, (q, v, dd)
+
+
+def test_int_quantiles_negative_raises():
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([1, -2, 3], pa.int64())}))
+    from geopandas_ray.functions.sketch import int_quantiles
+
+    with pytest.raises(Exception, match="non-negative"):
+        int_quantiles(ds, "v")
