@@ -3554,6 +3554,42 @@ def q_token_quantiles(sf_dir):
     return int_quantiles(with_token_stats(docs), "n_tokens", (0.5, 0.9, 0.99))
 
 
+def q_top_tokens(sf_dir):
+    # exact top-k tokens by document frequency: per-batch local count
+    # partials, one groupby-sum shuffle, per-block head-k partials before
+    # the bounded driver merge; (count desc, token asc) tie-break matches
+    # the SQL ORDER BY ... LIMIT exactly.
+    import ray.data
+
+    from geopandas_ray.functions.sketch import top_values_exact
+    from geopandas_ray.functions.tfidf import tokenize_tf
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return top_values_exact(tokenize_tf(docs), "token", k=10)
+
+
+def q_heavy_hitters(sf_dir):
+    # Misra-Gries mergeable summaries (Agarwal et al. 2012): no value-
+    # keyed shuffle at all — per-batch MG partials, per-block merges,
+    # driver fold. With distinct values <= capacity the summary never
+    # compresses, so min_count equals the exact document frequency and
+    # the result gates HASH-EXACT against the same SQL as top_tokens
+    # (the below-capacity-exactness contract; the compressed regime's
+    # guarantees are pinned by pytest on a zipf fixture).
+    import ray.data
+
+    from geopandas_ray.functions.sketch import heavy_hitters
+    from geopandas_ray.functions.tfidf import tokenize_tf
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    hh = heavy_hitters(tokenize_tf(docs), "token", k=10, capacity=4096)
+    return hh.select(["value", "min_count"]).rename_columns(["value", "count"])
+
+
 def q_kmeans_clusters(sf_dir):
     # distributed k-means over embeddings (functions/clustering.py):
     # deterministic smallest-id init, broadcast centroids, one streaming
@@ -3921,6 +3957,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_stats": q_vocab_stats,
         "distinct_sketch": q_distinct_sketch,
         "token_quantiles": q_token_quantiles,
+        "top_tokens": q_top_tokens,
+        "heavy_hitters": q_heavy_hitters,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
@@ -4760,6 +4798,23 @@ def oracle_sql() -> dict[str, str]:
         "geojsonseq_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "csv_roundtrip": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
         "pandas_extension": f"{W} SELECT doc_id, px AS x, py AS y FROM pts",
+        # exact top-k tokens by document frequency (tfidf tokenizer);
+        # LIMIT boundary ties break by token ascending on both sides
+        "top_tokens": (
+            "WITH toks AS (SELECT doc_id, t AS token FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t "
+            "FROM documents) u WHERE t <> '' GROUP BY doc_id, t) "
+            "SELECT token AS value, CAST(COUNT(*) AS BIGINT) AS count FROM toks "
+            "GROUP BY token ORDER BY count DESC, token ASC LIMIT 10"
+        ),
+        # Misra-Gries below capacity is exact: same oracle as top_tokens
+        "heavy_hitters": (
+            "WITH toks AS (SELECT doc_id, t AS token FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t "
+            "FROM documents) u WHERE t <> '' GROUP BY doc_id, t) "
+            "SELECT token AS value, CAST(COUNT(*) AS BIGINT) AS count FROM toks "
+            "GROUP BY token ORDER BY count DESC, token ASC LIMIT 10"
+        ),
         # exact doc-length quantiles (same n_tokens rule as token_stats)
         "token_quantiles": (
             "WITH s AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n "

@@ -317,3 +317,169 @@ def int_quantiles(
             "value": pa.array(out_v, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable summaries, Agarwal et al. PODS 2012)
+# ---------------------------------------------------------------------------
+
+
+def _mg_compress(tokens: np.ndarray, counts: np.ndarray, capacity: int):
+    """Keep the top ``capacity`` entries after subtracting the
+    (capacity+1)-th largest count from everyone (the mergeable-summary
+    compression): every kept count underestimates truth by at most the
+    sum of subtracted thresholds."""
+    if len(tokens) <= capacity:
+        return tokens, counts
+    # threshold = (capacity+1)-th largest count
+    thr = np.partition(counts, len(counts) - capacity - 1)[len(counts) - capacity - 1]
+    adj = counts - thr
+    keep = adj > 0
+    return tokens[keep], adj[keep]
+
+
+def mg_partials(
+    ds: ray.data.Dataset, col: str, capacity: int = 1024, concurrency=None
+) -> ray.data.Dataset:
+    """One Misra-Gries summary row per batch: (tokens: list<string>,
+    counts: list<int64>), at most ``capacity`` entries."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b.column(col).to_numpy(zero_copy_only=False)
+        if len(vals):
+            toks, cnts = np.unique(np.asarray(vals, dtype=object), return_counts=True)
+            toks, cnts = _mg_compress(toks, cnts.astype(np.int64), capacity)
+        else:
+            toks, cnts = np.empty(0, object), np.empty(0, np.int64)
+        return pa.table(
+            {
+                "tokens": pa.array([list(toks)], pa.large_list(pa.string())),
+                "counts": pa.array([cnts.tolist()], pa.large_list(pa.int64())),
+                "n": pa.array(
+                    [int(len(vals))], pa.int64()
+                ),  # rows summarized (error bound denominator)
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow", concurrency=concurrency)
+
+
+def _mg_merge_block(b: pa.Table, capacity: int):
+    toks: list = []
+    cnts: list = []
+    n = 0
+    for i in range(len(b)):
+        toks.extend(b.column("tokens")[i].as_py())
+        cnts.extend(b.column("counts")[i].as_py())
+        n += b.column("n")[i].as_py()
+    if not toks:
+        return np.empty(0, object), np.empty(0, np.int64), n
+    t = np.asarray(toks, dtype=object)
+    c = np.asarray(cnts, dtype=np.int64)
+    # sum duplicate tokens across summaries, then compress
+    order = np.argsort(t, kind="stable")
+    t, c = t[order], c[order]
+    uniq, starts = np.unique(t, return_index=True)
+    sums = np.add.reduceat(c, starts)
+    ut, uc = _mg_compress(uniq, sums, capacity)
+    return ut, uc, n
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int = 20,
+    capacity: int = 1024,
+    concurrency=None,
+) -> pa.Table:
+    """Approximate top-k frequent values: Misra-Gries summaries per batch,
+    repartition(P) + per-block merge, driver fold of P summaries — no
+    value-keyed shuffle. Every value with true frequency > n/capacity is
+    guaranteed present; reported counts underestimate truth by at most
+    n/capacity (``max_undercount``). Returns (value, min_count) rows
+    ordered by (min_count desc, value asc) plus the bound columns."""
+    parts = mg_partials(ds, col, capacity=capacity, concurrency=concurrency)
+    nparts = default_shuffle_partitions()
+
+    def merge(b: pa.Table) -> pa.Table:
+        t, c, n = _mg_merge_block(b, capacity)
+        return pa.table(
+            {
+                "tokens": pa.array([list(t)], pa.large_list(pa.string())),
+                "counts": pa.array([c.tolist()], pa.large_list(pa.int64())),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    folded = parts.repartition(nparts).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+    t, c, n = _mg_merge_block(
+        pa.table(folded.take_batch(nparts + 1, batch_format="pyarrow")), capacity
+    )
+    if len(t):
+        order = np.lexsort((t, -c))[:k]
+        t, c = t[order], c[order]
+    return pa.table(
+        {
+            "value": pa.array(list(t), pa.string()),
+            "min_count": pa.array(c.tolist() if len(t) else [], pa.int64()),
+            "n": pa.array([n] * len(t), pa.int64()),
+            "max_undercount": pa.array(
+                [n // capacity] * len(t), pa.int64()
+            ),
+        }
+    )
+
+
+def top_values_exact(
+    ds: ray.data.Dataset, col: str, k: int = 20
+) -> ray.data.Dataset:
+    """Exact top-k frequent values (the heavy-hitter anchor): per-batch
+    local count partials, one small groupby-sum shuffle, driver head-k
+    with the (count desc, value asc) tie-break."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b.column(col).to_numpy(zero_copy_only=False)
+        if not len(vals):
+            return pa.table(
+                {"value": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        toks, cnts = np.unique(np.asarray(vals, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "value": pa.array(list(toks), pa.string()),
+                "c": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    nparts = default_shuffle_partitions()
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(nparts)
+        .groupby("value")
+        .aggregate(Sum("c", alias_name="count"))
+    )
+
+    # each distinct value lands in exactly one post-groupby block, so a
+    # per-block local head-k bounds the driver pull to blocks*k rows
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["count", "value"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    cand = pa.table(
+        g.map_batches(local_topk, batch_format="pandas", batch_size=None).take_batch(
+            max(nparts, 1) * k + 1, batch_format="pyarrow"
+        )
+    ).to_pandas()
+    out = cand.sort_values(
+        ["count", "value"], ascending=[False, True], kind="stable"
+    ).head(k).reset_index(drop=True)
+    return pa.table(
+        {
+            "value": pa.array(out["value"].tolist(), pa.string()),
+            "count": pa.array(out["count"].astype(np.int64).tolist(), pa.int64()),
+        }
+    )

@@ -123,3 +123,55 @@ def test_int_quantiles_negative_raises():
 
     with pytest.raises(Exception, match="non-negative"):
         int_quantiles(ds, "v")
+
+
+def _zipf_ds(rng, n=30000, vocab=3000, nblocks=6):
+    ranks = rng.zipf(1.3, size=n * 2)
+    ranks = ranks[ranks <= vocab][:n]
+    toks = np.array([f"w{r:05d}" for r in ranks], dtype=object)
+    return toks, ray.data.from_arrow(
+        pa.table({"token": pa.array(list(toks), pa.string())})
+    ).repartition(nblocks)
+
+
+def test_heavy_hitters_guarantees():
+    from geopandas_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.RandomState(11)
+    toks, ds = _zipf_ds(rng)
+    cap = 256
+    hh = heavy_hitters(ds, "token", k=30, capacity=cap).to_pandas()
+    vals, cnts = np.unique(toks, return_counts=True)
+    true = dict(zip(vals, cnts))
+    n = len(toks)
+    bound = n // cap
+    assert (hh.max_undercount == bound).all() and (hh.n == n).all()
+    # every reported min_count is a valid underestimate within the bound
+    for v, mc in zip(hh.value, hh.min_count):
+        assert mc <= true[v] <= mc + bound, (v, mc, true[v])
+    # every TRUE heavy hitter (freq > n/capacity) must be present
+    heavy = {v for v, c in true.items() if c > bound}
+    assert heavy <= set(hh.value), heavy - set(hh.value)
+
+
+def test_heavy_hitters_exact_below_capacity():
+    from geopandas_ray.functions.sketch import heavy_hitters, top_values_exact
+
+    rng = np.random.RandomState(12)
+    toks, ds = _zipf_ds(rng, n=5000, vocab=200)
+    hh = heavy_hitters(ds, "token", k=15, capacity=1024).to_pandas()
+    exact = top_values_exact(ds, "token", k=15).to_pandas()
+    assert hh.value.tolist() == exact.value.tolist()
+    assert hh.min_count.tolist() == exact["count"].tolist()
+
+
+def test_top_values_exact_matches_numpy():
+    from geopandas_ray.functions.sketch import top_values_exact
+
+    rng = np.random.RandomState(13)
+    toks, ds = _zipf_ds(rng, n=8000, vocab=500)
+    got = top_values_exact(ds, "token", k=12).to_pandas()
+    vals, cnts = np.unique(toks, return_counts=True)
+    order = np.lexsort((vals, -cnts))[:12]
+    assert got.value.tolist() == list(vals[order])
+    assert got["count"].tolist() == list(cnts[order].astype(int))
