@@ -3590,6 +3590,44 @@ def q_heavy_hitters(sf_dir):
     return hh.select(["value", "min_count"]).rename_columns(["value", "count"])
 
 
+def q_vocab_by_lang(sf_dir):
+    # exact per-group distinct counts (keyed-sketch anchor): local
+    # distinct (lang, token) pairs per batch, one pair shuffle, per-key
+    # pair-count partials summed on the key.
+    import ray.data
+
+    from geopandas_ray.functions.sketch import distinct_count_by_exact
+    from geopandas_ray.functions.tfidf import tokenize_tf
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    toks = tokenize_tf(docs, id_col="lang")
+    out = distinct_count_by_exact(toks, "token", "lang")
+    return _select(out, ["lang", "distinct"]).map_batches(
+        lambda b: b.rename_columns(["lang", "distinct_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_vocab_by_lang_sketch(sf_dir):
+    # keyed KMV sketches: one sketch per lang, sketches (never values)
+    # through the shuffle. Below k distinct the sketch holds every hash,
+    # so the estimate IS the exact count and the gate is hash-exact vs
+    # CAST(COUNT(DISTINCT ..) AS DOUBLE); the estimating regime's error
+    # bounds are pinned by pytest.
+    import ray.data
+
+    from geopandas_ray.functions.sketch import kmv_distinct_by
+    from geopandas_ray.functions.tfidf import tokenize_tf
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    toks = tokenize_tf(docs, id_col="lang")
+    return _select(kmv_distinct_by(toks, "token", "lang", k=4096), ["lang", "estimate"])
+
+
 def q_kmeans_clusters(sf_dir):
     # distributed k-means over embeddings (functions/clustering.py):
     # deterministic smallest-id init, broadcast centroids, one streaming
@@ -3959,6 +3997,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": q_token_quantiles,
         "top_tokens": q_top_tokens,
         "heavy_hitters": q_heavy_hitters,
+        "vocab_by_lang": q_vocab_by_lang,
+        "vocab_by_lang_sketch": q_vocab_by_lang_sketch,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
@@ -4814,6 +4854,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) u WHERE t <> '' GROUP BY doc_id, t) "
             "SELECT token AS value, CAST(COUNT(*) AS BIGINT) AS count FROM toks "
             "GROUP BY token ORDER BY count DESC, token ASC LIMIT 10"
+        ),
+        # exact per-language vocabulary (keyed-sketch anchor)
+        "vocab_by_lang": (
+            "WITH toks AS (SELECT lang, t FROM (SELECT lang, "
+            "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t "
+            "FROM documents) u WHERE t <> '') "
+            "SELECT lang, CAST(COUNT(DISTINCT t) AS BIGINT) AS distinct_tokens "
+            "FROM toks GROUP BY lang"
+        ),
+        # keyed KMV below k holds every hash -> estimate == exact count
+        "vocab_by_lang_sketch": (
+            "WITH toks AS (SELECT lang, t FROM (SELECT lang, "
+            "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t "
+            "FROM documents) u WHERE t <> '') "
+            "SELECT lang, CAST(COUNT(DISTINCT t) AS DOUBLE) AS estimate "
+            "FROM toks GROUP BY lang"
         ),
         # exact doc-length quantiles (same n_tokens rule as token_stats)
         "token_quantiles": (

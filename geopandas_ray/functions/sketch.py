@@ -483,3 +483,119 @@ def top_values_exact(
             "count": pa.array(out["count"].astype(np.int64).tolist(), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyed sketches: per-group distinct counts
+# ---------------------------------------------------------------------------
+
+
+def kmv_distinct_by(
+    ds: ray.data.Dataset,
+    col: str,
+    by: str,
+    k: int = 256,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Per-group distinct-count estimates: one KMV sketch per ``by`` key.
+    Per batch emits one (by, sketch) row per key seen; the merge hash-
+    partitions on the KEY and folds every key of a partition in ONE
+    pandas pass (CLAUDE.md high-cardinality rule — never a per-key
+    map_groups), so the shuffle payload is sketches, never values.
+    Returns (by, sketch_size, estimate) rows."""
+    from ..util import default_shuffle_partitions
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column(by).to_numpy(zero_copy_only=False)
+        vals = b.column(col).to_numpy(zero_copy_only=False)
+        out_k: list = []
+        out_s: list = []
+        if len(keys):
+            order = np.argsort(np.asarray(keys, dtype=object), kind="stable")
+            keys_s = np.asarray(keys, dtype=object)[order]
+            h = _hash_values(vals)[order]
+            uniq, starts = np.unique(keys_s, return_index=True)
+            bounds_ = np.append(starts, len(keys_s))
+            for i, key in enumerate(uniq):
+                out_k.append(key)
+                out_s.append(_kmv_fold(h[bounds_[i] : bounds_[i + 1]], k).tobytes())
+        return pa.table(
+            {
+                by: pa.array(out_k, pa.string()),
+                "sketch": pa.array(out_s, pa.large_binary()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", concurrency=concurrency)
+    nparts = default_shuffle_partitions()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = pd.util.hash_array(df[by].to_numpy(object)) % nparts
+        return df
+
+    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out_k: list = []
+        out_n: list = []
+        out_e: list = []
+        for key, grp in df.groupby(by, sort=True):
+            views = [np.frombuffer(s, dtype=np.uint64) for s in grp["sketch"]]
+            sk = _kmv_fold(np.concatenate(views), k) if views else np.empty(0, np.uint64)
+            out_k.append(key)
+            out_n.append(len(sk))
+            out_e.append(_kmv_estimate(sk, k))
+        return pd.DataFrame(
+            {by: out_k, "sketch_size": np.int64(out_n), "estimate": out_e}
+        )
+
+    return (
+        parts.map_batches(add_part, batch_format="pandas")
+        .repartition(nparts)
+        .groupby("__part")
+        .map_groups(merge_partition, batch_format="pandas")
+    )
+
+
+def distinct_count_by_exact(
+    ds: ray.data.Dataset, col: str, by: str
+) -> ray.data.Dataset:
+    """Exact per-group distinct counts (the keyed-sketch anchor): local
+    distinct (by, col) pairs per batch, one pair shuffle, then per-group
+    pair counts summed on the key. Returns (by, distinct) rows."""
+    from ray.data.aggregate import Sum
+
+    from ..util import default_shuffle_partitions
+
+    def local_pairs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table({by: b.column(by), col: b.column(col)})
+        return t.group_by([by, col]).aggregate([]).select([by, col])
+
+    nparts = default_shuffle_partitions()
+    pairs = (
+        ds.map_batches(local_pairs, batch_format="pyarrow")
+        .repartition(nparts)
+        .groupby([by, col])
+        .count()
+    )
+
+    def per_key_partial(b: pa.Table) -> pa.Table:
+        keys = b.column(by).to_numpy(zero_copy_only=False)
+        if not len(keys):
+            return pa.table(
+                {by: pa.array([], pa.string()), "d": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(keys, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                by: pa.array(list(uniq), pa.string()),
+                "d": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return (
+        pairs.map_batches(per_key_partial, batch_format="pyarrow")
+        .groupby(by)
+        .aggregate(Sum("d", alias_name="distinct"))
+    )

@@ -175,3 +175,40 @@ def test_top_values_exact_matches_numpy():
     order = np.lexsort((vals, -cnts))[:12]
     assert got.value.tolist() == list(vals[order])
     assert got["count"].tolist() == list(cnts[order].astype(int))
+
+
+def test_kmv_distinct_by_exact_and_estimating():
+    from geopandas_ray.functions.sketch import distinct_count_by_exact, kmv_distinct_by
+
+    rng = np.random.RandomState(21)
+    langs = np.array(["en", "de", "fr"], dtype=object)[rng.randint(0, 3, size=12000)]
+    toks = np.array(
+        [f"{l}_w{v}" for l, v in zip(langs, rng.randint(0, 900, size=12000))],
+        dtype=object,
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"lang": pa.array(list(langs), pa.string()), "token": pa.array(list(toks), pa.string())}
+        )
+    ).repartition(5)
+    exact = (
+        distinct_count_by_exact(ds, "token", "lang")
+        .to_pandas()
+        .set_index("lang")["distinct"]
+    )
+    truth = {
+        l: len(np.unique(toks[langs == l])) for l in ("en", "de", "fr")
+    }
+    assert exact.to_dict() == truth
+    # below-k regime: estimate equals exact
+    sk = kmv_distinct_by(ds, "token", "lang", k=4096).to_pandas().set_index("lang")
+    for l in truth:
+        assert sk.loc[l, "estimate"] == float(truth[l])
+    # estimating regime: within KMV error bounds (k=128 -> ~9% theory)
+    sk2 = kmv_distinct_by(ds, "token", "lang", k=128).to_pandas().set_index("lang")
+    for l in truth:
+        assert abs(sk2.loc[l, "estimate"] - truth[l]) / truth[l] < 0.3, (
+            l,
+            sk2.loc[l, "estimate"],
+            truth[l],
+        )
