@@ -1179,6 +1179,50 @@ def q_knn_cosine(sf_dir):
     return _select(k, ["vec_id", "neighbor_id", "rank"])
 
 
+def _recall_metric(exact, approx, keys):
+    # shared distributed recall metric (one copy — the LSH/IVF/IVF-PQ/
+    # PQ-search recall gates must never drift apart): tag each side, union,
+    # groupby the pair keys, and count exact pairs / matched pairs per
+    # batch before a driver sum. Returns the one-row metric table.
+    def tag(e, a):
+        def f(b: pa.Table) -> pa.Table:
+            n = len(b)
+            b = b.append_column("e", pa.array(np.full(n, e, dtype=np.int64)))
+            return b.append_column("a", pa.array(np.full(n, a, dtype=np.int64)))
+
+        return f
+
+    g = (
+        _select(exact, keys)
+        .map_batches(tag(1, 0), batch_format="pyarrow")
+        .union(_select(approx, keys).map_batches(tag(0, 1), batch_format="pyarrow"))
+        .groupby(keys)
+        .sum(["e", "a"])
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        e = np.asarray(b.column("sum(e)"), dtype=np.int64)
+        a = np.asarray(b.column("sum(a)"), dtype=np.int64)
+        return pa.table(
+            {
+                "total": pa.array([int((e >= 1).sum())], type=pa.int64()),
+                "matched": pa.array([int(((e >= 1) & (a >= 1)).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = g.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = int(parts["total"].sum())
+    matched = int(parts["matched"].sum())
+    return pa.table(
+        {
+            "k": pa.array([KNN_K], type=pa.int64()),
+            "total_pairs": pa.array([total], type=pa.int64()),
+            "matched_pairs": pa.array([matched], type=pa.int64()),
+            "recall": pa.array([matched / total if total else 0.0]),
+        }
+    )
+
+
 def q_knn_lsh_recall(sf_dir):
     # recall-vs-brute metric for the approximate LSH path (VERDICT r1 #5):
     # one row with matched/total recall at k. Approximate by construction,
@@ -1188,142 +1232,40 @@ def q_knn_lsh_recall(sf_dir):
 
     from geopandas_ray.functions.knn import knn_brute, knn_lsh
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-
-    def tag(e, a):
-        def f(b: pa.Table) -> pa.Table:
-            n = len(b)
-            b = b.append_column("e", pa.array(np.full(n, e, dtype=np.int64)))
-            return b.append_column("a", pa.array(np.full(n, a, dtype=np.int64)))
-
-        return f
-
-    exact = _select(knn_brute(ds, ds, k=KNN_K), ["vec_id", "neighbor_id"]).map_batches(
-        tag(1, 0), batch_format="pyarrow"
-    )
-    approx = _select(knn_lsh(ds, k=KNN_K), ["vec_id", "neighbor_id"]).map_batches(
-        tag(0, 1), batch_format="pyarrow"
-    )
-    g = exact.union(approx).groupby(["vec_id", "neighbor_id"]).sum(["e", "a"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        e = np.asarray(b.column("sum(e)"), dtype=np.int64)
-        a = np.asarray(b.column("sum(a)"), dtype=np.int64)
-        return pa.table(
-            {
-                "total": pa.array([int((e >= 1).sum())], type=pa.int64()),
-                "matched": pa.array([int(((e >= 1) & (a >= 1)).sum())], type=pa.int64()),
-            }
-        )
-
-    parts = g.map_batches(partial, batch_format="pyarrow").to_pandas()
-    total = int(parts["total"].sum())
-    matched = int(parts["matched"].sum())
-    return pa.table(
-        {
-            "k": pa.array([KNN_K], type=pa.int64()),
-            "total_pairs": pa.array([total], type=pa.int64()),
-            "matched_pairs": pa.array([matched], type=pa.int64()),
-            "recall": pa.array([matched / total if total else 0.0]),
-        }
+    return _recall_metric(
+        knn_brute(ds, ds, k=KNN_K), knn_lsh(ds, k=KNN_K), ["vec_id", "neighbor_id"]
     )
 
 
 def q_knn_ivf_recall(sf_dir):
-    # recall-vs-brute metric for the IVF path (same in-cluster join as
-    # q_knn_lsh_recall); list_cap forces the hot-list re-split so the
-    # metric covers the capped code path. Approximate -> rows-only.
+    # recall-vs-brute metric for the IVF path (shared _recall_metric);
+    # list_cap forces the hot-list re-split so the metric covers the
+    # capped code path. Approximate -> rows-only.
     import ray.data
 
     from geopandas_ray.functions.knn import knn_brute, knn_ivf
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-
-    def tag(e, a):
-        def f(b: pa.Table) -> pa.Table:
-            n = len(b)
-            b = b.append_column("e", pa.array(np.full(n, e, dtype=np.int64)))
-            return b.append_column("a", pa.array(np.full(n, a, dtype=np.int64)))
-
-        return f
-
-    exact = _select(knn_brute(ds, ds, k=KNN_K), ["vec_id", "neighbor_id"]).map_batches(
-        tag(1, 0), batch_format="pyarrow"
-    )
-    approx = _select(
-        knn_ivf(ds, k=KNN_K, nprobe=6, list_cap=64), ["vec_id", "neighbor_id"]
-    ).map_batches(tag(0, 1), batch_format="pyarrow")
-    g = exact.union(approx).groupby(["vec_id", "neighbor_id"]).sum(["e", "a"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        e = np.asarray(b.column("sum(e)"), dtype=np.int64)
-        a = np.asarray(b.column("sum(a)"), dtype=np.int64)
-        return pa.table(
-            {
-                "total": pa.array([int((e >= 1).sum())], type=pa.int64()),
-                "matched": pa.array([int(((e >= 1) & (a >= 1)).sum())], type=pa.int64()),
-            }
-        )
-
-    parts = g.map_batches(partial, batch_format="pyarrow").to_pandas()
-    total = int(parts["total"].sum())
-    matched = int(parts["matched"].sum())
-    return pa.table(
-        {
-            "k": pa.array([KNN_K], type=pa.int64()),
-            "total_pairs": pa.array([total], type=pa.int64()),
-            "matched_pairs": pa.array([matched], type=pa.int64()),
-            "recall": pa.array([matched / total if total else 0.0]),
-        }
+    return _recall_metric(
+        knn_brute(ds, ds, k=KNN_K),
+        knn_ivf(ds, k=KNN_K, nprobe=6, list_cap=64),
+        ["vec_id", "neighbor_id"],
     )
 
 
 def q_knn_ivf_pq_recall(sf_dir):
     # recall@2k-for-top-k metric for the IVF-PQ (IVFADC) path: PQ's ADC
     # estimate reorders near-ties, so the meaningful contract is "brute
-    # top-k pairs appear in the PQ top-2k candidate set". Same distributed
-    # in-cluster join as q_knn_ivf_recall. Approximate -> rows-only.
+    # top-k pairs appear in the PQ top-2k candidate set" (shared
+    # _recall_metric). Approximate -> rows-only.
     import ray.data
 
     from geopandas_ray.functions.knn import knn_brute, knn_ivf_pq
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-
-    def tag(e, a):
-        def f(b: pa.Table) -> pa.Table:
-            n = len(b)
-            b = b.append_column("e", pa.array(np.full(n, e, dtype=np.int64)))
-            return b.append_column("a", pa.array(np.full(n, a, dtype=np.int64)))
-
-        return f
-
-    exact = _select(knn_brute(ds, ds, k=KNN_K), ["vec_id", "neighbor_id"]).map_batches(
-        tag(1, 0), batch_format="pyarrow"
-    )
-    approx = _select(
+    return _recall_metric(
+        knn_brute(ds, ds, k=KNN_K),
         knn_ivf_pq(ds, k=2 * KNN_K, m=8, nbits=8, nprobe=12),
         ["vec_id", "neighbor_id"],
-    ).map_batches(tag(0, 1), batch_format="pyarrow")
-    g = exact.union(approx).groupby(["vec_id", "neighbor_id"]).sum(["e", "a"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        e = np.asarray(b.column("sum(e)"), dtype=np.int64)
-        a = np.asarray(b.column("sum(a)"), dtype=np.int64)
-        return pa.table(
-            {
-                "total": pa.array([int((e >= 1).sum())], type=pa.int64()),
-                "matched": pa.array([int(((e >= 1) & (a >= 1)).sum())], type=pa.int64()),
-            }
-        )
-
-    parts = g.map_batches(partial, batch_format="pyarrow").to_pandas()
-    total = int(parts["total"].sum())
-    matched = int(parts["matched"].sum())
-    return pa.table(
-        {
-            "k": pa.array([KNN_K], type=pa.int64()),
-            "total_pairs": pa.array([total], type=pa.int64()),
-            "matched_pairs": pa.array([matched], type=pa.int64()),
-            "recall": pa.array([matched / total if total else 0.0]),
-        }
     )
 
 
@@ -1381,6 +1323,7 @@ def q_search_ivf(sf_dir):
     from geopandas_ray.functions.knn import search_ivf
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.materialize()  # four consumers: query pull, count, sample, scan
     qt = pa.table(
         ds.filter(expr="vec_id < 20")
         .select_columns(["vec_id", "embedding"])
@@ -1392,7 +1335,7 @@ def q_search_ivf(sf_dir):
 
 def q_search_pq_recall(sf_dir):
     # ADC search over the persisted pq_encode index vs the exact full-probe
-    # answer: distributed overlap metric (approximate -> rows-only).
+    # answer (shared _recall_metric). Approximate -> rows-only.
     import ray.data
 
     from geopandas_ray.functions.knn import (
@@ -1411,49 +1354,10 @@ def q_search_pq_recall(sf_dir):
     )
     model = pq_train(ds, m=8, nbits=8)
     idx = pq_encode(ds, model)
-    approx = search_pq_index(idx, qt, model, k=2 * KNN_K, nprobe=8)
-    exact = search_ivf(ds, qt, k=KNN_K, nprobe=16, nlist=16)
-
-    def tag(e, a):
-        def f(b: pa.Table) -> pa.Table:
-            n = len(b)
-            b = b.append_column("e", pa.array(np.full(n, e, dtype=np.int64)))
-            return b.append_column("a", pa.array(np.full(n, a, dtype=np.int64)))
-
-        return f
-
-    g = (
-        _select(exact, ["query_id", "neighbor_id"])
-        .map_batches(tag(1, 0), batch_format="pyarrow")
-        .union(
-            _select(approx, ["query_id", "neighbor_id"]).map_batches(
-                tag(0, 1), batch_format="pyarrow"
-            )
-        )
-        .groupby(["query_id", "neighbor_id"])
-        .sum(["e", "a"])
-    )
-
-    def partial(b: pa.Table) -> pa.Table:
-        e = np.asarray(b.column("sum(e)"), dtype=np.int64)
-        a = np.asarray(b.column("sum(a)"), dtype=np.int64)
-        return pa.table(
-            {
-                "total": pa.array([int((e >= 1).sum())], type=pa.int64()),
-                "matched": pa.array([int(((e >= 1) & (a >= 1)).sum())], type=pa.int64()),
-            }
-        )
-
-    parts = g.map_batches(partial, batch_format="pyarrow").to_pandas()
-    total = int(parts["total"].sum())
-    matched = int(parts["matched"].sum())
-    return pa.table(
-        {
-            "k": pa.array([KNN_K], type=pa.int64()),
-            "total_pairs": pa.array([total], type=pa.int64()),
-            "matched_pairs": pa.array([matched], type=pa.int64()),
-            "recall": pa.array([matched / total if total else 0.0]),
-        }
+    return _recall_metric(
+        search_ivf(ds, qt, k=KNN_K, nprobe=16, nlist=16),
+        search_pq_index(idx, qt, model, k=2 * KNN_K, nprobe=8),
+        ["query_id", "neighbor_id"],
     )
 
 

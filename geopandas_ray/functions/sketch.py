@@ -217,7 +217,8 @@ def distinct_count_exact(ds: ray.data.Dataset, col: str) -> int:
 
     return (
         ds.map_batches(local_distinct, batch_format="pyarrow")
-        .groupby(col)
+        .repartition(default_shuffle_partitions())  # groupby emits one
+        .groupby(col)  # partition per INPUT block (CLAUDE.md invariant)
         .count()
         .count()
     )
@@ -432,9 +433,7 @@ def heavy_hitters(
     )
 
 
-def top_values_exact(
-    ds: ray.data.Dataset, col: str, k: int = 20
-) -> ray.data.Dataset:
+def top_values_exact(ds: ray.data.Dataset, col: str, k: int = 20) -> pa.Table:
     """Exact top-k frequent values (the heavy-hitter anchor): per-batch
     local count partials, one small groupby-sum shuffle, driver head-k
     with the (count desc, value asc) tie-break."""
@@ -463,17 +462,15 @@ def top_values_exact(
     )
 
     # each distinct value lands in exactly one post-groupby block, so a
-    # per-block local head-k bounds the driver pull to blocks*k rows
+    # per-block local head-k bounds the candidate stream to blocks*k rows
+    # (to_pandas, not a fixed-size take_batch — Ray may split large
+    # post-groupby blocks and a fixed bound would silently drop rows)
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(
             ["count", "value"], ascending=[False, True], kind="stable"
         ).head(k)
 
-    cand = pa.table(
-        g.map_batches(local_topk, batch_format="pandas", batch_size=None).take_batch(
-            max(nparts, 1) * k + 1, batch_format="pyarrow"
-        )
-    ).to_pandas()
+    cand = g.map_batches(local_topk, batch_format="pandas", batch_size=None).to_pandas()
     out = cand.sort_values(
         ["count", "value"], ascending=[False, True], kind="stable"
     ).head(k).reset_index(drop=True)
@@ -567,8 +564,6 @@ def distinct_count_by_exact(
     from ..util import default_shuffle_partitions
 
     def local_pairs(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         t = pa.table({by: b.column(by), col: b.column(col)})
         return t.group_by([by, col]).aggregate([]).select([by, col])
 
