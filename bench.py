@@ -177,7 +177,7 @@ def run_bench() -> dict:
             "sjoin_nearest_shuffle": 3.47,
             "sjoin_nearest_unbounded": 6.62,
             "sjoin_nearest_rect_shuffle": 5.85,
-            "dissolve_zones": 1.40,  # r5 draw-9 min
+            "dissolve_zones": 1.40,  # r5 draw-11 min (1.398)
             "dissolve_highcard": 3.49,  # r5 draw-8 min
             "knn_brute": 0.35,  # r5 draw-8 min
             "minhash_dedup": 6.89,  # r5 draw-8 min
@@ -191,10 +191,10 @@ def run_bench() -> dict:
             "overlay_auto_concave": 9.94,
             "polyfill_compact_zones": 1.54,  # r5 draw-9 min
             "buffer_round_zones": 3.84,
-            "knn_lsh_skewed": 7.01,
+            "knn_lsh_skewed": 6.72,  # r5 draw-11 min
             "semantic_dedup_50k": 2.59,  # r5 draw-9 min
             "knn_ivf_pq_50k": 8.50,  # r5 draw-9 first number
-            "search_ivf_256q": 1.02,  # r5 draw-10 first number
+            "search_ivf_256q": 0.82,  # r5 draw-11 min
             "dedup_cluster": 9.08,
             "unary_vectorized_100k": 0.36,  # r5 draw-9 min
         }
