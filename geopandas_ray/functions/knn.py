@@ -640,6 +640,11 @@ def _kmeans_fit(sample: np.ndarray, nlist: int, iters: int = 8, seed: int = 42) 
     rng = np.random.RandomState(seed)
     n = len(sample)
     nlist = min(nlist, n)
+    if n > 100 * nlist:
+        # FAISS guideline: past ~100 points per centroid Lloyd barely
+        # moves but every iteration's (n, nlist) matmul scales linearly
+        sample = sample[rng.choice(n, size=100 * nlist, replace=False)]
+        n = len(sample)
     cent = sample[rng.choice(n, size=nlist, replace=False)].copy()
     norms = np.linalg.norm(cent, axis=1)
     norms[norms == 0] = 1.0
@@ -647,13 +652,16 @@ def _kmeans_fit(sample: np.ndarray, nlist: int, iters: int = 8, seed: int = 42) 
     for _ in range(iters):
         sims = sample @ cent.T
         assign = np.argmax(sims, axis=1)
-        for c in range(nlist):
-            m = assign == c
-            if m.any():
-                v = sample[m].mean(axis=0)
-                nv = np.linalg.norm(v)
-                if nv > 0:
-                    cent[c] = v / nv
+        # scatter-add mean update (a per-cluster boolean-mask loop costs
+        # nlist full-array scans per iteration — measured 2s of the 3s
+        # train time at 50k x 223)
+        sums = np.zeros((nlist, sample.shape[1]), dtype=np.float64)
+        np.add.at(sums, assign, sample)
+        cnt = np.bincount(assign, minlength=nlist).astype(np.float64)
+        nv = np.linalg.norm(sums, axis=1)
+        upd = (cnt > 0) & (nv > 0)
+        # mean then L2-normalize == normalize the sum directly
+        cent[upd] = sums[upd] / nv[upd, None]  # empty clusters keep position
     return cent
 
 
