@@ -185,7 +185,7 @@ def run_bench() -> dict:
             "decontaminate": 1.51,  # r5 draw-8 min
             "repetition_stats": 0.80,
             "q1_lineitem": 0.89,  # r5 draw-8 min
-            "geojsonseq_io": 3.19,  # r5 draw-7 first number
+            "geojsonseq_io": 3.00,  # r5 draw-12 min
             "overlay_concave": 18.09,
             "overlay_shuffle_concave": 9.77,
             "overlay_auto_concave": 9.94,
