@@ -759,6 +759,42 @@ def run_bench() -> dict:
 
     timed("search_ivf_256q", run_search_ivf)
 
+    def run_sketch_stats():
+        # corpus-statistics sketches over ~2M zipf tokens (200k-ish
+        # distinct): HLL p=14 + KMV k=4096 + Misra-Gries heavy hitters —
+        # three full passes; the reduce payload is sketch-sized
+        import numpy as np
+        import pyarrow as pa
+
+        from geopandas_ray.functions.sketch import (
+            heavy_hitters,
+            hll_distinct,
+            kmv_distinct,
+        )
+
+        n_blocks, per = 32, 64_000
+
+        def gen(b: pa.Table) -> pa.Table:
+            i = int(b.column("id")[0].as_py())
+            rng = np.random.RandomState(1000 + i)
+            r = rng.zipf(1.2, size=per * 2)
+            r = r[r <= 200_000][:per]
+            toks = np.char.add("w", r.astype(np.int64).astype(str))
+            return pa.table({"token": pa.array(toks.tolist(), pa.string())})
+
+        ds = (
+            ray.data.range(n_blocks)
+            .repartition(n_blocks)
+            .map_batches(gen, batch_format="pyarrow")
+            .materialize()  # three sketch consumers
+        )
+        h = hll_distinct(ds, "token", p=14)
+        kv = kmv_distinct(ds, "token", k=4096)
+        hh = heavy_hitters(ds, "token", k=20, capacity=2048)
+        return int(h.column("estimate")[0].as_py() + kv.column("estimate")[0].as_py()) + len(hh)
+
+    timed("sketch_stats_2m", run_sketch_stats)
+
     def run_cluster():
         # full near-dup pipeline: minhash candidates -> min-label
         # connected components (4 bounded label-propagation rounds)
