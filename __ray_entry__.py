@@ -1082,6 +1082,63 @@ def q_decontaminate(sf_dir):
     return _select(out, ["doc_id", "n_contaminated_ngrams", "contaminated"])
 
 
+def q_decontaminate_bloom(sf_dir):
+    # Bloom scale path vs the exact broadcast set: the bloom flags must be
+    # a SUPERSET of the exact flags (false positives only, at the sized
+    # rate — here the vocab is small enough that they're equal w.h.p.).
+    # Probabilistic membership -> rows-only; the verifiable containment
+    # contract rides as an integer flag computed distributed.
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geopandas_ray.functions.decontaminate import (
+        flag_contaminated,
+        flag_contaminated_bloom,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy()
+    bench_texts = t.filter(pa.array(ids % 97 == 0)).column("text").to_pylist()
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()  # two flagger consumers
+    exact = _select(
+        flag_contaminated(ds, bench_texts, n=3), ["doc_id", "contaminated"]
+    )
+    bloom = _select(
+        flag_contaminated_bloom(ds, bench_texts, n=3, fp_rate=1e-4),
+        ["doc_id", "contaminated"],
+    )
+
+    def count_flags(name):
+        def f(b: pa.Table) -> pa.Table:
+            flags = np.asarray(b.column("contaminated"), dtype=bool)
+            return pa.table({name: pa.array([int(flags.sum())], pa.int64())})
+
+        return f
+
+    n_exact = sum(
+        r["e"]
+        for r in exact.map_batches(count_flags("e"), batch_format="pyarrow").take_all()
+    )
+    n_bloom = sum(
+        r["b"]
+        for r in bloom.map_batches(count_flags("b"), batch_format="pyarrow").take_all()
+    )
+    # containment: every exact-flagged doc is bloom-flagged (join on id)
+    ex = exact.to_pandas().set_index("doc_id")["contaminated"]
+    bl = bloom.to_pandas().set_index("doc_id")["contaminated"]
+    no_false_neg = int(bool((bl.reindex(ex.index) | ~ex).all()))
+    return pa.table(
+        {
+            "n_flagged_exact": pa.array([int(n_exact)], pa.int64()),
+            "n_flagged_bloom": pa.array([int(n_bloom)], pa.int64()),
+            "no_false_negatives": pa.array([no_false_neg], pa.int64()),
+        }
+    )
+
+
 def q_symdiff_mixed(sf_dir):
     # mixed-dimension symmetric difference: a horizontal line crossing a
     # rect at an interior scanline -> GC(rect, two outside stubs).
@@ -3903,6 +3960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "vocab_by_lang": q_vocab_by_lang,
         "vocab_by_lang_sketch": q_vocab_by_lang_sketch,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,

@@ -97,3 +97,107 @@ def flag_contaminated(
         fn_constructor_kwargs=dict(bench_ref=bench_ref, n=n, text_col=text_col, prefix=prefix),
         concurrency=default_pool(concurrency),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter scale path (Bloom 1970): when the benchmark n-gram set is
+# large (many eval suites x n-gram orders), broadcast ~10 bits per n-gram
+# instead of the strings themselves. False POSITIVES only (over-removal —
+# the safe direction for decontamination); never false negatives.
+# ---------------------------------------------------------------------------
+
+_BLOOM_KEY2 = "fedcba9876543210"  # second fixed SipHash key for double hashing
+
+
+def _bloom_hashes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    v = np.asarray(values, dtype=object)
+    h1 = pd.util.hash_array(v).astype(np.uint64)
+    h2 = pd.util.hash_array(v, hash_key=_BLOOM_KEY2).astype(np.uint64)
+    h2 = h2 | np.uint64(1)  # odd step so probes cover the table
+    return h1, h2
+
+
+def build_bloom(values, fp_rate: float = 1e-4) -> dict:
+    """Bloom filter over an iterable of hashable values: double hashing
+    (Kirsch-Mitzenmatcher) over two fixed-key SipHashes, sized for
+    ``fp_rate`` at len(values). Returns {'bits': uint64 array, 'm', 'h',
+    'n'} — broadcast it with one ray.put."""
+    vals = np.asarray(list(values), dtype=object)
+    n = max(len(vals), 1)
+    m = int(np.ceil(-n * np.log(fp_rate) / (np.log(2.0) ** 2)))
+    m = max(64, (m + 63) // 64 * 64)
+    h = max(1, int(round(m / n * np.log(2.0))))
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    if len(vals):
+        h1, h2 = _bloom_hashes(vals)
+        for i in range(h):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+    return {"bits": bits, "m": m, "h": h, "n": len(vals)}
+
+
+def bloom_contains(bloom: dict, values: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe: True = possibly present (FP rate as
+    sized), False = definitely absent."""
+    if not len(values):
+        return np.zeros(0, dtype=bool)
+    bits, m, h = bloom["bits"], np.uint64(bloom["m"]), bloom["h"]
+    h1, h2 = _bloom_hashes(values)
+    out = np.ones(len(values), dtype=bool)
+    for i in range(h):
+        idx = (h1 + np.uint64(i) * h2) % m
+        word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+        out &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+    return out
+
+
+class _BloomContaminationFlagger:
+    """Actor stage: the bloom filter fetched once per actor; per batch
+    counts DISTINCT possibly-matching n-grams per document."""
+
+    def __init__(self, bloom_ref, n: int, text_col: str, prefix: str):
+        self.bloom = ray.get(bloom_ref) if not isinstance(bloom_ref, dict) else bloom_ref
+        self.n = n
+        self.text_col = text_col
+        self.prefix = prefix
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        s = df[self.text_col].fillna("").reset_index(drop=True)
+        f = _doc_ngrams(s, self.n).drop_duplicates()
+        if len(f):
+            hitmask = bloom_contains(self.bloom, f["gram"].to_numpy())
+            hit = f[hitmask]
+        else:
+            hit = f
+        cnt = hit.groupby("row").size().reindex(s.index, fill_value=0).astype("int64")
+        out = df.copy()
+        out[f"n_{self.prefix}_ngrams"] = cnt.values
+        out[self.prefix] = cnt.values > 0
+        return out
+
+
+def flag_contaminated_bloom(
+    ds: ray.data.Dataset,
+    benchmark_texts,
+    n: int = 3,
+    text_col: str = "text",
+    prefix: str = "contaminated",
+    fp_rate: float = 1e-4,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Bloom-filter variant of flag_contaminated: the broadcast payload is
+    ~-log2(fp_rate)*1.44 bits per benchmark n-gram instead of the n-gram
+    strings (~10 bits vs ~200+ at fp_rate=1e-4). Flags are a SUPERSET of
+    the exact path's (false positives over-remove at the sized rate;
+    never false negatives)."""
+    bloom = build_bloom(benchmark_ngram_set(benchmark_texts, n=n), fp_rate=fp_rate)
+    bloom_ref = ray.put(bloom)
+    return ds.map_batches(
+        _BloomContaminationFlagger,
+        batch_format="pandas",
+        fn_constructor_kwargs=dict(
+            bloom_ref=bloom_ref, n=n, text_col=text_col, prefix=prefix
+        ),
+        concurrency=default_pool(concurrency),
+    )

@@ -212,3 +212,50 @@ def test_kmv_distinct_by_exact_and_estimating():
             sk2.loc[l, "estimate"],
             truth[l],
         )
+
+
+def test_bloom_filter_properties():
+    from geopandas_ray.functions.decontaminate import bloom_contains, build_bloom
+
+    vals = np.array([f"gram{i}" for i in range(20_000)], dtype=object)
+    b = build_bloom(vals, fp_rate=1e-4)
+    assert bloom_contains(b, vals).all()  # never a false negative
+    neg = np.array([f"other{i}" for i in range(100_000)], dtype=object)
+    assert bloom_contains(b, neg).mean() < 1e-3  # sized 1e-4, margin 10x
+    b2 = build_bloom(vals, fp_rate=1e-4)
+    assert np.array_equal(b["bits"], b2["bits"])  # deterministic
+    # empty filter rejects everything; empty probe returns empty
+    be = build_bloom([], fp_rate=1e-4)
+    assert not bloom_contains(be, neg[:50]).any()
+    assert len(bloom_contains(b, np.empty(0, object))) == 0
+
+
+def test_flag_contaminated_bloom_superset_of_exact():
+    import pandas as pd
+
+    from geopandas_ray.functions.decontaminate import (
+        flag_contaminated,
+        flag_contaminated_bloom,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a completely unrelated sentence about spark and ray",
+        "the quick brown fox eats grapes all day long",
+        "nothing in common here at all friends",
+    ]
+    bench = ["quick brown fox jumps over"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).materialize()
+    e = flag_contaminated(ds, bench, n=3).to_pandas().set_index("doc_id")
+    bl = flag_contaminated_bloom(ds, bench, n=3).to_pandas().set_index("doc_id")
+    assert e.contaminated.tolist() == [True, False, True, False]
+    # superset (here: equal — 3 benchmark 3-grams can't realistically FP)
+    assert (bl.contaminated | ~e.contaminated).all()
+    assert (bl.n_contaminated_ngrams >= e.n_contaminated_ngrams).all()
