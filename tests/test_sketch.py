@@ -259,3 +259,37 @@ def test_flag_contaminated_bloom_superset_of_exact():
     # superset (here: equal — 3 benchmark 3-grams can't realistically FP)
     assert (bl.contaminated | ~e.contaminated).all()
     assert (bl.n_contaminated_ngrams >= e.n_contaminated_ngrams).all()
+
+
+def test_sketch_partials_persist_and_merge_incrementally(tmp_path):
+    # the incremental-corpus story: per-batch partials persist to parquet,
+    # a later session reads BOTH corpora's partials back and merges — the
+    # estimate equals sketching the union directly (no recompute)
+    from geopandas_ray.functions.sketch import (
+        _kmv_estimate,
+        _kmv_fold,
+        _kmv_merge_block,
+        kmv_distinct,
+        kmv_partials,
+    )
+
+    a = _token_ds(900, repeats=2, nblocks=3)
+    b_vals = [f"tok{i:06d}" for i in range(600, 1500)] * 2  # overlaps a
+    b = ray.data.from_arrow(
+        pa.table({"token": pa.array(b_vals, pa.string())})
+    ).repartition(3)
+    k = 4096  # below-k regime -> exact, so equality is checkable
+    pa_dir, pb_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    kmv_partials(a, "token", k=k).write_parquet(pa_dir)
+    kmv_partials(b, "token", k=k).write_parquet(pb_dir)
+    merged_rows = ray.data.read_parquet(pa_dir).union(
+        ray.data.read_parquet(pb_dir)
+    )
+    final = _kmv_merge_block(
+        pa.table(merged_rows.take_batch(100, batch_format="pyarrow")), k
+    )
+    est = _kmv_estimate(final, k)
+    assert est == 1500.0  # |union| exactly (900 + 900 - 300 overlap)
+    # matches sketching the union directly
+    direct = kmv_distinct(a.union(b), "token", k=k).column("estimate")[0].as_py()
+    assert est == direct
