@@ -185,7 +185,7 @@ def run_bench() -> dict:
             "decontaminate": 1.51,  # r5 draw-8 min
             "repetition_stats": 0.80,
             "q1_lineitem": 0.89,  # r5 draw-8 min
-            "geojsonseq_io": 2.84,  # r5 draw-13 min
+            "geojsonseq_io": 2.61,  # r5 draw-14 min
             "overlay_concave": 18.09,
             "overlay_shuffle_concave": 9.77,
             "overlay_auto_concave": 9.94,
@@ -195,7 +195,7 @@ def run_bench() -> dict:
             "semantic_dedup_50k": 2.59,  # r5 draw-9 min
             "knn_ivf_pq_50k": 8.50,  # r5 draw-9 first number
             "search_ivf_256q": 0.82,  # r5 draw-11 min
-            "sketch_stats_2m": 2.17,  # r5 draw-13 first number
+            "sketch_stats_2m": 1.94,  # r5 draw-14 min
             "dedup_cluster": 9.08,
             "unary_vectorized_100k": 0.36,  # r5 draw-9 min
         }
